@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The flagship ``cdc_orders_apply`` is the BASELINE.md headline: it applies a
+~195k-event CDC batch (parse → route → dedup → merge/delete) — the
+reference's trigger budget for that batch size is 60 s (derived ceiling
+3,333 events/s, msg/KafkaConnector.py:25 + emrserverless-v2.py:221).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cdc_data_lake_pyspark_spark.session import build_session
+from cdc_data_lake_pyspark_spark import queries as q
+
+HEADLINE = [
+    "cdc_orders_apply",
+    "agg_pricing_summary",
+    "orders_revenue_by_nation",
+    "join_customer_geo",
+    "dedup_latest_per_key",
+    "dedup_composite_key",
+    "merge_upsert_customer",
+    "delete_where_exists",
+    "parse_props_json",
+    "top_customers_per_segment",
+]
+
+
+def materialize(df) -> None:
+    """Force full execution JVM-side (noop sink: no driver collect)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(app_name="cdc-engine-bench")
+
+    registry = q.queries()
+    names = [n for n in HEADLINE if n in registry]
+    names += [n for n in sorted(registry) if n not in names]
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        materialize(registry[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (sum)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,372 @@
+"""Applying routed CDC changes: append / merge (upsert) / delete.
+
+Reference parity (SURVEY §2.4):
+
+* J1 MERGE INTO — equi-join target×source on the PK (single or composite),
+  ``WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` —
+  SQL text at ``transaction_log_util.py:279-284``, composite ON built at
+  ``:233-239``, shared writer ``WriteIcebergTable.py:158-163``.
+* J2 DELETE via EXISTS (left-semi) — ``DELETE FROM t WHERE EXISTS (SELECT
+  pk FROM tmp u WHERE t.pk = u.pk)`` — ``transaction_log_util.py:326-327``.
+* S4 append with schema evolution — ``writeTo(...).option('merge-schema',
+  'true').append()`` — ``transaction_log_util.py:216-218``.
+* S5 CREATE TABLE IF NOT EXISTS with table properties —
+  ``transaction_log_util.py:202-214``; with LOCATION
+  ``WriteIcebergTable.py:91-104``.
+* J3 error-tolerant execution — MERGE/DELETE wrapped in try/except
+  log-and-continue (``transaction_log_util.py:291-298,328-333``) — exposed
+  here as a sink policy flag, default FAIL-FAST.
+
+Spark-first design: merge/delete are pure DataFrame transforms —
+
+    merged  = updates ∪ (target ⟕anti updates on keys)
+    deleted = target ⟕anti deletes on keys
+
+not a full-outer join with per-column coalesce: the anti-join build side is
+the (deduped, usually small) update set, which Spark auto-broadcasts under
+AQE; at 100 TB the target is never shuffled when the update side fits the
+broadcast threshold, and otherwise AQE picks a shuffled hash join keyed on
+the PK — exactly the plan a lakehouse MERGE produces.  The SQL-text
+generators for Iceberg/Delta sinks are kept (and unit-tested) for when a
+MERGE-capable catalog is on the classpath; locally the parquet sink applies
+the same semantics via the DataFrame path.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_data_lake_pyspark_spark.config import TableConfig
+from cdc_data_lake_pyspark_spark.schema import align_to_schema, merge_schemas
+
+logger = logging.getLogger(__name__)
+
+
+# --------------------------------------------------------------------------
+# Pure DataFrame semantics (the oracle-testable core)
+# --------------------------------------------------------------------------
+
+
+def merge_into(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    ts_guard: Optional[str] = None,
+) -> DataFrame:
+    """Upsert ``updates`` into ``target`` on ``keys`` (J1).
+
+    Equivalent to ``MERGE ... WHEN MATCHED THEN UPDATE SET * WHEN NOT
+    MATCHED THEN INSERT *`` for a deduped source.  ``updates`` must already
+    be unique per key (use :func:`dedup.latest_change_per_key`), matching
+    the reference's MERGE_CARDINALITY_VIOLATION guard.
+
+    ``ts_guard``: optional column name; when set, a matched target row is
+    only replaced if ``update.ts_guard >= target.ts_guard`` — the
+    cross-batch out-of-order protection the reference lacks (SURVEY §2.5
+    "late/out-of-order data").  Both frames must carry the column.
+    """
+    keys = list(keys)
+    if ts_guard is None:
+        kept_target = target.join(updates.select(*keys), on=keys, how="left_anti")
+        return updates.unionByName(kept_target, allowMissingColumns=True)
+    # Guarded path: a matched-but-older update must LOSE — keep the target
+    # row instead. Resolve per key with latest-wins on (guard, is_update).
+    u = updates.withColumn("_src", F.lit(1))
+    t = target.withColumn("_src", F.lit(0))
+    both = u.unionByName(t, allowMissingColumns=True)
+    payload = F.struct(*[F.col(c) for c in both.columns]).alias("_row")
+    # updates win ties (>=): order by (guard, _src)
+    ordering = F.struct(F.col(ts_guard), F.col("_src"))
+    return (
+        both.groupBy(*keys)
+        .agg(F.max_by(payload, ordering).alias("_row"))
+        .select("_row.*")
+        .drop("_src")
+    )
+
+
+def delete_matching(
+    target: DataFrame, deletes: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Remove target rows whose key appears in ``deletes`` (J2) — the
+    DataFrame form of ``DELETE FROM t WHERE EXISTS (...)``: a left
+    anti-join, broadcast when the delete set is small."""
+    keys = list(keys)
+    return target.join(deletes.select(*keys).distinct(), on=keys, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# SQL-text generation for lakehouse sinks (Iceberg/Delta parity)
+# --------------------------------------------------------------------------
+
+
+def _quote(ident: str) -> str:
+    return "`" + ident.replace("`", "``") + "`"
+
+
+def build_on_condition(keys: Sequence[str], t: str = "t", u: str = "u") -> str:
+    """Composite-key ON clause (reference comma-split builder,
+    ``transaction_log_util.py:233-239``) with quoted identifiers."""
+    return " AND ".join(f"{t}.{_quote(k)} = {u}.{_quote(k)}" for k in keys)
+
+
+def build_merge_sql(
+    target_table: str,
+    source_view: str,
+    keys: Sequence[str],
+    ts_guard: Optional[str] = None,
+) -> str:
+    """``MERGE INTO`` text (reference ``transaction_log_util.py:279-284``),
+    plus the optional timestamp guard on the MATCHED branch."""
+    on = build_on_condition(keys)
+    matched = "WHEN MATCHED"
+    if ts_guard:
+        matched += f" AND u.{_quote(ts_guard)} >= t.{_quote(ts_guard)}"
+    return (
+        f"MERGE INTO {target_table} t USING {source_view} u ON {on} "
+        f"{matched} THEN UPDATE SET * "
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def build_delete_sql(target_table: str, source_view: str, keys: Sequence[str]) -> str:
+    """``DELETE FROM ... WHERE EXISTS`` text (reference
+    ``transaction_log_util.py:326-327`` — the correct two-alias form, not
+    the broken self-comparison in ``WriteIcebergTable.py:197``)."""
+    cond = build_on_condition(keys, t=target_table_alias(target_table), u="u")
+    alias = target_table_alias(target_table)
+    key_list = ", ".join(f"u.{_quote(k)}" for k in keys)
+    return (
+        f"DELETE FROM {target_table} {alias} WHERE EXISTS "
+        f"(SELECT {key_list} FROM {source_view} u WHERE {cond})"
+    )
+
+
+def target_table_alias(target_table: str) -> str:
+    return "t1"
+
+
+def build_create_table_sql(
+    cfg: TableConfig,
+    catalog: str,
+    schema_ddl: str,
+    using: str = "iceberg",
+    location: Optional[str] = None,
+) -> str:
+    """``CREATE TABLE IF NOT EXISTS`` with the reference's table properties
+    (``transaction_log_util.py:202-214``): v2 format, hash distribution,
+    COW/MOR write modes, bounded metadata retention, accept-any-schema."""
+    props = {
+        "format-version": str(cfg.format_version),
+        "write.distribution-mode": "hash",
+        "write.merge.mode": cfg.merge_mode,
+        "write.update.mode": cfg.update_mode,
+        "write.delete.mode": cfg.delete_mode,
+        "write.metadata.delete-after-commit.enabled": "true",
+        "write.metadata.previous-versions-max": "10",
+        "write.spark.accept-any-schema": "true",
+    }
+    props_sql = ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
+    loc = f" LOCATION '{location}'" if location else ""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {catalog}.{cfg.db}.{cfg.table} "
+        f"({schema_ddl}) USING {using}{loc} TBLPROPERTIES ({props_sql})"
+    )
+
+
+# --------------------------------------------------------------------------
+# TableSink protocol + local implementations
+# --------------------------------------------------------------------------
+
+
+class TableSink:
+    """Minimal sink protocol the pipeline drives.
+
+    Implementations must make ``append``/``merge``/``delete`` idempotent at
+    the batch level where possible (merge-on-PK re-application converges,
+    which is the reference's exactly-once story — SURVEY §2.5).
+    """
+
+    #: J3 policy — ``True`` mirrors the reference's log-and-continue.
+    continue_on_error: bool = False
+
+    def exists(self, db: str, table: str) -> bool:
+        raise NotImplementedError
+
+    def read(self, spark: SparkSession, db: str, table: str) -> DataFrame:
+        raise NotImplementedError
+
+    def create_if_not_exists(self, cfg: TableConfig, schema: T.StructType) -> None:
+        raise NotImplementedError
+
+    def append(self, cfg: TableConfig, df: DataFrame) -> None:
+        raise NotImplementedError
+
+    def merge(self, cfg: TableConfig, df: DataFrame, ts_guard=None) -> None:
+        raise NotImplementedError
+
+    def delete(self, cfg: TableConfig, keys_df: DataFrame) -> None:
+        raise NotImplementedError
+
+    def _guard(self, action: str, fn) -> None:
+        try:
+            fn()
+        except Exception:
+            if not self.continue_on_error:
+                raise
+            logger.exception("sink %s failed (continue_on_error)", action)
+
+
+class MemoryTableSink(TableSink):
+    """In-memory sink for unit tests: tables are cached DataFrames."""
+
+    def __init__(self, continue_on_error: bool = False):
+        self.tables: dict[tuple[str, str], DataFrame] = {}
+        self.continue_on_error = continue_on_error
+
+    def exists(self, db, table):
+        return (db, table) in self.tables
+
+    def read(self, spark, db, table):
+        return self.tables[(db, table)]
+
+    def create_if_not_exists(self, cfg, schema):
+        key = (cfg.db, cfg.table)
+        if key not in self.tables:
+            spark = SparkSession.getActiveSession()
+            self.tables[key] = spark.createDataFrame([], schema)
+
+    def append(self, cfg, df):
+        def _do():
+            key = (cfg.db, cfg.table)
+            if key in self.tables:
+                base = self.tables[key]
+                evolved = merge_schemas(base.schema, df.schema)
+                base = align_to_schema(base, evolved)
+                incoming = align_to_schema(df, evolved)
+                self.tables[key] = base.unionByName(incoming).localCheckpoint()
+            else:
+                self.tables[key] = df.localCheckpoint()
+
+        self._guard("append", _do)
+
+    def merge(self, cfg, df, ts_guard=None):
+        def _do():
+            key = (cfg.db, cfg.table)
+            if key not in self.tables:
+                self.tables[key] = df.localCheckpoint()
+                return
+            base = self.tables[key]
+            evolved = merge_schemas(base.schema, df.schema)
+            base = align_to_schema(base, evolved)
+            incoming = align_to_schema(df, evolved)
+            self.tables[key] = merge_into(
+                base, incoming, cfg.primary_keys, ts_guard=ts_guard
+            ).localCheckpoint()
+
+        self._guard("merge", _do)
+
+    def delete(self, cfg, keys_df):
+        def _do():
+            key = (cfg.db, cfg.table)
+            if key not in self.tables:
+                return
+            self.tables[key] = delete_matching(
+                self.tables[key], keys_df, cfg.primary_keys
+            ).localCheckpoint()
+
+        self._guard("delete", _do)
+
+
+class ParquetTableSink(TableSink):
+    """Parquet-directory sink: each table is ``<root>/<db>/<table>``.
+
+    Locally stands in for the Iceberg/Delta table; merge/delete are
+    read-modify-overwrite (copy-on-write semantics — the reference's
+    default ``write.merge.mode``, ``tables.json:6-8``).  On a real
+    lakehouse the same pipeline calls a MERGE-capable sink with the SQL
+    generated by :func:`build_merge_sql`/:func:`build_delete_sql`.
+    """
+
+    def __init__(self, root: str, continue_on_error: bool = False):
+        self.root = root
+        self.continue_on_error = continue_on_error
+
+    def _path(self, db: str, table: str) -> str:
+        return os.path.join(self.root, db, table)
+
+    def exists(self, db, table):
+        return os.path.isdir(self._path(db, table))
+
+    def read(self, spark, db, table):
+        return spark.read.parquet(self._path(db, table))
+
+    def create_if_not_exists(self, cfg, schema):
+        path = self._path(cfg.db, cfg.table)
+        if not os.path.isdir(path):
+            spark = SparkSession.getActiveSession()
+            spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+
+    def append(self, cfg, df):
+        def _do():
+            path = self._path(cfg.db, cfg.table)
+            spark = df.sparkSession
+            if os.path.isdir(path):
+                base_schema = spark.read.parquet(path).schema
+                evolved = merge_schemas(base_schema, df.schema)
+                if [f.name for f in evolved.fields] != [
+                    f.name for f in base_schema.fields
+                ]:
+                    # schema evolution: rewrite base with the union schema
+                    base = align_to_schema(spark.read.parquet(path), evolved)
+                    self._overwrite(base.unionByName(align_to_schema(df, evolved)), path)
+                    return
+                align_to_schema(df, base_schema).write.mode("append").parquet(path)
+            else:
+                df.write.mode("append").parquet(path)
+
+        self._guard("append", _do)
+
+    def merge(self, cfg, df, ts_guard=None):
+        def _do():
+            path = self._path(cfg.db, cfg.table)
+            spark = df.sparkSession
+            if not os.path.isdir(path):
+                df.write.mode("overwrite").parquet(path)
+                return
+            base = spark.read.parquet(path)
+            evolved = merge_schemas(base.schema, df.schema)
+            merged = merge_into(
+                align_to_schema(base, evolved),
+                align_to_schema(df, evolved),
+                cfg.primary_keys,
+                ts_guard=ts_guard,
+            )
+            self._overwrite(merged, path)
+
+        self._guard("merge", _do)
+
+    def delete(self, cfg, keys_df):
+        def _do():
+            path = self._path(cfg.db, cfg.table)
+            if not os.path.isdir(path):
+                return
+            spark = keys_df.sparkSession
+            base = spark.read.parquet(path)
+            self._overwrite(delete_matching(base, keys_df, cfg.primary_keys), path)
+
+        self._guard("delete", _do)
+
+    def _overwrite(self, df: DataFrame, path: str) -> None:
+        # Copy-on-write without self-read hazard: write beside, then swap.
+        tmp = path + "._cow_tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path, ignore_errors=True)
+        os.replace(tmp, path)

@@ -1,0 +1,156 @@
+"""CDC envelope schemas and parsers (Debezium + AWS DMS wire formats).
+
+Reference parity:
+
+* Debezium envelope struct ``{before, after, source, op, ts_ms,
+  transaction}`` declared as mostly StringType so inner payloads stay raw
+  JSON — ``transaction_log_process/transaction_log_util.py:60-67``; op codes
+  ``r/c/u/d`` — ``transaction_log_util.py:80-84``; ``source`` carries
+  ``{db, table}`` — ``transaction_log_util.py:93-94``.
+* DMS envelope ``{data, metadata}`` with metadata
+  ``{timestamp, record-type, operation, schema-name, table-name, ...}`` —
+  ``transcation_log_dms.py:75-78,103-117``; operation codes
+  ``load/insert/update/delete`` — ``transcation_log_dms.py:145-149``.
+
+Both parsers normalize to ONE canonical change-event frame so the rest of
+the engine (router, dedup, apply) is wire-format agnostic::
+
+    db: string, table: string, op: string ('r'|'c'|'u'|'d'),
+    ts_ms: long, before: string (JSON or null), after: string (JSON or null)
+
+Scale notes: parsing is a single narrow ``from_json`` projection — no
+shuffle, fully pipelined inside whole-stage codegen, and Catalyst prunes
+unused envelope fields into the scan.  The reference's duplicate DMS parse
+(``transcation_log_dms.py:82-90`` then ``:124-139``) is not replicated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- Debezium -----------------------------------------------------------
+
+#: Fixed envelope schema; inner payloads intentionally kept as raw JSON
+#: strings (reference: transaction_log_util.py:60-67).
+DEBEZIUM_ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("before", T.StringType(), True),
+        T.StructField("after", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("transaction", T.StringType(), True),
+    ]
+)
+
+#: Minimal source struct actually used by the routing layer
+#: (reference: transaction_log_util.py:93-94).
+DEBEZIUM_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("db", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+    ]
+)
+
+# --- DMS ----------------------------------------------------------------
+
+DMS_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.StringType(), True),
+        T.StructField("record-type", T.StringType(), True),
+        T.StructField("operation", T.StringType(), True),
+        T.StructField("partition-key-type", T.StringType(), True),
+        T.StructField("schema-name", T.StringType(), True),
+        T.StructField("table-name", T.StringType(), True),
+        T.StructField("transaction-id", T.LongType(), True),
+        T.StructField("transaction-record-id", T.LongType(), True),
+        T.StructField("prev-transaction-id", T.LongType(), True),
+        T.StructField("prev-transaction-record-id", T.LongType(), True),
+        T.StructField("commit-timestamp", T.StringType(), True),
+        T.StructField("stream-position", T.StringType(), True),
+    ]
+)
+
+#: Envelope: payload stays raw JSON, metadata is typed
+#: (reference: transcation_log_dms.py:75-78,103-117 — which declares
+#: ``record-type`` twice; we declare it once).
+DMS_ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("data", T.StringType(), True),
+        T.StructField("metadata", DMS_METADATA_SCHEMA, True),
+    ]
+)
+
+#: Canonical change-event schema produced by both parsers.
+CHANGE_EVENT_COLUMNS = ["db", "table", "op", "ts_ms", "before", "after"]
+
+
+def cast_value_to_string(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Kafka binary value → string (reference:
+    ``kafka-iceberg-streaming-emrserverless-v2.py:194``)."""
+    return df.select(F.col(value_col).cast("string").alias("value"))
+
+
+def parse_debezium(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse Debezium JSON envelopes into the canonical change-event frame.
+
+    Input: one string column of envelope JSON (one Kafka record per row).
+    The nested ``source`` JSON is parsed in the same projection; everything
+    stays a narrow map-side pipeline.
+    """
+    env = F.from_json(F.col(value_col).cast("string"), DEBEZIUM_ENVELOPE_SCHEMA)
+    src = F.from_json(env["source"], DEBEZIUM_SOURCE_SCHEMA)
+    return df.select(
+        src["db"].alias("db"),
+        src["table"].alias("table"),
+        env["op"].alias("op"),
+        env["ts_ms"].alias("ts_ms"),
+        env["before"].alias("before"),
+        env["after"].alias("after"),
+    )
+
+
+#: DMS operation → canonical op code. ``load`` is the initial snapshot
+#: (reference treats load+insert as the insert route,
+#: transcation_log_dms.py:145-146).
+_DMS_OP_MAP = {"load": "r", "insert": "c", "update": "u", "delete": "d"}
+
+
+def dms_op_to_canonical(op: Column) -> Column:
+    mapping = F.create_map(
+        *[F.lit(x) for pair in _DMS_OP_MAP.items() for x in pair]
+    )
+    return mapping[op]
+
+
+def parse_dms(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Parse AWS DMS JSON envelopes into the canonical change-event frame.
+
+    DMS has no before-image; for deletes the row image travels in ``data``
+    (reference applies it as the delete keys source,
+    ``transcation_log_dms.py:226-241``), so we surface it as ``before`` for
+    deletes and ``after`` otherwise.  ``ts_ms`` derives from
+    ``metadata.timestamp`` (the upsert ordering column in the reference,
+    ``transcation_log_dms.py:198``).
+    """
+    env = F.from_json(F.col(value_col).cast("string"), DMS_ENVELOPE_SCHEMA)
+    meta = env["metadata"]
+    op = dms_op_to_canonical(meta["operation"])
+    ts_ms = (F.unix_micros(F.to_timestamp(meta["timestamp"])) / 1000).cast("long")
+    is_delete = op == F.lit("d")
+    parsed = df.select(
+        meta["schema-name"].alias("db"),
+        meta["table-name"].alias("table"),
+        op.alias("op"),
+        ts_ms.alias("ts_ms"),
+        F.when(is_delete, env["data"]).alias("before"),
+        F.when(~is_delete, env["data"]).alias("after"),
+        meta["record-type"].alias("_record_type"),
+    )
+    # Only row-level data records are change events (control records are
+    # dropped, matching the reference's operation IN (...) routing).
+    return parsed.filter(
+        (F.col("_record_type").isNull()) | (F.col("_record_type") == "data")
+    ).drop("_record_type")

@@ -1,0 +1,181 @@
+"""The CDC batch pipeline: parse → route → per-table → dedup → apply.
+
+This is the engine's equivalent of the reference's ``processBatch``
+(``transaction_log_process/transaction_log_util.py:55-168``), rebuilt as a
+library:
+
+* ONE logical pipeline behind all entry points (the reference has 6 thin
+  scripts around the same flow — SURVEY §3 takeaway);
+* batch is cached once and re-used across routes (reference ``cache()`` at
+  ``transaction_log_util.py:58``);
+* empty-batch short-circuit (``isEmpty()``, ``:56,86,115,150``);
+* single driver round-trip for the (db, table, route) inventory instead of
+  the reference's per-route distinct/collect/first storm (SURVEY §4.2.1);
+* per-table: payload schema (inferred over the whole slice, or the sink's
+  authoritative schema for upserts — ``:138-145``), timestamp-field casts
+  (``:195-200``), PK dedup (``:267-273``), then append / merge / delete via
+  the sink.
+
+Delete-route key extraction parses the ``before`` image
+(``transaction_log_util.py:161-167``) and projects only the PK columns.
+
+Order of application within a batch follows the reference: inserts, then
+upserts, then deletes (``transaction_log_util.py:78-168``).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.config import TablesConfig, load_tables_config
+from cdc_data_lake_pyspark_spark.dedup import latest_change_per_key
+from cdc_data_lake_pyspark_spark.envelope import parse_debezium, parse_dms
+from cdc_data_lake_pyspark_spark.router import (
+    ROUTE_DELETE,
+    ROUTE_INSERT,
+    ROUTE_UPSERT,
+    slice_table,
+    table_op_inventory,
+    with_route,
+)
+from cdc_data_lake_pyspark_spark.schema import (
+    cast_timestamp_fields,
+    infer_json_schema,
+    merge_schemas,
+    parse_payload,
+)
+from cdc_data_lake_pyspark_spark.apply import TableSink
+
+logger = logging.getLogger(__name__)
+
+_PARSERS = {"debezium": parse_debezium, "dms": parse_dms}
+
+
+@dataclass
+class CdcPipeline:
+    """Wire-format-agnostic CDC micro-batch processor.
+
+    Parameters
+    ----------
+    config : per-table config (tables.json shape) — see ``config.py``
+    sink : TableSink receiving append/merge/delete
+    cdc_format : 'debezium' | 'dms'
+    ts_guard : optional column name for the cross-batch out-of-order merge
+        guard (``None`` reproduces reference behavior; ``'_cdc_ts_ms'``
+        enables the guard using the envelope timestamp, which is then
+        retained in the sink table — fixing the reference's silent
+        last-batch-wins bug, SURVEY §2.5).
+    schema_sample_rows : rows used for payload-schema inference
+        (None = whole slice; 1 = reference's first-row behavior).
+    """
+
+    config: TablesConfig
+    sink: TableSink
+    cdc_format: str = "debezium"
+    ts_guard: Optional[str] = None
+    schema_sample_rows: Optional[int] = None
+
+    def __post_init__(self):
+        self.config = load_tables_config(self.config)
+        if self.cdc_format not in _PARSERS:
+            raise ValueError(f"cdc_format must be one of {sorted(_PARSERS)}")
+
+    # -- entry point ----------------------------------------------------
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int = 0) -> None:
+        """``foreachBatch`` callback: apply one micro-batch of raw envelope
+        strings (column ``value``) to the sink."""
+        if batch_df.isEmpty():
+            return
+        changes = _PARSERS[self.cdc_format](batch_df)
+        self.apply_changes(changes, batch_id)
+
+    def apply_changes(self, changes: DataFrame, batch_id: int = 0) -> None:
+        """Apply a canonical change-event frame (db/table/op/ts_ms/before/
+        after) to the sink."""
+        routed = with_route(changes).filter(F.col("route").isNotNull())
+        routed = routed.persist()
+        try:
+            inventory = table_op_inventory(routed)
+            for entry in sorted(inventory, key=lambda e: (e.db, e.table)):
+                cfg = self.config.get(entry.db, entry.table)
+                tbl = slice_table(routed, entry.db, entry.table)
+                if ROUTE_INSERT in entry.routes:
+                    self._apply_insert(cfg, tbl)
+                if ROUTE_UPSERT in entry.routes:
+                    self._apply_upsert(cfg, tbl)
+                if ROUTE_DELETE in entry.routes:
+                    self._apply_delete(cfg, tbl)
+        finally:
+            routed.unpersist()
+
+    # -- route appliers -------------------------------------------------
+
+    def _apply_insert(self, cfg, tbl: DataFrame) -> None:
+        sliced = tbl.filter(F.col("route") == ROUTE_INSERT)
+        schema = infer_json_schema(sliced, "after", sample_rows=self.schema_sample_rows)
+        keep = ["ts_ms"] if self.ts_guard else []
+        payload = parse_payload(sliced, "after", schema, keep_cols=keep)
+        payload = cast_timestamp_fields(payload, cfg.timestamp_fields)
+        if self.ts_guard:
+            payload = payload.withColumnRenamed("ts_ms", self.ts_guard)
+        self.sink.create_if_not_exists(cfg, payload.schema)
+        self.sink.append(cfg, payload)
+        logger.info("insert applied: %s", cfg.qualified_name)
+
+    def _apply_upsert(self, cfg, tbl: DataFrame) -> None:
+        sliced = tbl.filter(F.col("route") == ROUTE_UPSERT)
+        # Authoritative sink schema when the table exists (reference
+        # REFRESH TABLE + spark.table(...).schema, :138-145); else infer.
+        spark = tbl.sparkSession
+        inferred = infer_json_schema(
+            sliced, "after", sample_rows=self.schema_sample_rows
+        )
+        if self.sink.exists(cfg.db, cfg.table):
+            target_schema = self.sink.read(spark, cfg.db, cfg.table).schema
+            # target types are authoritative for existing columns; columns
+            # first appearing in an update still evolve (the reference's
+            # MERGE path silently drops them — SURVEY §1.3/§8; we don't).
+            payload_schema = merge_schemas(
+                _strip_fields(target_schema, {self.ts_guard}), inferred
+            )
+        else:
+            payload_schema = inferred
+        payload = parse_payload(sliced, "after", payload_schema, keep_cols=["ts_ms"])
+        payload = cast_timestamp_fields(payload, cfg.timestamp_fields)
+        deduped = latest_change_per_key(
+            payload, cfg.primary_keys, order_by=["ts_ms"]
+        )
+        if self.ts_guard:
+            deduped = deduped.withColumnRenamed("ts_ms", self.ts_guard)
+            self.sink.merge(cfg, deduped, ts_guard=self.ts_guard)
+        else:
+            # reference drops ts_ms before MERGE (:273)
+            self.sink.merge(cfg, deduped.drop("ts_ms"))
+        logger.info("upsert applied: %s", cfg.qualified_name)
+
+    def _apply_delete(self, cfg, tbl: DataFrame) -> None:
+        sliced = tbl.filter(F.col("route") == ROUTE_DELETE)
+        schema = infer_json_schema(
+            sliced, "before", sample_rows=self.schema_sample_rows
+        )
+        payload = parse_payload(sliced, "before", schema, keep_cols=["ts_ms"])
+        # Only the PK columns matter for DELETE ... WHERE EXISTS; dedup to
+        # the latest per key first so delete-then-reinsert batches resolve
+        # by ts ordering at the route level (reference applies routes in
+        # insert→upsert→delete order; we keep that order).
+        keys_df = latest_change_per_key(payload, cfg.primary_keys, order_by=["ts_ms"])
+        self.sink.delete(cfg, keys_df.select(*cfg.primary_keys))
+        logger.info("delete applied: %s", cfg.qualified_name)
+
+
+def _strip_fields(schema, names):
+    from pyspark.sql import types as T
+
+    names = {n for n in names if n}
+    return T.StructType([f for f in schema.fields if f.name not in names])

@@ -1,0 +1,450 @@
+"""Driver-facing query inventory (SURVEY §2) with DuckDB oracle SQL.
+
+Each entry pairs a PySpark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent ANSI-SQL string the driver runs through DuckDB on the same
+parquet tables.  Conventions for hash-stable parity:
+
+* every computed column is aliased identically on both sides;
+* float aggregates go through an exact decimal bridge —
+  ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`` — so the sum is
+  order-independent and bit-identical across engines;
+* ranking queries carry explicit unique tiebreakers.
+
+Scale notes are in each query's docstring; dimension joins broadcast, big
+aggregations rely on partial aggregation + AQE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.apply import MemoryTableSink, delete_matching, merge_into
+from cdc_data_lake_pyspark_spark.dedup import latest_change_per_key
+from cdc_data_lake_pyspark_spark.fixtures import (
+    ORDERS_FINAL_STATE_SQL,
+    ORDERS_TABLE_CONFIG,
+    debezium_orders_envelopes,
+)
+from cdc_data_lake_pyspark_spark.pipeline import CdcPipeline
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a driver table.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS) which Spark rejects by
+    default; read nanos as long and truncate to microseconds — exactly what
+    DuckDB's parquet reader does — so both engines see identical instants.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the whole CDC pipeline (parse → route → dedup → apply)
+# ---------------------------------------------------------------------------
+
+
+@query("cdc_orders_apply", oracle=ORDERS_FINAL_STATE_SQL)
+def cdc_orders_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Debezium CDC apply over deterministic envelopes built
+    from ``orders`` (fixtures.py): envelope parse (P2), source routing
+    (P6/P7), whole-slice schema inference (P3), timestamp casting (P9),
+    latest-per-PK dedup (A2), append + merge + delete (S4/J1/J2).
+
+    Scale: parse/route are narrow map stages; dedup is a map-side-combined
+    ``max_by`` aggregation on the PK; merge is an anti-join that
+    broadcasts the update side when small (AQE decides otherwise).
+    """
+    env = debezium_orders_envelopes(spark, sf_dir)
+    sink = MemoryTableSink()
+    CdcPipeline(config=ORDERS_TABLE_CONFIG, sink=sink).process_batch(env)
+    out = sink.read(spark, "testdb", "orders")
+    return out.select(*sorted(out.columns))
+
+
+# ---------------------------------------------------------------------------
+# Routing predicates (P6) — IN-list + null predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "route_insert",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts
+    FROM events
+    WHERE event_type IN ('view', 'click') AND props IS NOT NULL
+    """,
+)
+def route_insert(spark, sf_dir):
+    """Insert-route predicate shape: ``op IN ('r','c') AND after IS NOT
+    NULL`` (reference transaction_log_util.py:80). Pushed down to parquet."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click") & F.col("props").isNotNull())
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@query(
+    "route_upsert",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'purchase' AND props IS NOT NULL
+    """,
+)
+def route_upsert(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("props").isNotNull())
+        .select("event_id", "user_id", "value")
+    )
+
+
+@query(
+    "route_delete",
+    oracle="SELECT event_id, user_id FROM events WHERE event_type = 'error'",
+)
+def route_delete(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON parsing (P2/P4) and casts (P1/P9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "parse_props_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def parse_props_json(spark, sf_dir):
+    """JSON payload decode (reference from_json of `after`), JVM-side via
+    get_json_object — no Python in the hot path."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", k.alias("props_k"))
+        .filter(F.col("props_k") > 50)
+    )
+
+
+@query(
+    "timestamp_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS TIMESTAMP) AS ts_cast
+    FROM events
+    """,
+)
+def timestamp_roundtrip(spark, sf_dir):
+    """String→timestamp conversion path (P9: reference to_timestamp of
+    configured timestamp.fields, transaction_log_util.py:195-200)."""
+    s = F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.to_timestamp(s).alias("ts_cast")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct inventory (A1) and dedup windows (A2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "distinct_fanout_inventory",
+    oracle="SELECT DISTINCT user_id % 10 AS user_bucket, event_type FROM events",
+)
+def distinct_fanout_inventory(spark, sf_dir):
+    """The multi-table fan-out enumeration shape (reference
+    select(db, table).distinct(), transaction_log_util.py:93-94)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select((F.col("user_id") % 10).alias("user_bucket"), "event_type")
+        .distinct()
+    )
+
+
+@query(
+    "dedup_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_latest_per_key(spark, sf_dir):
+    """A2: latest change per key. Implemented as a map-side-combined
+    ``max_by`` aggregation (see dedup.py scale rationale) — the oracle is
+    the reference-shaped row_number window; both must agree."""
+    df = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    return latest_change_per_key(df, ["user_id"], ["ts", "event_id"]).drop("ts")
+
+
+@query(
+    "dedup_composite_key",
+    oracle="""
+    SELECT user_id, event_type, event_id, value
+    FROM (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_composite_key(spark, sf_dir):
+    """A2 with a composite key (the reference's comma-split PK path,
+    transaction_log_util.py:233-239)."""
+    df = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value", "ts"
+    )
+    return latest_change_per_key(df, ["user_id", "event_type"], ["ts", "event_id"]).drop(
+        "ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge / delete semantics (J1 / J2)
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH updates AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal,
+         'UPDATED' AS c_mktsegment
+  FROM customer WHERE c_custkey % 10 < 3
+  UNION ALL
+  SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 7
+)
+SELECT * FROM updates
+UNION ALL
+SELECT c.* FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+"""
+
+
+@query("merge_upsert_customer", oracle=_MERGE_ORACLE)
+def merge_upsert_customer(spark, sf_dir):
+    """J1 MERGE semantics as DataFrame ops: WHEN MATCHED UPDATE SET *,
+    WHEN NOT MATCHED INSERT * — implemented as updates ∪ target⟕anti.
+
+    Scale: the anti-join probe side is the target; the (small) update set
+    broadcasts, so the target is never shuffled."""
+    customer = _t(spark, sf_dir, "customer")
+    matched = customer.filter(F.col("c_custkey") % 10 < 3).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    )
+    new_rows = customer.filter(F.col("c_custkey") % 10 == 7).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    updates = matched.unionAll(new_rows)
+    return merge_into(customer, updates, ["c_custkey"])
+
+
+@query(
+    "delete_where_exists",
+    oracle="""
+    SELECT c.* FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.event_type = 'signup' AND e.user_id = c.c_custkey
+    )
+    """,
+)
+def delete_where_exists(spark, sf_dir):
+    """J2 DELETE ... WHERE EXISTS as a left anti-join (reference
+    transaction_log_util.py:326-327). Delete-key set broadcasts."""
+    customer = _t(spark, sf_dir, "customer")
+    deletes = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("c_custkey"))
+    )
+    return delete_matching(customer, deletes, ["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage the star schema naturally needs (SURVEY §5.2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped grouped aggregation. Decimal bridge makes the sums
+    order-independent; partial aggregation runs map-side, AQE coalesces
+    the 6-group result."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "join_customer_geo",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_customer_geo(spark, sf_dir):
+    """Star-schema join: both dimensions broadcast (nation=25, region=5
+    rows) so the fact side never shuffles for the join; only the final
+    25-group aggregation exchanges."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "orders_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def orders_revenue_by_nation(spark, sf_dir):
+    """Fact-to-dimension chain: customer broadcasts at small SF; at 100 TB
+    AQE picks shuffle-hash on o_custkey — the natural co-partitioning; the
+    nation dim always broadcasts."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "top_customers_per_segment",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_name, c_acctbal, rnk
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+      FROM customer
+    ) WHERE rnk <= 3
+    """,
+)
+def top_customers_per_segment(spark, sf_dir):
+    """Top-N per group via ranking window with a unique tiebreaker —
+    the general form of the A2 dedup window."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

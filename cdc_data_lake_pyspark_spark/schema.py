@@ -1,0 +1,108 @@
+"""Payload schema inference, alignment, and timestamp casting (SURVEY §1.2-1.3).
+
+Reference parity:
+
+* payload schema inferred at runtime with ``schema_of_json`` on the FIRST
+  row of each table's slice (``transaction_log_util.py:104-105,164-166``;
+  DMS ``transcation_log_dms.py:170-171,202-203,236-238``);
+* upsert path instead reads the authoritative sink schema after ``REFRESH
+  TABLE`` (``transaction_log_util.py:138-145``) to keep MERGE column
+  order/types aligned;
+* configured ``timestamp.fields`` string columns cast with
+  ``to_timestamp()`` before writing (``transaction_log_util.py:195-200,
+  248-253``).
+
+Scale fix vs the reference (SURVEY §4.2.2): first-row-only inference types
+null-in-sample columns wrong.  :func:`infer_json_schema` defaults to
+inference over the WHOLE slice using Spark's distributed JSON reader
+(one extra pass over the cached batch, executed in parallel), with a
+``sample_rows`` knob for very large batches.  First-row behavior is still
+available (``sample_rows=1`` collects driver-side like the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def infer_json_schema(
+    df: DataFrame,
+    json_col: str,
+    sample_rows: Optional[int] = None,
+) -> T.StructType:
+    """Infer the payload schema of a JSON-string column.
+
+    ``sample_rows=None`` (default): distributed inference over every row of
+    the slice via ``spark.read.json`` — null-in-first-row columns still get
+    a type from other rows, and conflicting primitive types widen to string,
+    matching Spark's standard JSON inference.
+
+    ``sample_rows=N``: limit the scan to N rows first (N=1 reproduces the
+    reference's first-row behavior, ``transaction_log_util.py:104-105``).
+    """
+    spark = df.sparkSession
+    strings = df.select(F.col(json_col).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    if sample_rows is not None:
+        strings = strings.limit(sample_rows)
+    rdd = strings.rdd.map(lambda r: r["value"])
+    inferred = spark.read.json(rdd)
+    return inferred.schema
+
+
+def parse_payload(
+    df: DataFrame,
+    json_col: str,
+    schema: T.StructType,
+    keep_cols: Iterable[str] = (),
+) -> DataFrame:
+    """``from_json`` the payload column and flatten it (P4+P5: reference's
+    ``from_json(col('after'), schema)`` + ``select('data.*')``,
+    ``transaction_log_util.py:110,145,167``)."""
+    parsed = df.withColumn("_data", F.from_json(F.col(json_col), schema))
+    cols = [F.col(c) for c in keep_cols] + [F.col("_data.*")]
+    return parsed.select(*cols)
+
+
+def cast_timestamp_fields(df: DataFrame, fields: Iterable[str]) -> DataFrame:
+    """Cast configured string columns to timestamp (P9: reference's
+    ``withColumn(c, to_timestamp(col(c)))``, ``transaction_log_util.py:
+    195-200``). Missing fields are skipped, matching the reference's
+    membership check."""
+    out = df
+    for c in fields:
+        if c in out.columns:
+            out = out.withColumn(c, F.to_timestamp(F.col(c)))
+    return out
+
+
+def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project/cast ``df`` to the target schema's column order and types —
+    the upsert path's catalog-schema alignment (``transaction_log_util.py:
+    138-145``). Columns absent from ``df`` become typed nulls; extra
+    columns are kept AFTER the target's (schema evolution: new CDC columns
+    flow through so sinks with ``merge-schema`` pick them up)."""
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in target.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    target_names = {f.name for f in target.fields}
+    extras = [F.col(f.name) for f in df.schema.fields if f.name not in target_names]
+    return df.select(*cols, *extras)
+
+
+def merge_schemas(base: T.StructType, incoming: T.StructType) -> T.StructType:
+    """Evolution policy: base columns keep their type; new incoming columns
+    are appended (the sink-side effect of Iceberg's ``merge-schema`` write
+    option, ``transaction_log_util.py:216-218``)."""
+    names = {f.name for f in base.fields}
+    fields = list(base.fields) + [f for f in incoming.fields if f.name not in names]
+    return T.StructType(fields)

@@ -1,0 +1,42 @@
+"""Session builder with the engine's recommended configuration.
+
+Mirrors the knobs the reference sets (ANSI off, session timezone, Iceberg
+extensions when a lakehouse catalog is attached —
+``kafka-iceberg-streaming-emrserverless-v2.py:133-149``) but defaults to a
+local, catalog-free session tuned for the test harness, with AQE enabled
+(runtime re-plan, skew-join handling, partition coalescing — the 100 TB
+levers).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping, Optional
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "cdc_data_lake_pyspark_spark",
+    master: Optional[str] = None,
+    shuffle_partitions: Optional[int] = None,
+    extra_conf: Optional[Mapping[str, str]] = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,166 @@
+"""End-to-end CDC pipeline tests against a pure reduction oracle
+(FIXTURES.md §B4): final state = latest surviving image per PK."""
+
+import json
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.apply import MemoryTableSink
+from cdc_data_lake_pyspark_spark.fixtures import (
+    ORDERS_TABLE_CONFIG,
+    debezium_orders_envelopes,
+    dms_orders_envelopes,
+)
+from cdc_data_lake_pyspark_spark.pipeline import CdcPipeline
+
+
+def _expected_orders_state(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    key = F.col("o_orderkey")
+    price = (
+        F.when(key % 20 == 7, F.col("o_totalprice") * 1.2)
+        .when((key % 10).isin(7, 8), F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+    )
+    return (
+        orders.filter(key % 10 != 9)
+        .withColumn("o_totalprice", price)
+        .select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            "o_orderpriority",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+    )
+
+
+def _run_pipeline(spark, sf_dir, fmt):
+    env = (
+        debezium_orders_envelopes(spark, sf_dir)
+        if fmt == "debezium"
+        else dms_orders_envelopes(spark, sf_dir)
+    )
+    sink = MemoryTableSink()
+    pipe = CdcPipeline(config=ORDERS_TABLE_CONFIG, sink=sink, cdc_format=fmt)
+    pipe.process_batch(env, batch_id=0)
+    return sink.read(spark, "testdb", "orders")
+
+
+def _assert_state_matches(got, expected):
+    assert sorted(got.columns) == sorted(expected.columns)
+    g = got.select(*sorted(got.columns))
+    e = expected.select(*sorted(expected.columns))
+    assert g.count() == e.count()
+    assert g.exceptAll(e).isEmpty()
+    assert e.exceptAll(g).isEmpty()
+
+
+def test_debezium_end_to_end(spark, sf_dir):
+    got = _run_pipeline(spark, sf_dir, "debezium")
+    _assert_state_matches(got, _expected_orders_state(spark, sf_dir))
+
+
+def test_dms_end_to_end(spark, sf_dir):
+    got = _run_pipeline(spark, sf_dir, "dms")
+    _assert_state_matches(got, _expected_orders_state(spark, sf_dir))
+
+
+def test_orderdate_is_timestamp_typed(spark, sf_dir):
+    got = _run_pipeline(spark, sf_dir, "debezium")
+    assert dict(got.dtypes)["o_orderdate"] == "timestamp"
+
+
+def _env(op, data, ts, table="t", before=None):
+    return Row(
+        value=json.dumps(
+            {
+                "before": json.dumps(before) if before else None,
+                "after": json.dumps(data) if data else None,
+                "source": json.dumps({"db": "d", "table": table}),
+                "op": op,
+                "ts_ms": ts,
+                "transaction": None,
+            }
+        )
+    )
+
+
+_CFG = [{"db": "d", "table": "t", "primary_key": "id"}]
+
+
+def test_schema_evolution_new_column_mid_stream(spark):
+    sink = MemoryTableSink()
+    pipe = CdcPipeline(config=_CFG, sink=sink)
+    pipe.process_batch(spark.createDataFrame([_env("c", {"id": 1, "v": "a"}, 1)]))
+    # second batch carries a brand-new column
+    pipe.process_batch(
+        spark.createDataFrame([_env("c", {"id": 2, "v": "b", "extra": 7}, 2)])
+    )
+    out = sink.read(spark, "d", "t")
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].extra is None and rows[2].extra == 7
+
+
+def test_upsert_creates_missing_table(spark):
+    sink = MemoryTableSink()
+    pipe = CdcPipeline(config=_CFG, sink=sink)
+    pipe.process_batch(spark.createDataFrame([_env("u", {"id": 1, "v": "x"}, 1)]))
+    assert sink.read(spark, "d", "t").collect()[0].v == "x"
+
+
+def test_delete_then_reinsert_within_batch_order(spark):
+    # reference applies insert→upsert→delete per batch: a delete in the
+    # same batch as an insert of the same key removes it.
+    sink = MemoryTableSink()
+    pipe = CdcPipeline(config=_CFG, sink=sink)
+    batch = spark.createDataFrame(
+        [
+            _env("c", {"id": 1, "v": "a"}, 1),
+            _env("d", None, 2, before={"id": 1, "v": "a"}),
+            _env("c", {"id": 2, "v": "keep"}, 3),
+        ]
+    )
+    pipe.process_batch(batch)
+    out = {r.id for r in sink.read(spark, "d", "t").collect()}
+    assert out == {2}
+
+
+def test_multi_table_fanout(spark):
+    sink = MemoryTableSink()
+    cfg = [
+        {"db": "d", "table": "a", "primary_key": "id"},
+        {"db": "d", "table": "b", "primary_key": "id"},
+    ]
+    pipe = CdcPipeline(config=cfg, sink=sink)
+    batch = spark.createDataFrame(
+        [
+            _env("c", {"id": 1}, 1, table="a"),
+            _env("c", {"id": 2}, 2, table="b"),
+            _env("u", {"id": 2, "v": 1}, 3, table="b"),
+        ]
+    )
+    pipe.process_batch(batch)
+    assert sink.read(spark, "d", "a").count() == 1
+    b = {r.id: r for r in sink.read(spark, "d", "b").collect()}
+    assert b[2].v == 1
+
+
+def test_empty_batch_short_circuit(spark):
+    sink = MemoryTableSink()
+    pipe = CdcPipeline(config=_CFG, sink=sink)
+    empty = spark.createDataFrame([], "value string")
+    pipe.process_batch(empty)  # must not raise
+    assert not sink.tables
+
+
+def test_ts_guard_cross_batch_out_of_order(spark):
+    # batch 2 carries an OLDER update than batch 1 → guarded merge keeps new
+    sink = MemoryTableSink()
+    pipe = CdcPipeline(config=_CFG, sink=sink, ts_guard="_cdc_ts_ms")
+    pipe.process_batch(spark.createDataFrame([_env("u", {"id": 1, "v": "new"}, 100)]))
+    pipe.process_batch(spark.createDataFrame([_env("u", {"id": 1, "v": "old"}, 50)]))
+    out = sink.read(spark, "d", "t").collect()
+    assert out[0].v == "new"
