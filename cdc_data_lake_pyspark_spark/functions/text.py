@@ -1,0 +1,116 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Capability additions mandated by BASELINE.json §2.6 (no reference citation —
+these extend the reference's surface): language-ID (stopword-hit heuristic),
+quality scoring, token counting, and document fingerprinting, all over the
+``documents`` table.
+
+Everything here is a *Column builder* over built-in ``pyspark.sql.functions``
+— JVM-side, whole-stage-codegen'd, zero Python in the hot path, and every
+expression has a 1:1 ANSI-SQL equivalent so the DuckDB oracle can replicate
+it exactly.  At 100 TB these are embarrassingly parallel map-only
+projections: no shuffle, pushdown-friendly (only ``text`` is read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the heuristic language scorer.
+#: Deliberately small and fixed so the DuckDB oracle can inline them.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "von", "zu", "ist"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est"),
+    "es": ("el", "los", "las", "y", "en", "que", "es"),
+}
+
+#: Deterministic tie-break order for argmax over language scores.
+LANG_ORDER = ("en", "de", "fr", "es")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (lower-cased)."""
+    return F.split(F.lower(text), " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_stats(text: Column) -> dict[str, Column]:
+    """Character-class ratios used by quality scoring.
+
+    All ratios are double divisions in a fixed expression order so both
+    engines produce bit-identical values.
+    """
+    n = F.length(text)
+    spaces = n - F.length(F.regexp_replace(text, " ", ""))
+    digits = n - F.length(F.regexp_replace(text, "[0-9]", ""))
+    alpha = n - F.length(F.regexp_replace(text, "[A-Za-z]", ""))
+    nd = n.cast("double")
+    return {
+        "n_chars": n.cast("bigint"),
+        "space_ratio": spaces.cast("double") / nd,
+        "digit_ratio": digits.cast("double") / nd,
+        "alpha_ratio": alpha.cast("double") / nd,
+    }
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles — the unit for Jaccard/MinHash dedup.
+
+    ``sequence`` + ``transform`` + ``slice`` are all codegen'd array
+    expressions; no UDF.
+    """
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return F.array_distinct(grams)
+
+
+def doc_fingerprint(text: Column, k: int = 3) -> Column:
+    """Document fingerprint: lexicographic MIN of the md5 of each k-shingle
+    (a 1-hash MinHash / winnowing-style signature).  md5-hex strings are
+    portable across engines, so the oracle can reproduce it exactly."""
+    hashed = F.transform(shingles(text, k), lambda s: F.md5(s))
+    return F.array_min(hashed)
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Stopword-hit count per language over the token list."""
+    toks = tokens(text)
+    out = {}
+    for lang in LANG_ORDER:
+        words = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+    return out
+
+
+def language_id(text: Column) -> Column:
+    """Argmax language with fixed tie-break order (en > de > fr > es);
+    'und' (undetermined) when no stopword hits at all."""
+    scores = language_scores(text)
+    cols = [scores[lang] for lang in LANG_ORDER]
+    best = F.greatest(*cols)
+    expr = F.lit("und")
+    # build CASE from last to first so earlier languages win ties
+    result = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        result = result.when(scores[lang] == best, F.lit(lang))
+    return result.otherwise(expr)
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0, 1]: rewards moderate length and
+    alphabetic content, penalizes digit soup.  Fixed expression order for
+    cross-engine bit parity."""
+    stats = char_stats(text)
+    tok = token_count(text).cast("double")
+    length_term = F.least(tok / F.lit(64.0), F.lit(1.0))
+    return (
+        F.lit(0.5) * length_term
+        + F.lit(0.4) * stats["alpha_ratio"]
+        + F.lit(0.1) * (F.lit(1.0) - stats["digit_ratio"])
+    )

@@ -443,8 +443,16 @@ def top_customers_per_segment(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_phase2()
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_phase2()
     return dict(ORACLES)
+
+
+def _load_phase2() -> None:
+    """Register the phase-2 inventory (deferred import: queries_phase2
+    imports back from this module)."""
+    import cdc_data_lake_pyspark_spark.queries_phase2  # noqa: F401

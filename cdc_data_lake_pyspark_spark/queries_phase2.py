@@ -1,0 +1,283 @@
+"""Phase-2 query inventory: text analysis, dedup, similarity, multimodal.
+
+Registered into the same QUERIES/ORACLES registries as queries.py.
+Hash-parity conventions are identical (aliased columns, deterministic
+arithmetic order, explicit tiebreakers).  Hash-based operators (MinHash,
+SimHash, hyperplane LSH) are not portable to DuckDB — those entries omit
+the oracle (driver records rows-only) and carry pytest property tests
+against exact baselines instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.functions.text import (
+    LANG_ORDER,
+    STOPWORDS,
+    char_stats,
+    doc_fingerprint,
+    language_id,
+    language_scores,
+    quality_score,
+    token_count,
+)
+from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+    exact_dedup,
+    jaccard_similar_pairs,
+    minhash_near_duplicates,
+    simhash_signatures,
+)
+from cdc_data_lake_pyspark_spark.operators.multimodal import (
+    extract_features,
+    text_as_binary,
+)
+from cdc_data_lake_pyspark_spark.operators.similarity import (
+    brute_force_top_k,
+    hyperplane_lsh_top_k,
+)
+from cdc_data_lake_pyspark_spark.queries import _t, query
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS n_tokens,
+           length(text) AS n_chars_m,
+           CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS space_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS alpha_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Token counting + character-class ratios — map-only projection, only
+    `text` is scanned."""
+    docs = _t(spark, sf_dir, "documents")
+    stats = char_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        stats["n_chars"].alias("n_chars_m"),
+        stats["space_ratio"].alias("space_ratio"),
+        stats["alpha_ratio"].alias("alpha_ratio"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"x -> list_contains([{words}], x)))"
+    )
+
+
+_LANG_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('fr')} AS s_fr,
+         {_lang_score_sql('es')} AS s_es
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE
+         WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         ELSE 'es'
+       END AS lang_pred,
+       s_en, s_de, s_fr, s_es
+FROM scored
+"""
+
+
+@query("lang_id_heuristic", oracle=_LANG_ORACLE)
+def lang_id_heuristic(spark, sf_dir):
+    """Stopword-hit language ID with deterministic argmax tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = language_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        language_id(F.col("text")).alias("lang_pred"),
+        *[scores[lang].alias(f"s_{lang}") for lang in LANG_ORDER],
+    )
+
+
+@query(
+    "quality_score",
+    oracle="""
+    SELECT doc_id,
+           0.5 * least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 64.0, 1.0)
+         + 0.4 * (CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE))
+         + 0.1 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                  / CAST(length(text) AS DOUBLE)) AS quality
+    FROM documents
+    """,
+)
+def quality_score_q(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_min(list_transform(
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 0)),
+               i -> array_to_string(string_split(lower(text),' ')[i:i+2], ' '))),
+             s -> md5(s))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint_q(spark, sf_dir):
+    """Shingle-MinHash fingerprint via md5 (portable across engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           min(doc_id) AS keeper_id,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the digest (the shuffle carries 32-byte
+    keys, never documents)."""
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 0)),
+           i -> array_to_string(string_split(lower(text),' ')[i:i+2], ' '))) AS sh
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM toks
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         count(*) AS common, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+       CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) AS jaccard
+FROM pairs
+WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8
+"""
+
+
+@query("dedup_jaccard_pairs", oracle=_JACCARD_ORACLE)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-duplicate pairs (≥ 0.8) via shingle
+    equi-join — the verification baseline for MinHash-LSH."""
+    return jaccard_similar_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query("dedup_minhash_lsh")  # rows-only: xxhash64 isn't portable to DuckDB
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash → LSH banding → exact verification (the 100 TB dedup path).
+    Correctness vs the exact Jaccard baseline is asserted in
+    tests/test_phase2.py::test_minhash_lsh_matches_exact_jaccard."""
+    return minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 isn't portable to DuckDB
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints; hamming-close ⇒ near-duplicate."""
+    return simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                          list_transform(v.embedding, x -> CAST(x AS DOUBLE)))
+         / (sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(q.embedding, x -> CAST(x AS DOUBLE))))
+          * sqrt(list_dot_product(list_transform(v.embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(v.embedding, x -> CAST(x AS DOUBLE)))))
+         AS score
+  FROM embeddings q JOIN embeddings v ON q.vec_id <> v.vec_id
+  WHERE q.vec_id % 50 = 0
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@query("similarity_topk_bruteforce", oracle=_TOPK_ORACLE)
+def similarity_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-3 for a query subset (every 50th vector) against
+    the full corpus. Query side broadcasts; corpus never shuffles for the
+    scoring, only for the tiny per-query top-k window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_top_k(emb, queries_df, k=3, exclude_self=True)
+
+
+@query("similarity_ann_lsh")  # rows-only: hyperplanes seeded driver-side
+def similarity_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN over the same query subset; recall vs the exact
+    result is asserted in tests/test_phase2.py::test_ann_lsh_recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return hyperplane_lsh_top_k(emb, queries_df, k=3, dim=64, n_planes=5, n_tables=8)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_extract",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+)
+def multimodal_extract(spark, sf_dir):
+    """Binary-payload feature extraction via Arrow-batched mapInPandas.
+    The byte length and digest are oracle-checked; the (deterministic
+    fake) feature vector is covered by pytest."""
+    docs = text_as_binary(_t(spark, sf_dir, "documents"))
+    feats = extract_features(docs)
+    return feats.select("doc_id", "n_bytes", "digest")

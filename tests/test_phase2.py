@@ -1,0 +1,135 @@
+"""Property tests for the non-SQL-oracle phase-2 operators: the hash-based
+paths are validated against their exact counterparts."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+    exact_dedup,
+    jaccard_similar_pairs,
+    minhash_near_duplicates,
+    simhash_signatures,
+)
+from cdc_data_lake_pyspark_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    fake_decode_features,
+    sample_frames,
+    text_as_binary,
+    with_media_metadata,
+)
+from cdc_data_lake_pyspark_spark.operators.similarity import (
+    brute_force_top_k,
+    hyperplane_lsh_top_k,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
+    """LSH + exact verification: precision 1.0 (subset of exact pairs) and
+    high recall at the 0.8 threshold."""
+    docs = _docs(spark, sf_dir)
+    exact = {
+        (r.a_id, r.b_id) for r in jaccard_similar_pairs(docs, threshold=0.8).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id)
+        for r in minhash_near_duplicates(docs, threshold=0.8).collect()
+    }
+    assert approx <= exact  # exact verification ⇒ no false positives
+    assert exact, "fixture should contain planted near-duplicates"
+    recall = len(approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_simhash_near_dups_are_hamming_close(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = jaccard_similar_pairs(docs, threshold=0.9).limit(5).collect()
+    assert pairs
+    sig = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    import random
+
+    all_ids = sorted(sig)
+    rnd = random.Random(7)
+    near = [bin(sig[p.a_id] ^ sig[p.b_id]).count("1") for p in pairs]
+    far = [
+        bin(sig[rnd.choice(all_ids)] ^ sig[rnd.choice(all_ids)]).count("1")
+        for _ in range(50)
+    ]
+    assert max(near) < 16, f"near-dup hamming too high: {near}"
+    assert sum(far) / len(far) > max(near), "signatures don't separate near vs random"
+
+
+def test_exact_dedup_finds_planted_dups(spark):
+    rows = [
+        Row(doc_id=1, text="hello world"),
+        Row(doc_id=2, text="Hello World "),  # same after normalize
+        Row(doc_id=3, text="different"),
+    ]
+    out = exact_dedup(spark.createDataFrame(rows)).collect()
+    groups = {r.keeper_id: r.n_docs for r in out}
+    assert groups == {1: 2, 3: 1}
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_top_k(emb, queries, k=3, exclude_self=True)
+    approx = hyperplane_lsh_top_k(emb, queries, k=3, dim=64, n_planes=5, n_tables=8)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # hyperplane LSH trades recall for candidate reduction; embeddings are
+    # near-uniform random here (hardest case for ANN), so the bar is modest
+    assert recall >= 0.4, f"ANN recall suspiciously low: {recall}"
+    # every returned neighbor must be scored identically to the exact op
+    joined = approx.alias("a").join(
+        exact.alias("e"),
+        (F.col("a.query_id") == F.col("e.query_id"))
+        & (F.col("a.neighbor_id") == F.col("e.neighbor_id")),
+    )
+    mismatch = joined.filter(F.col("a.score") != F.col("e.score")).count()
+    assert mismatch == 0
+
+
+def test_multimodal_metadata_jvm_side(spark):
+    rows = [Row(doc_id=1, text="abc"), Row(doc_id=2, text="")]
+    df = with_media_metadata(text_as_binary(spark.createDataFrame(rows)), "payload")
+    meta = {r.doc_id: r.payload_meta for r in df.collect()}
+    assert meta[1].n_bytes == 3
+    assert meta[1].digest == "900150983cd24fb0d6963f7d28e17f72"  # md5('abc')
+
+
+def test_extract_features_deterministic(spark):
+    rows = [Row(doc_id=i, text=f"doc number {i}") for i in range(10)]
+    df = text_as_binary(spark.createDataFrame(rows)).repartition(4)
+    out = {r.doc_id: r for r in extract_features(df, dim=8).collect()}
+    assert len(out) == 10
+    expected = fake_decode_features(b"doc number 3", dim=8)
+    assert out[3].features == expected
+    assert out[3].n_bytes == len(b"doc number 3")
+
+
+def test_decode_image_stub_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"bytes")
+    assert decode_image(b"bytes", decoder=lambda b: [1.0]) == [1.0]
+
+
+def test_sample_frames_offsets(spark):
+    rows = [Row(doc_id=1, text="x" * 200)]
+    df = text_as_binary(spark.createDataFrame(rows))
+    frames = sample_frames(df, every_n_bytes=64).collect()
+    assert [r.frame_offset for r in frames] == [1, 65, 129, 193]
+    assert bytes(frames[0].frame_bytes) == b"x" * 64
+    assert bytes(frames[-1].frame_bytes) == b"x" * 8  # tail frame is short
