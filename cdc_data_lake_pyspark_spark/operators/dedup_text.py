@@ -56,10 +56,24 @@ def exact_dedup(
 def _exploded_shingles(
     docs: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
+    """One row per (doc, distinct shingle): ``(_id, _s)``.
+
+    The shingle pipeline (split → slice → array_distinct) is a higher-order
+    expression chain Spark evaluates *interpreted* (no codegen, no
+    subexpression sharing), so it must appear exactly once — inside the
+    Generate, evaluated once per document.  Anything derived per-doc (e.g.
+    the shingle count) is re-aggregated from the exploded rows instead of
+    recomputing the array expression above the explode, which would run the
+    whole pipeline once per exploded row (~|shingles|× redundant work).
+    """
     sh = shingles(F.col(text_col), k)
-    return docs.select(
-        F.col(id_col).alias("_id"), F.size(sh).alias("_n"), F.explode(sh).alias("_s")
-    )
+    return docs.select(F.col(id_col).alias("_id"), F.explode(sh).alias("_s"))
+
+
+def _shingle_counts(ex: DataFrame) -> DataFrame:
+    """Per-doc distinct-shingle count ``(_id, _n)`` — tiny (one row per
+    doc), map-side-combined, broadcast back onto pair aggregates."""
+    return ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
 
 
 def jaccard_similar_pairs(
@@ -73,18 +87,21 @@ def jaccard_similar_pairs(
 
     Self-equi-join on the shingle (not a cross join): only docs sharing at
     least one shingle ever meet.  |∩| via count, |∪| = na + nb − |∩|.
+    Set sizes join in afterwards from a per-doc count frame (broadcast) —
+    never recomputed per exploded row.
     """
     ex = _exploded_shingles(docs, id_col, text_col, k)
+    counts = _shingle_counts(ex)
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
-        .agg(
-            F.count(F.lit(1)).alias("_common"),
-            F.first("a._n").alias("_na"),
-            F.first("b._n").alias("_nb"),
-        )
+        .agg(F.count(F.lit(1)).alias("_common"))
+        .join(F.broadcast(counts.withColumnRenamed("_n", "_na")), F.col("a_id") == F.col("_id"))
+        .drop("_id")
+        .join(F.broadcast(counts.withColumnRenamed("_n", "_nb")), F.col("b_id") == F.col("_id"))
+        .drop("_id")
         .withColumn(
             "jaccard",
             F.col("_common").cast("double")
@@ -105,19 +122,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: ``(doc_id, sig: array<bigint>)``.
 
-    Signature i = min over shingles of ``xxhash64(i, shingle)`` — one
-    codegen'd array expression per row; the doc's variable-size shingle set
-    collapses to a fixed ``num_hashes``-long vector.  E[Jaccard] equals the
-    fraction of agreeing components (Broder).
+    Signature i = min over shingles of ``xxhash64(i, shingle)``.  Computed
+    as explode → hash-aggregate with ``num_hashes`` MIN columns: the shingle
+    pipeline runs once per doc (inside the Generate) and the per-component
+    mins are codegen'd partial aggregates — map-side combine collapses each
+    doc to one ``num_hashes``-long vector before any shuffle.  (The naive
+    ``array_min(transform(sh, ...))`` per component would re-evaluate the
+    interpreted shingle expression ``num_hashes`` times per row.)
+    E[Jaccard] equals the fraction of agreeing components (Broder).
     """
-    sh = shingles(F.col(text_col), k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(num_hashes)
-        ]
+    ex = _exploded_shingles(docs, id_col, text_col, k)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        ex.groupBy("_id")
+        .agg(*mins)
+        .select(
+            F.col("_id").alias("doc_id"),
+            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
+        )
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -182,17 +208,18 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(docs, num_hashes, k, id_col, text_col)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
     ex = _exploded_shingles(docs, id_col, text_col, k)
+    counts = _shingle_counts(ex)
     a = ex.alias("a")
     b = ex.alias("b")
     verified = (
         cand.join(a, cand.a_id == F.col("a._id"))
         .join(b, (cand.b_id == F.col("b._id")) & (F.col("a._s") == F.col("b._s")))
         .groupBy("a_id", "b_id")
-        .agg(
-            F.count(F.lit(1)).alias("_common"),
-            F.first("a._n").alias("_na"),
-            F.first("b._n").alias("_nb"),
-        )
+        .agg(F.count(F.lit(1)).alias("_common"))
+        .join(F.broadcast(counts.withColumnRenamed("_n", "_na")), F.col("a_id") == F.col("_id"))
+        .drop("_id")
+        .join(F.broadcast(counts.withColumnRenamed("_n", "_nb")), F.col("b_id") == F.col("_id"))
+        .drop("_id")
         .withColumn(
             "jaccard",
             F.col("_common").cast("double")
@@ -211,22 +238,30 @@ def simhash_signatures(
 
     For each bit position, majority vote of token-hash bits: bit k of the
     fingerprint is 1 iff Σ_tokens (hash(token) bit k ? +1 : −1) > 0.
-    Expressed as one aggregate over the token array per bit — codegen'd,
-    no UDF.  Near-duplicate docs land within small hamming distance.
+    Computed as explode(tokens) → one xxhash64 per token → hash-aggregate
+    with 63 SUM columns (codegen'd, map-side combined), then the bits are
+    OR-packed from the vote sums.  (An ``F.aggregate`` over the token array
+    per bit would re-tokenize and re-hash interpreted 63× per row.)
+    Near-duplicate docs land within small hamming distance.
     """
-    toks = tokens(F.col(text_col))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit_vote(k: int) -> Column:
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << k).cast("long")) != 0, 1).otherwise(-1),
+    ex = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(F.col(text_col))).alias("_t"),
+    ).select("_id", F.xxhash64(F.col("_t")).alias("_h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.col("_h").bitwiseAND(F.lit(1 << k).cast("long")) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"_v{k}")
+        for k in range(63)  # bit 63 excluded: keep the fingerprint non-negative
+    ]
+    agg = ex.groupBy("_id").agg(*votes)
+    sim = F.lit(0).cast("long")
+    for k in range(63):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"_v{k}") > 0, F.lit(1 << k).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-        return F.when(votes > 0, F.lit(1 << k).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    sim = bit_vote(0)
-    for k in range(1, 63):  # bit 63 excluded: keep the fingerprint non-negative
-        sim = sim.bitwiseOR(bit_vote(k))
-    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+    return agg.select(F.col("_id").alias("doc_id"), sim.alias("simhash"))

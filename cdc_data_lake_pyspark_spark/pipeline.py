@@ -31,6 +31,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from cdc_data_lake_pyspark_spark.config import TablesConfig, load_tables_config
 from cdc_data_lake_pyspark_spark.dedup import latest_change_per_key
@@ -45,6 +46,7 @@ from cdc_data_lake_pyspark_spark.router import (
 )
 from cdc_data_lake_pyspark_spark.schema import (
     cast_timestamp_fields,
+    infer_and_parse_json,
     infer_json_schema,
     merge_schemas,
     parse_payload,
@@ -92,6 +94,15 @@ class CdcPipeline:
         strings (column ``value``) to the sink."""
         if batch_df.isEmpty():
             return
+        # A batch inherits the source's partitioning (e.g. #Kafka
+        # partitions), which can be far below the cluster's core count.
+        # Everything downstream — parse, cache build, per-route scans —
+        # runs at the batch's parallelism, so spread thin batches across
+        # all cores first (raw strings shuffle cheaply; the expensive
+        # parse then runs wide).
+        target = batch_df.sparkSession.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < target:
+            batch_df = batch_df.repartition(target)
         changes = _PARSERS[self.cdc_format](batch_df)
         self.apply_changes(changes, batch_id)
 
@@ -99,7 +110,11 @@ class CdcPipeline:
         """Apply a canonical change-event frame (db/table/op/ts_ms/before/
         after) to the sink."""
         routed = with_route(changes).filter(F.col("route").isNotNull())
-        routed = routed.persist()
+        # Serialized cache: the batch is dominated by long JSON payload
+        # strings, where building the default deserialized columnar cache
+        # costs ~40% more than the serialized form (measured at sf0.1);
+        # spills to disk instead of recomputing under memory pressure.
+        routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
         try:
             inventory = table_op_inventory(routed)
             for entry in sorted(inventory, key=lambda e: (e.db, e.table)):
@@ -118,9 +133,15 @@ class CdcPipeline:
 
     def _apply_insert(self, cfg, tbl: DataFrame) -> None:
         sliced = tbl.filter(F.col("route") == ROUTE_INSERT)
-        schema = infer_json_schema(sliced, "after", sample_rows=self.schema_sample_rows)
-        keep = ["ts_ms"] if self.ts_guard else []
-        payload = parse_payload(sliced, "after", schema, keep_cols=keep)
+        if self.ts_guard is None and self.schema_sample_rows is None:
+            # fused infer+parse: one distributed JSON pass instead of two
+            payload = infer_and_parse_json(sliced, "after")
+        else:
+            schema = infer_json_schema(
+                sliced, "after", sample_rows=self.schema_sample_rows
+            )
+            keep = ["ts_ms"] if self.ts_guard else []
+            payload = parse_payload(sliced, "after", schema, keep_cols=keep)
         payload = cast_timestamp_fields(payload, cfg.timestamp_fields)
         if self.ts_guard:
             payload = payload.withColumnRenamed("ts_ms", self.ts_guard)

@@ -43,6 +43,11 @@ def infer_json_schema(
 
     ``sample_rows=N``: limit the scan to N rows first (N=1 reproduces the
     reference's first-row behavior, ``transaction_log_util.py:104-105``).
+
+    The scan stays entirely JVM-side: the string column is handed to the
+    JVM ``DataFrameReader.json(Dataset<String>)`` overload through py4j, so
+    inference is a distributed JVM job — no pickling of every row through
+    Python the way ``spark.read.json(df.rdd.map(...))`` would.
     """
     spark = df.sparkSession
     strings = df.select(F.col(json_col).cast("string").alias("value")).filter(
@@ -50,9 +55,38 @@ def infer_json_schema(
     )
     if sample_rows is not None:
         strings = strings.limit(sample_rows)
-    rdd = strings.rdd.map(lambda r: r["value"])
-    inferred = spark.read.json(rdd)
-    return inferred.schema
+    try:
+        jvm = spark._jvm
+        jds = getattr(strings._jdf, "as")(jvm.org.apache.spark.sql.Encoders.STRING())
+        jschema = spark._jsparkSession.read().json(jds).schema()
+        return T.StructType.fromJson(__import__("json").loads(jschema.json()))
+    except Exception:  # pragma: no cover - connect mode / API drift
+        rdd = strings.rdd.map(lambda r: r["value"])
+        return spark.read.json(rdd).schema
+
+
+def infer_and_parse_json(df: DataFrame, json_col: str) -> DataFrame:
+    """Distributed infer+parse in ONE pass: the JVM ``read.json`` job that
+    infers the schema already produces the parsed frame — return it instead
+    of re-parsing with ``from_json`` (halves the JSON work on routes that
+    don't need envelope columns carried alongside the payload).
+
+    Column order follows Spark's JSON inference (lexicographic), identical
+    to ``parse_payload`` with the schema from :func:`infer_json_schema`.
+    """
+    from pyspark.sql import DataFrame as PyDataFrame
+
+    spark = df.sparkSession
+    strings = df.select(F.col(json_col).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    try:
+        jvm = spark._jvm
+        jds = getattr(strings._jdf, "as")(jvm.org.apache.spark.sql.Encoders.STRING())
+        jdf = spark._jsparkSession.read().json(jds)
+        return PyDataFrame(jdf, spark)
+    except Exception:  # pragma: no cover - connect mode / API drift
+        return parse_payload(df, json_col, infer_json_schema(df, json_col))
 
 
 def parse_payload(
