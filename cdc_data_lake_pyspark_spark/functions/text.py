@@ -39,6 +39,43 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+#: BPE-ish pre-tokenizer: letter runs, digit runs, or single punctuation —
+#: the GPT-2-style split shape, portable to any regex engine.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """Regex pre-tokenization (letters / digits / punctuation runs) — the
+    'BPE-ish' token count basis; JVM regexp, no UDF."""
+    return F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
+#: Rolling-hash parameters: base 257, modulus 2^31 − 1 (Mersenne prime).
+#: acc stays < 2^31, so acc*257 + codepoint never overflows int64 — the
+#: arithmetic is exact and portable across engines.
+ROLLING_BASE = 257
+ROLLING_MOD = 2_147_483_647
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash of the whole document (Karp–Rabin shape):
+    ``h = Σ code(c_i)·B^i  (mod M)`` via a strict left fold over the
+    codepoint array.  Exact integer arithmetic ⇒ bit-identical in any
+    engine with 64-bit ints."""
+    codes = F.transform(
+        F.split(text, ""), lambda ch: F.ascii(ch).cast("long")
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + c) % ROLLING_MOD,
+    )
+
+
 def char_stats(text: Column) -> dict[str, Column]:
     """Character-class ratios used by quality scoring.
 

@@ -151,6 +151,56 @@ def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs:
+    ``(a_id, b_id, score)`` with ``score >= threshold`` and ``a_id < b_id``.
+
+    The all-pairs baseline (O(N²) scores — the LSH-bucketed scale path is
+    :func:`hyperplane_lsh_top_k`'s banding applied the same way): the
+    corpus matrix rides in the task closure; each corpus partition scores
+    its block against the full matrix with ONE BLAS matmul, then only
+    pairs at ``>= threshold − 1e-6`` are re-scored with the strict
+    sequential ``np.cumsum`` fold and filtered exactly — so emitted scores
+    are bit-identical to a sequential-loop oracle while the matmul does
+    99.9% of the work.  Only above-threshold pairs cross back over Arrow.
+    """
+    pdf = vectors.select(id_col, vec_col).toPandas()
+    ids = pdf[id_col].to_numpy()
+    M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    seq_sum = lambda X: np.cumsum(X, axis=1)[:, -1]
+    norms = np.sqrt(seq_sum(M * M))
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    out_schema = f"a_id {id_type}, b_id {id_type}, score double"
+
+    def _score(batches):
+        for bdf in batches:
+            bids = bdf[id_col].to_numpy()
+            V = np.vstack(bdf[vec_col].to_numpy()).astype(np.float64)
+            bnorms = np.sqrt(seq_sum(V * V))
+            approx = (V @ M.T) / np.outer(bnorms, norms)
+            cand_i, cand_j = np.nonzero((approx >= threshold - 1e-6) & (bids[:, None] < ids[None, :]))
+            if len(cand_i) == 0:
+                continue
+            # exact sequential-fold rescore of the candidate set only
+            prod = V[cand_i] * M[cand_j]
+            exact = seq_sum(prod) / (bnorms[cand_i] * norms[cand_j])
+            keep = exact >= threshold
+            yield pd.DataFrame(
+                {
+                    "a_id": bids[cand_i[keep]],
+                    "b_id": ids[cand_j[keep]],
+                    "score": exact[keep],
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(_score, out_schema)
+
+
 def hyperplane_lsh_top_k(
     vectors: DataFrame,
     queries: DataFrame,

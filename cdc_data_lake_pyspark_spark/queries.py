@@ -27,6 +27,7 @@ from cdc_data_lake_pyspark_spark.fixtures import (
     ORDERS_FINAL_STATE_SQL,
     ORDERS_TABLE_CONFIG,
     debezium_orders_envelopes,
+    dms_orders_envelopes,
 )
 from cdc_data_lake_pyspark_spark.pipeline import CdcPipeline
 
@@ -79,6 +80,21 @@ def cdc_orders_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = debezium_orders_envelopes(spark, sf_dir)
     sink = MemoryTableSink()
     CdcPipeline(config=ORDERS_TABLE_CONFIG, sink=sink).process_batch(env)
+    out = sink.read(spark, "testdb", "orders")
+    return out.select(*sorted(out.columns))
+
+
+@query("cdc_orders_apply_dms", oracle=ORDERS_FINAL_STATE_SQL)
+def cdc_orders_apply_dms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same CDC apply through the AWS DMS wire format (envelope
+    ``{data, metadata}``, op codes load/insert/update/delete — reference
+    transcation_log_dms.py): both parsers normalize to one canonical
+    change frame, so the final state matches the Debezium flagship."""
+    env = dms_orders_envelopes(spark, sf_dir)
+    sink = MemoryTableSink()
+    CdcPipeline(config=ORDERS_TABLE_CONFIG, sink=sink, cdc_format="dms").process_batch(
+        env
+    )
     out = sink.read(spark, "testdb", "orders")
     return out.select(*sorted(out.columns))
 

@@ -15,11 +15,13 @@ from pyspark.sql import functions as F
 from cdc_data_lake_pyspark_spark.functions.text import (
     LANG_ORDER,
     STOPWORDS,
+    bpe_token_count,
     char_stats,
     doc_fingerprint,
     language_id,
     language_scores,
     quality_score,
+    rolling_hash,
     token_count,
 )
 from cdc_data_lake_pyspark_spark.operators.dedup_text import (
@@ -30,10 +32,12 @@ from cdc_data_lake_pyspark_spark.operators.dedup_text import (
 )
 from cdc_data_lake_pyspark_spark.operators.multimodal import (
     extract_features,
+    sample_frames,
     text_as_binary,
 )
 from cdc_data_lake_pyspark_spark.operators.similarity import (
     brute_force_top_k,
+    cosine_near_dup_pairs,
     hyperplane_lsh_top_k,
 )
 from cdc_data_lake_pyspark_spark.queries import _t, query
@@ -148,6 +152,46 @@ def doc_fingerprint_q(spark, sf_dir):
     return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
 
 
+@query(
+    "token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS n_tokens_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def token_count_bpe_q(spark, sf_dir):
+    """Token counting both ways: whitespace split and the BPE-ish regex
+    pre-tokenizer (letter runs / digit runs / single punctuation)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens_ws"),
+        bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
+    )
+
+
+@query(
+    "doc_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0 ELSE
+             list_reduce(
+               list_transform(generate_series(1, length(text)),
+                              i -> CAST(ord(text[i:i]) AS BIGINT)),
+               (acc, c) -> (acc * 257 + c) % 2147483647)
+           END AS rhash
+    FROM documents
+    """,
+)
+def doc_rolling_hash(spark, sf_dir):
+    """Polynomial rolling-hash fingerprint (Karp–Rabin shape) — exact
+    int64 arithmetic, bit-identical across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_hash(F.col("text")).alias("rhash"))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -209,6 +253,28 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints; hamming-close ⇒ near-duplicate."""
     return simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+_EMB_COS_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+         AS score
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, score FROM pairs WHERE score >= 0.4
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_COS_ORACLE)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (≥ 0.4): BLAS-prefiltered,
+    exact-fold rescored — only above-threshold pairs leave the executor."""
+    return cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 # ---------------------------------------------------------------------------
@@ -281,3 +347,28 @@ def multimodal_extract(spark, sf_dir):
     docs = text_as_binary(_t(spark, sf_dir, "documents"))
     feats = extract_features(docs)
     return feats.select("doc_id", "n_bytes", "digest")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    -- documents.text is ASCII, so VARCHAR slicing is byte-identical to the
+    -- binary slicing on the Spark side (DuckDB 1.0 can't substring BLOBs)
+    SELECT doc_id, frame_offset,
+           md5(substring(text, frame_offset, 64)) AS frame_md5
+    FROM documents,
+         LATERAL unnest(generate_series(
+           1, greatest(length(text), 1), 64)) AS g(frame_offset)
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over an opaque byte stream (the video-frame shape):
+    JVM-side offset generation + binary slicing; md5 digests make the
+    frames oracle-comparable."""
+    docs = text_as_binary(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(docs, every_n_bytes=64)
+    return frames.select(
+        "doc_id",
+        F.col("frame_offset").cast("bigint").alias("frame_offset"),
+        F.md5(F.col("frame_bytes")).alias("frame_md5"),
+    )
