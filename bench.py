@@ -50,6 +50,17 @@ def main() -> None:
     names = [n for n in HEADLINE if n in registry]
     names += [n for n in sorted(registry) if n not in names]
 
+    # Warm-up at sf0.001 (untimed): JIT/codegen compilation and Python
+    # worker spin-up are one-time session costs, not per-query cost — the
+    # timings below measure steady-state execution.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in names:
+            try:
+                materialize(registry[name](spark, warm_dir))
+            except Exception:
+                pass
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()

@@ -76,6 +76,26 @@ def _shingle_counts(ex: DataFrame) -> DataFrame:
     return ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
 
 
+def _join_set_sizes(pairs: DataFrame, counts: DataFrame) -> DataFrame:
+    """Attach ``_na``/``_nb`` set sizes to ``(a_id, b_id, ...)`` pairs.
+
+    Both lookups join against the SAME broadcast frame and rename after
+    the join: identical broadcast subplans canonicalize equal, so Spark's
+    ReuseExchange computes the counts aggregation once (renaming before
+    broadcasting would make the plans differ and double the evaluation —
+    the shingle pipeline behind it is the expensive part).
+    """
+    b = F.broadcast(counts)
+    return (
+        pairs.join(b, F.col("a_id") == F.col("_id"))
+        .drop("_id")
+        .withColumnRenamed("_n", "_na")
+        .join(b, F.col("b_id") == F.col("_id"))
+        .drop("_id")
+        .withColumnRenamed("_n", "_nb")
+    )
+
+
 def jaccard_similar_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -89,19 +109,25 @@ def jaccard_similar_pairs(
     least one shingle ever meet.  |∩| via count, |∪| = na + nb − |∩|.
     Set sizes join in afterwards from a per-doc count frame (broadcast) —
     never recomputed per exploded row.
+
+    The self-join is hinted shuffle-hash: both sides then need the same
+    ``hashpartitioning(_s)`` exchange over the same child, so ReuseExchange
+    evaluates the (interpreted, explode-heavy) shingle pipeline ONCE for
+    both sides — a broadcast join would build and evaluate them separately.
+    This is also the 100 TB shape: the corpus shuffles by shingle instead
+    of broadcasting an exploded corpus copy to every executor.
     """
     ex = _exploded_shingles(docs, id_col, text_col, k)
     counts = _shingle_counts(ex)
-    a = ex.alias("a")
-    b = ex.alias("b")
+    a = ex.alias("a").hint("shuffle_hash")
+    b = ex.alias("b").hint("shuffle_hash")
     pairs = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
         .agg(F.count(F.lit(1)).alias("_common"))
-        .join(F.broadcast(counts.withColumnRenamed("_n", "_na")), F.col("a_id") == F.col("_id"))
-        .drop("_id")
-        .join(F.broadcast(counts.withColumnRenamed("_n", "_nb")), F.col("b_id") == F.col("_id"))
-        .drop("_id")
+    )
+    pairs = (
+        _join_set_sizes(pairs, counts)
         .withColumn(
             "jaccard",
             F.col("_common").cast("double")
@@ -209,17 +235,16 @@ def minhash_near_duplicates(
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
     ex = _exploded_shingles(docs, id_col, text_col, k)
     counts = _shingle_counts(ex)
-    a = ex.alias("a")
-    b = ex.alias("b")
+    a = ex.alias("a").hint("shuffle_hash")
+    b = ex.alias("b").hint("shuffle_hash")
     verified = (
         cand.join(a, cand.a_id == F.col("a._id"))
         .join(b, (cand.b_id == F.col("b._id")) & (F.col("a._s") == F.col("b._s")))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("_common"))
-        .join(F.broadcast(counts.withColumnRenamed("_n", "_na")), F.col("a_id") == F.col("_id"))
-        .drop("_id")
-        .join(F.broadcast(counts.withColumnRenamed("_n", "_nb")), F.col("b_id") == F.col("_id"))
-        .drop("_id")
+    )
+    verified = (
+        _join_set_sizes(verified, counts)
         .withColumn(
             "jaccard",
             F.col("_common").cast("double")
