@@ -285,6 +285,108 @@ class MemoryTableSink(TableSink):
         self._guard("delete", _do)
 
 
+class SqlTableSink(TableSink):
+    """Catalog-backed sink driving real row-level SQL (Iceberg/Delta).
+
+    Uses the tested SQL generators: ``CREATE TABLE IF NOT EXISTS`` with the
+    reference's table properties (``transaction_log_util.py:202-214``),
+    DataFrameWriterV2 append with ``merge-schema`` (``:216-218``),
+    ``MERGE INTO`` (``:279-284``) from a temp view, and ``DELETE ... WHERE
+    EXISTS`` (``:326-327``).  Views are session-scoped temp views named
+    ``tmp_<table>_{u|d}_<batch-part>`` like the reference's ephemeral
+    relations (``:257-260``) and dropped after use (``:299-301``).
+
+    Requires a MERGE-capable catalog on the classpath (Iceberg runtime or
+    delta-spark) — not available in this container, so this sink is
+    exercised only through its SQL text in unit tests; the DataFrame
+    semantics it must produce are what MemoryTableSink/ParquetTableSink
+    implement and the oracle gate verifies.
+    """
+
+    def __init__(
+        self,
+        catalog: str,
+        using: str = "iceberg",
+        location_root: Optional[str] = None,
+        continue_on_error: bool = False,
+    ):
+        self.catalog = catalog
+        self.using = using
+        self.location_root = location_root
+        self.continue_on_error = continue_on_error
+        self._seq = 0
+
+    def _qualified(self, db: str, table: str) -> str:
+        return f"{self.catalog}.{_quote(db)}.{_quote(table)}"
+
+    def exists(self, db, table):
+        spark = SparkSession.getActiveSession()
+        return spark.catalog.tableExists(f"{self.catalog}.{db}.{table}")
+
+    def read(self, spark, db, table):
+        return spark.table(self._qualified(db, table))
+
+    def create_if_not_exists(self, cfg, schema):
+        spark = SparkSession.getActiveSession()
+        ddl = ", ".join(
+            f"{_quote(f.name)} {f.dataType.simpleString()}" for f in schema.fields
+        )
+        location = None
+        if self.location_root:
+            location = f"{self.location_root}/{cfg.db}/{cfg.table}"
+        spark.sql(
+            build_create_table_sql(
+                cfg, self.catalog, ddl, using=self.using, location=location
+            )
+        )
+
+    def append(self, cfg, df):
+        self._guard(
+            "append",
+            lambda: df.writeTo(self._qualified(cfg.db, cfg.table))
+            .option("merge-schema", "true")
+            .option("check-ordering", "false")
+            .append(),
+        )
+
+    def _with_view(self, df: DataFrame, suffix: str, fn) -> None:
+        self._seq += 1
+        view = f"tmp_{suffix}_{self._seq}"
+        df.createOrReplaceTempView(view)
+        try:
+            fn(view)
+        finally:
+            df.sparkSession.catalog.dropTempView(view)
+
+    def merge(self, cfg, df, ts_guard=None):
+        target = self._qualified(cfg.db, cfg.table)
+
+        def _do():
+            self._with_view(
+                df,
+                f"{cfg.table}_u",
+                lambda view: df.sparkSession.sql(
+                    build_merge_sql(target, view, cfg.primary_keys, ts_guard=ts_guard)
+                ),
+            )
+
+        self._guard("merge", _do)
+
+    def delete(self, cfg, keys_df):
+        target = self._qualified(cfg.db, cfg.table)
+
+        def _do():
+            self._with_view(
+                keys_df,
+                f"{cfg.table}_d",
+                lambda view: keys_df.sparkSession.sql(
+                    build_delete_sql(target, view, cfg.primary_keys)
+                ),
+            )
+
+        self._guard("delete", _do)
+
+
 class ParquetTableSink(TableSink):
     """Parquet-directory sink: each table is ``<root>/<db>/<table>``.
 

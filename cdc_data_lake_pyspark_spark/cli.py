@@ -1,0 +1,161 @@
+"""One CLI entry point replacing the reference's six entry scripts.
+
+The reference wraps a single logical pipeline in six thin AWS-bound scripts
+(SURVEY §3 takeaway); this CLI exposes the same argument surface once —
+flag names follow ``kafka-iceberg-streaming-emrserverless-v2.py:56-115``
+(``--jobname --starting_offsets_of_kafka_topic --topics --icebergdb
+--warehouse --tablejsonfile --region --kafkaserver --checkpointpath
+--sourcetype --cdcformat --catalogtype --catalogname``) plus local-run
+additions (``--source file`` with ``--source-path``, ``--sink
+parquet|memory`` with ``--sink-root``) so the pipeline runs without AWS.
+
+Catalog wiring mirrors the reference's session config (``:133-149``) using
+public Iceberg-on-Spark configuration:
+
+* glue: ``org.apache.iceberg.aws.glue.GlueCatalog`` + warehouse
+* s3table: ``software.amazon.s3tables.iceberg.S3TablesCatalog`` + bucket ARN
+  (``kafka-iceberg-streaming-emrserverless-s3table.py:123-131``)
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import Optional, Sequence
+
+from cdc_data_lake_pyspark_spark.apply import (
+    ParquetTableSink,
+    SqlTableSink,
+    TableSink,
+)
+from cdc_data_lake_pyspark_spark.pipeline import CdcPipeline
+from cdc_data_lake_pyspark_spark.session import build_session
+from cdc_data_lake_pyspark_spark.sources.files import read_json_lines_stream
+from cdc_data_lake_pyspark_spark.sources.kafka import (
+    kafka_source_options,
+    read_kafka_stream,
+)
+from cdc_data_lake_pyspark_spark.streaming.runner import start_cdc_stream
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cdc_data_lake_pyspark_spark",
+        description="CDC (Debezium/DMS) Kafka -> lakehouse streaming apply",
+    )
+    # reference argument surface (emrserverless-v2.py:56-115)
+    p.add_argument("--jobname", default="cdc-data-lake")
+    p.add_argument(
+        "--starting_offsets_of_kafka_topic",
+        dest="starting_offsets",
+        default="latest",
+        help="earliest|latest, or an epoch-millis timestamp (digit string "
+        "switches to startingTimestamp, as in the reference :187-190)",
+    )
+    p.add_argument("--topics", help="comma-separated Kafka topics")
+    p.add_argument("--icebergdb", help="target database (catalog sinks)")
+    p.add_argument("--warehouse", help="warehouse path / bucket ARN")
+    p.add_argument("--tablejsonfile", required=True, help="tables.json path")
+    p.add_argument("--region", help="AWS region (catalog sinks; unused locally)")
+    p.add_argument("--kafkaserver", help="bootstrap servers")
+    p.add_argument("--checkpointpath", required=True)
+    p.add_argument("--sourcetype", choices=["kafka", "file"], default="kafka")
+    p.add_argument("--cdcformat", choices=["debezium", "dms"], default="debezium")
+    p.add_argument(
+        "--catalogtype", choices=["glue", "s3table", "none"], default="none"
+    )
+    p.add_argument("--catalogname", default="glue_catalog")
+    # local-run additions
+    p.add_argument("--source-path", help="JSON-lines dir for --sourcetype file")
+    p.add_argument("--sink", choices=["iceberg", "parquet", "memory"], default=None)
+    p.add_argument("--sink-root", help="root dir for the parquet sink")
+    p.add_argument("--trigger-seconds", type=int, default=60)
+    p.add_argument(
+        "--available-now",
+        action="store_true",
+        help="drain what's available, then stop (backfill/testing)",
+    )
+    p.add_argument(
+        "--ts-guard",
+        default=None,
+        help="column name enabling the cross-batch out-of-order merge guard",
+    )
+    return p
+
+
+def catalog_session_conf(args) -> dict[str, str]:
+    """Iceberg catalog wiring (public Spark/Iceberg config keys only)."""
+    if args.catalogtype == "none":
+        return {}
+    name = args.catalogname
+    conf = {
+        "spark.sql.extensions": (
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        ),
+        f"spark.sql.catalog.{name}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{name}.warehouse": args.warehouse or "",
+    }
+    if args.catalogtype == "glue":
+        conf[f"spark.sql.catalog.{name}.catalog-impl"] = (
+            "org.apache.iceberg.aws.glue.GlueCatalog"
+        )
+    elif args.catalogtype == "s3table":
+        conf[f"spark.sql.catalog.{name}.catalog-impl"] = (
+            "software.amazon.s3tables.iceberg.S3TablesCatalog"
+        )
+    return conf
+
+
+def make_sink(args) -> TableSink:
+    sink = args.sink or ("iceberg" if args.catalogtype != "none" else "parquet")
+    if sink == "iceberg":
+        return SqlTableSink(catalog=args.catalogname)
+    if sink == "parquet":
+        if not args.sink_root:
+            raise SystemExit("--sink-root is required for the parquet sink")
+        return ParquetTableSink(args.sink_root)
+    from cdc_data_lake_pyspark_spark.apply import MemoryTableSink
+
+    return MemoryTableSink()
+
+
+def make_source(spark, args):
+    if args.sourcetype == "file":
+        if not args.source_path:
+            raise SystemExit("--source-path is required for --sourcetype file")
+        return read_json_lines_stream(spark, args.source_path)
+    if not (args.kafkaserver and args.topics):
+        raise SystemExit("--kafkaserver and --topics are required for kafka")
+    so = args.starting_offsets
+    opts = kafka_source_options(
+        bootstrap_servers=args.kafkaserver,
+        topics=args.topics,
+        starting_offsets=so if not so.isdigit() else "latest",
+        starting_timestamp=int(so) if so.isdigit() else None,
+    )
+    return read_kafka_stream(spark, opts)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    args = build_arg_parser().parse_args(argv)
+    spark = build_session(
+        app_name=args.jobname, extra_conf=catalog_session_conf(args)
+    )
+    pipeline = CdcPipeline(
+        config=args.tablejsonfile,
+        sink=make_sink(args),
+        cdc_format=args.cdcformat,
+        ts_guard=args.ts_guard,
+    )
+    query = start_cdc_stream(
+        source=make_source(spark, args),
+        pipeline=pipeline,
+        checkpoint_location=args.checkpointpath,
+        trigger_seconds=args.trigger_seconds,
+        query_name=args.jobname,
+        available_now=args.available_now,
+    )
+    query.awaitTermination()
+
+
+if __name__ == "__main__":
+    main()

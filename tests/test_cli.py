@@ -1,0 +1,94 @@
+"""CLI entry point: argument surface parity + a file-source end-to-end run."""
+
+import json
+
+import pytest
+
+from cdc_data_lake_pyspark_spark.cli import (
+    build_arg_parser,
+    catalog_session_conf,
+    main,
+    make_sink,
+)
+
+
+def test_reference_flag_surface_parses():
+    """Every long flag of the reference entry point is accepted
+    (kafka-iceberg-streaming-emrserverless-v2.py:56-115)."""
+    args = build_arg_parser().parse_args(
+        [
+            "--jobname", "j",
+            "--starting_offsets_of_kafka_topic", "earliest",
+            "--topics", "t1,t2",
+            "--icebergdb", "db",
+            "--warehouse", "s3://wh",
+            "--tablejsonfile", "tables.json",
+            "--region", "us-east-1",
+            "--kafkaserver", "b:9092",
+            "--checkpointpath", "/tmp/cp",
+            "--sourcetype", "kafka",
+            "--cdcformat", "dms",
+            "--catalogtype", "glue",
+            "--catalogname", "glue_catalog",
+        ]
+    )
+    assert args.starting_offsets == "earliest"
+    assert args.cdcformat == "dms"
+    assert args.catalogtype == "glue"
+
+
+def test_catalog_conf_glue_and_s3table():
+    p = build_arg_parser()
+    base = ["--tablejsonfile", "t.json", "--checkpointpath", "/tmp/cp",
+            "--warehouse", "s3://wh", "--catalogname", "c"]
+    glue = catalog_session_conf(p.parse_args(base + ["--catalogtype", "glue"]))
+    assert glue["spark.sql.catalog.c.catalog-impl"].endswith("GlueCatalog")
+    s3t = catalog_session_conf(p.parse_args(base + ["--catalogtype", "s3table"]))
+    assert s3t["spark.sql.catalog.c.catalog-impl"].endswith("S3TablesCatalog")
+    assert "spark.sql.extensions" in glue
+    none = catalog_session_conf(p.parse_args(base))
+    assert none == {}
+
+
+def test_sink_selection_requires_root():
+    p = build_arg_parser()
+    args = p.parse_args(
+        ["--tablejsonfile", "t.json", "--checkpointpath", "/tmp/cp",
+         "--sink", "parquet"]
+    )
+    with pytest.raises(SystemExit):
+        make_sink(args)
+
+
+def test_cli_file_source_end_to_end(spark, sf_dir, tmp_path):
+    """Full CLI run: file source -> debezium parse -> parquet sink."""
+    from cdc_data_lake_pyspark_spark.fixtures import (
+        ORDERS_TABLE_CONFIG,
+        debezium_orders_envelopes,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    env = debezium_orders_envelopes(spark, sf_dir)
+    with open(src / "batch.jsonl", "w") as f:
+        for r in env.collect():
+            f.write(r.value + "\n")
+    conf = tmp_path / "tables.json"
+    conf.write_text(json.dumps(ORDERS_TABLE_CONFIG))
+    sink_root = tmp_path / "lake"
+
+    main(
+        [
+            "--tablejsonfile", str(conf),
+            "--checkpointpath", str(tmp_path / "cp"),
+            "--sourcetype", "file",
+            "--source-path", str(src),
+            "--sink", "parquet",
+            "--sink-root", str(sink_root),
+            "--available-now",
+        ]
+    )
+    out = spark.read.parquet(str(sink_root / "testdb" / "orders"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    expected = orders.filter("o_orderkey % 10 <> 9").count()
+    assert out.count() == expected
