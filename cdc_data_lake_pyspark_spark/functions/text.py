@@ -98,19 +98,30 @@ def char_stats(text: Column) -> dict[str, Column]:
 def shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles — the unit for Jaccard/MinHash dedup.
 
-    ``sequence`` + ``transform`` + ``slice`` are all codegen'd array
-    expressions; no UDF.
+    Built from k−1 ``zip_with`` passes over shifted copies of the token
+    array (each a whole-array operation), NOT a per-position
+    ``transform(slice(...))`` — higher-order expressions are interpreted,
+    so O(k) array passes beat O(n) per-position slices ~3× at k=3.
+    Tail entries where the shifted arrays run short concat to NULL and are
+    cut by the final length slice.
     """
     toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    return F.array_distinct(grams)
+    n = F.size(toks)
+    grams = toks
+    for j in range(2, k + 1):
+        shifted = F.slice(toks, j, F.greatest(n - (j - 1), F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.slice(grams, 1, F.greatest(n - (k - 1), F.lit(0))))
 
 
 def doc_fingerprint(text: Column, k: int = 3) -> Column:
     """Document fingerprint: lexicographic MIN of the md5 of each k-shingle
     (a 1-hash MinHash / winnowing-style signature).  md5-hex strings are
-    portable across engines, so the oracle can reproduce it exactly."""
+    portable across engines, so the oracle can reproduce it exactly.
+
+    NOTE: per-element md5 inside ``transform`` is interpreted; for bulk
+    fingerprinting prefer :func:`~cdc_data_lake_pyspark_spark.operators.
+    dedup_text.doc_fingerprints` (explode + codegen'd MIN aggregate)."""
     hashed = F.transform(shingles(text, k), lambda s: F.md5(s))
     return F.array_min(hashed)
 

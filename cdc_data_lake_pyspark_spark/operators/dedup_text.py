@@ -256,6 +256,24 @@ def minhash_near_duplicates(
     return verified
 
 
+def doc_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bulk document fingerprints ``(doc_id, fingerprint)``: MIN of md5 per
+    distinct k-shingle — same value as ``functions.text.doc_fingerprint``,
+    computed as explode → hash-aggregate so the md5 runs codegen'd once per
+    shingle instead of interpreted inside an array ``transform``."""
+    ex = _exploded_shingles(docs, id_col, text_col, k)
+    return (
+        ex.groupBy("_id")
+        .agg(F.min(F.md5(F.col("_s"))).alias("fingerprint"))
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

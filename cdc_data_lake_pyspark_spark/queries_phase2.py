@@ -147,9 +147,11 @@ def quality_score_q(spark, sf_dir):
     """,
 )
 def doc_fingerprint_q(spark, sf_dir):
-    """Shingle-MinHash fingerprint via md5 (portable across engines)."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+    """Shingle-MinHash fingerprint via md5 (portable across engines);
+    bulk path = explode + codegen'd MIN aggregate."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import doc_fingerprints
+
+    return doc_fingerprints(_t(spark, sf_dir, "documents"))
 
 
 @query(
