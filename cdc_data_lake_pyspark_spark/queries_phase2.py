@@ -27,6 +27,7 @@ from cdc_data_lake_pyspark_spark.functions.text import (
 from cdc_data_lake_pyspark_spark.operators.dedup_text import (
     exact_dedup,
     jaccard_similar_pairs,
+    jaccard_similar_pairs_prefix,
     minhash_near_duplicates,
     simhash_signatures,
 )
@@ -241,6 +242,16 @@ def dedup_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard near-duplicate pairs (≥ 0.8) via shingle
     equi-join — the verification baseline for MinHash-LSH."""
     return jaccard_similar_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query("dedup_jaccard_prefix", oracle=_JACCARD_ORACLE)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Exact Jaccard via SSJoin/AllPairs prefix filtering — provably the
+    same pairs as dedup_jaccard_pairs (shared oracle), with candidates
+    pruned to docs sharing a rare-prefix shingle (the at-scale exact path)."""
+    return jaccard_similar_pairs_prefix(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
 
 
 @query("dedup_minhash_lsh")  # rows-only: xxhash64 isn't portable to DuckDB

@@ -50,6 +50,26 @@ def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall too low: {recall}"
 
 
+def test_prefix_filtering_is_exact(spark, sf_dir):
+    """Prefix filtering must lose NO pairs: identical output (ids and
+    jaccard values) to the unfiltered shingle self-join."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        jaccard_similar_pairs_prefix,
+    )
+
+    docs = _docs(spark, sf_dir)
+    for t in (0.8, 0.5):
+        plain = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in jaccard_similar_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r.a_id, r.b_id): r.jaccard
+            for r in jaccard_similar_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert pref == plain
+
+
 def test_simhash_near_dups_are_hamming_close(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pairs = jaccard_similar_pairs(docs, threshold=0.9).limit(5).collect()
