@@ -11,14 +11,17 @@ built as SQL text (``transaction_log_process/transaction_log_util.py:
 ``MERGE_CARDINALITY_VIOLATION`` (rationale comment ``:142-145``).  Composite
 keys come from a comma-split config value (``:233-239``).
 
-Scale: a ranking window needs a full shuffle + per-partition SORT of every
-row.  The default implementation here instead aggregates
-``max_by(struct(all columns), struct(order columns))`` — same "latest row
-per key" semantics, but it runs as a hash aggregation with MAP-SIDE partial
-combine: at 100 TB each mapper pre-collapses its duplicates before the
-shuffle, so shuffle volume ≈ one row per distinct key per mapper instead of
-every row, and no sort at all.  The window variant is kept for parity /
-when rank>1 rows are also needed.
+Scale: a ranking window shuffles EVERY row and sorts whole partitions by
+(key, ts) with no pre-aggregation.  The default implementation here instead
+aggregates ``max_by(struct(all columns), struct(order columns))`` — same
+"latest row per key" semantics with MAP-SIDE partial combine: each mapper
+pre-collapses its duplicates before the shuffle, so shuffle volume ≈ one
+row per distinct key per mapper instead of every row.  (Because the
+aggregation buffer is a struct, Spark plans SortAggregate rather than
+HashAggregate — both sides sort by the grouping key — but the partial
+combine is what matters at 100 TB: the window variant ships and sorts the
+full data set.)  The window variant is kept for parity / when rank>1 rows
+are also needed.
 
 Determinism: ties on the ordering column are broken by explicit tiebreaker
 columns; callers that need byte-stable output should pass a unique column

@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the optimizations SCALE.md claims must be
+visible in the executed plan, not just intended."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark import queries as q
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return q.queries()
+
+
+def test_route_filters_are_pushed_down(spark, sf_dir, registry):
+    plan = _plan(registry["route_insert"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(props)" in plan or "In(event_type" in plan
+
+
+def test_text_stats_prunes_to_needed_columns(spark, sf_dir, registry):
+    plan = _plan(registry["text_stats"](spark, sf_dir))
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir, registry):
+    plan = _plan(registry["join_customer_geo"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    # the fact side never exchanges for the join itself
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_max_by_partial_combines_map_side(spark, sf_dir, registry):
+    """A2 as max_by aggregation: the scale property is MAP-SIDE partial
+    combine (shuffle ≈ distinct keys per mapper).  The struct buffer makes
+    Spark pick SortAggregate — documented in SCALE.md — but there must be
+    a partial aggregate below the exchange, which the window variant
+    fundamentally cannot have."""
+    plan = _plan(registry["dedup_latest_per_key"](spark, sf_dir))
+    partial, exchange = plan.index("partial_max_by"), plan.index("Exchange")
+    assert partial > exchange  # plans print top-down: partial is below
+
+
+def test_window_variant_shuffles_everything(spark, sf_dir):
+    from cdc_data_lake_pyspark_spark.dedup import latest_change_per_key
+
+    df = q._t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    plan = _plan(latest_change_per_key(df, ["user_id"], ["ts"], method="window"))
+    assert "Sort " in plan and "row_number" in plan
+    assert "partial" not in plan  # no pre-aggregation before the shuffle
+
+
+def test_whole_stage_codegen_covers_agg_query(spark, sf_dir, registry):
+    df = registry["agg_pricing_summary"](spark, sf_dir)
+    df.collect()  # executes THIS queryExecution, finalizing the AQE plan
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark WholeStageCodegen spans; both aggregates and the
+    # scan-filter-project pipeline must be inside one
+    assert "*(1)" in plan and "*(2)" in plan
+
+
+def test_merge_anti_join_broadcasts_small_update_side(spark, sf_dir, registry):
+    df = registry["merge_upsert_customer"](spark, sf_dir)
+    df.collect()  # let AQE pick the runtime join strategy
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_envelope_parse_not_duplicated_per_column(spark):
+    """from_json must appear once per payload, not once per projected
+    column (CollapseProject would re-parse 6x per row)."""
+    from cdc_data_lake_pyspark_spark.envelope import parse_debezium
+
+    env = spark.createDataFrame([('{"op":"c"}',)], "value string")
+    plan = _plan(parse_debezium(env))
+    # one parse for the envelope + one for the nested source struct
+    assert plan.count("from_json") == 2
