@@ -146,6 +146,85 @@ def dms_orders_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reads.unionAll(u1).unionAll(u2).unionAll(deletes)
 
 
+def _customer_payload_json(acctbal_col: F.Column) -> F.Column:
+    return F.to_json(
+        F.struct(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("c_nationkey"),
+            acctbal_col.alias("c_acctbal"),
+            F.col("c_mktsegment"),
+        )
+    )
+
+
+def debezium_customer_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Debezium change stream over ``customer``:
+    snapshot ``r`` for every row; ``u`` with ``c_acctbal + 50`` where
+    ``c_custkey % 7 == 3``; ``d`` where ``c_custkey % 11 == 5``."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    key = F.col("c_custkey")
+    null_s = F.lit(None).cast("string")
+
+    def env(after: F.Column, before: F.Column, op: str, ts: F.Column) -> F.Column:
+        source = F.to_json(
+            F.struct(F.lit("testdb").alias("db"), F.lit("customer").alias("table"))
+        )
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                source.alias("source"),
+                F.lit(op).alias("op"),
+                ts.alias("ts_ms"),
+                F.lit(None).cast("string").alias("transaction"),
+            )
+        )
+
+    reads = customer.select(
+        env(_customer_payload_json(F.col("c_acctbal")), null_s, "r", F.lit(T0) + key).alias(
+            "value"
+        )
+    )
+    updates = customer.filter(key % 7 == 3).select(
+        env(
+            _customer_payload_json(F.col("c_acctbal") + 50),
+            null_s,
+            "u",
+            F.lit(T0) + key + 1000,
+        ).alias("value")
+    )
+    deletes = customer.filter(key % 11 == 5).select(
+        env(
+            null_s,
+            _customer_payload_json(F.col("c_acctbal")),
+            "d",
+            F.lit(T0) + key + 2000,
+        ).alias("value")
+    )
+    return reads.unionAll(updates).unionAll(deletes)
+
+
+def debezium_multi_table_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One mixed batch carrying BOTH tables' change events — exercises the
+    per-(db, table) fan-out (reference's multi-table topic consumption)."""
+    return debezium_orders_envelopes(spark, sf_dir).unionAll(
+        debezium_customer_envelopes(spark, sf_dir)
+    )
+
+
+#: Expected customer final state (ANSI SQL, FIXTURES.md §B4 style).
+CUSTOMER_FINAL_STATE_SQL = """
+SELECT
+  CASE WHEN c_custkey % 7 = 3 THEN c_acctbal + 50 ELSE c_acctbal END AS c_acctbal,
+  c_custkey,
+  c_mktsegment,
+  c_name,
+  c_nationkey
+FROM customer
+WHERE c_custkey % 11 <> 5
+"""
+
 #: tables.json-shaped config for the fixture pipeline (FIXTURES.md §B3).
 ORDERS_TABLE_CONFIG = [
     {
@@ -157,6 +236,20 @@ ORDERS_TABLE_CONFIG = [
         "write.update.mode": "copy-on-write",
         "write.delete.mode": "copy-on-write",
         "timestamp.fields": ["o_orderdate"],
+        "precombine_key": "ts_ms",
+    }
+]
+
+#: Two-table config for the multi-table fan-out fixture.
+MULTI_TABLE_CONFIG = ORDERS_TABLE_CONFIG + [
+    {
+        "db": "testdb",
+        "table": "customer",
+        "primary_key": "c_custkey",
+        "format-version": 2,
+        "write.merge.mode": "copy-on-write",
+        "write.update.mode": "copy-on-write",
+        "write.delete.mode": "copy-on-write",
         "precombine_key": "ts_ms",
     }
 ]

@@ -24,8 +24,11 @@ from pyspark.sql import functions as F
 from cdc_data_lake_pyspark_spark.apply import MemoryTableSink, delete_matching, merge_into
 from cdc_data_lake_pyspark_spark.dedup import latest_change_per_key
 from cdc_data_lake_pyspark_spark.fixtures import (
+    CUSTOMER_FINAL_STATE_SQL,
+    MULTI_TABLE_CONFIG,
     ORDERS_FINAL_STATE_SQL,
     ORDERS_TABLE_CONFIG,
+    debezium_multi_table_envelopes,
     debezium_orders_envelopes,
     dms_orders_envelopes,
 )
@@ -81,6 +84,20 @@ def cdc_orders_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = MemoryTableSink()
     CdcPipeline(config=ORDERS_TABLE_CONFIG, sink=sink).process_batch(env)
     out = sink.read(spark, "testdb", "orders")
+    return out.select(*sorted(out.columns))
+
+
+@query("cdc_multi_table_apply", oracle=CUSTOMER_FINAL_STATE_SQL)
+def cdc_multi_table_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table fan-out: ONE mixed batch carries orders AND customer
+    change events; the pipeline inventories (db, table, route) in a single
+    aggregation and applies each table (reference consumes multi-table
+    topics the same way, transaction_log_util.py:93-103).  Returns the
+    customer final state; the orders side is applied in the same batch."""
+    env = debezium_multi_table_envelopes(spark, sf_dir)
+    sink = MemoryTableSink()
+    CdcPipeline(config=MULTI_TABLE_CONFIG, sink=sink).process_batch(env)
+    out = sink.read(spark, "testdb", "customer")
     return out.select(*sorted(out.columns))
 
 
