@@ -321,6 +321,70 @@ def jaccard_similar_pairs_prefix(
     return _verify_candidate_pairs(cand, ex, counts, threshold)
 
 
+def simhash_near_duplicate_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-duplicate pairs ``(a_id, b_id, hamming)`` with hamming
+    distance ≤ ``max_hamming`` — the Manku/Jain/Das Sarma web-dedup shape.
+
+    Pigeonhole exactness: split the 64-bit fingerprint into ``n_bands``
+    bit-bands; any pair within hamming ``d < n_bands`` must agree on at
+    least one whole band, so a join on ``(band, band_bits)`` finds every
+    such pair (no recall loss), and ``bit_count(a XOR b)`` verifies each
+    candidate exactly.  Shuffle key is the band value — bucket sizes track
+    near-duplicate clusters, not corpus size.
+    """
+    if max_hamming >= n_bands:
+        raise ValueError("exactness needs n_bands > max_hamming (pigeonhole)")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask).cast("long"))
+                        .alias("bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bits")
+    # shuffle-hash: both sides share one hashpartitioning exchange, so the
+    # signature aggregation runs once (same reuse pattern as the jaccard
+    # shingle self-join)
+    a = banded.alias("a").hint("shuffle_hash")
+    b = banded.alias("b").hint("shuffle_hash")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
 def doc_fingerprints(
     docs: DataFrame,
     k: int = 3,

@@ -1,0 +1,83 @@
+"""Skew-mitigation utilities: salted joins and salted aggregation.
+
+AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`) splits
+oversized partitions at runtime and is the first line of defense — these
+helpers cover the cases AQE cannot fix:
+
+* a shuffled join where ONE key holds a partition-sized share of the rows
+  (AQE splits the partition, but every split of the hot key still joins
+  against the same single build row — salting replicates that build row);
+* high-cardinality aggregation where one key dominates (two-phase salted
+  aggregation pre-collapses the hot key on every core).
+
+Both are deterministic: the salt derives from `xxhash64` of the row's own
+columns, never `rand()`, so retries/replays produce identical results.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def with_salt(
+    df: DataFrame, n_salts: int, salt_from: Optional[Sequence[str]] = None
+) -> DataFrame:
+    """Add a deterministic salt in ``[0, n_salts)`` derived from
+    ``salt_from`` columns (default: all columns)."""
+    cols = list(salt_from) if salt_from else df.columns
+    return df.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+    )
+
+
+def replicate_for_salt(df: DataFrame, n_salts: int) -> DataFrame:
+    """Replicate every row once per salt value (the build/small side of a
+    salted join)."""
+    return df.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    keys: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join a skewed frame against ``other`` on ``keys`` with the hot keys
+    spread over ``n_salts`` partitions.
+
+    The skewed side salts each row deterministically; ``other`` is
+    replicated ``n_salts``× so every salted partition finds its match.
+    Equivalent to ``skewed.join(other, keys, how)`` for inner/left joins
+    (asserted in tests); cost: ``other`` shuffles ``n_salts``× its size —
+    use when ``other`` is far smaller than the hot key's row share but too
+    big (or too mutable) to broadcast.
+    """
+    keys = list(keys)
+    non_key_cols = [c for c in skewed.columns if c not in keys]
+    left = with_salt(skewed, n_salts, salt_from=non_key_cols or None)
+    right = replicate_for_salt(other, n_salts)
+    return left.join(right, on=keys + [SALT_COL], how=how).drop(SALT_COL)
+
+
+def salted_count_by_key(
+    df: DataFrame, keys: Sequence[str], n_salts: int = 8
+) -> DataFrame:
+    """Two-phase salted count: ``groupBy(keys, salt)`` partial counts, then
+    ``groupBy(keys)`` sum — the hot key is pre-collapsed ``n_salts`` ways.
+
+    (Spark's partial aggregation already does this map-side; the explicit
+    two-phase form matters when the combiner is disabled or the aggregate
+    is not partial-able, and it documents the pattern.)
+    """
+    keys = list(keys)
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, SALT_COL).agg(F.count(F.lit(1)).alias("_c"))
+    return partial.groupBy(*keys).agg(F.sum("_c").alias("n"))

@@ -268,6 +268,18 @@ def dedup_simhash(spark, sf_dir):
     return simhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+@query("dedup_simhash_pairs")  # rows-only: xxhash64 isn't portable to DuckDB
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3) via exact pigeonhole banding;
+    recall-exactness vs the brute-force pair set is asserted in
+    tests/test_phase2.py::test_simhash_banding_finds_all_close_pairs."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        simhash_near_duplicate_pairs,
+    )
+
+    return simhash_near_duplicate_pairs(_t(spark, sf_dir, "documents"))
+
+
 _EMB_COS_ORACLE = """
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
