@@ -70,6 +70,19 @@ def _exploded_shingles(
     return docs.select(F.col(id_col).alias("_id"), F.explode(sh).alias("_s"))
 
 
+def _stage(ex: DataFrame) -> DataFrame:
+    """Stage the exploded-shingle working set with a LAZY local checkpoint:
+    it materializes once on first use, every downstream consumer (counts,
+    join sides, verification) reads the stored blocks instead of
+    re-running the interpreted shingle pipeline, and the blocks are
+    released when the DataFrame is garbage-collected (no explicit
+    unpersist).  Tradeoff (same as any checkpoint): executor loss forfeits
+    the blocks and fails the job instead of recomputing — acceptable for
+    batch dedup jobs, which simply rerun.
+    """
+    return ex.localCheckpoint(eager=False)
+
+
 def _shingle_counts(ex: DataFrame) -> DataFrame:
     """Per-doc distinct-shingle count ``(_id, _n)`` — tiny (one row per
     doc), map-side-combined, broadcast back onto pair aggregates."""
@@ -117,7 +130,7 @@ def jaccard_similar_pairs(
     This is also the 100 TB shape: the corpus shuffles by shingle instead
     of broadcasting an exploded corpus copy to every executor.
     """
-    ex = _exploded_shingles(docs, id_col, text_col, k)
+    ex = _stage(_exploded_shingles(docs, id_col, text_col, k))
     counts = _shingle_counts(ex)
     a = ex.alias("a").hint("shuffle_hash")
     b = ex.alias("b").hint("shuffle_hash")
@@ -158,6 +171,10 @@ def minhash_signatures(
     E[Jaccard] equals the fraction of agreeing components (Broder).
     """
     ex = _exploded_shingles(docs, id_col, text_col, k)
+    return _signatures_from_ex(ex, num_hashes)
+
+
+def _signatures_from_ex(ex: DataFrame, num_hashes: int) -> DataFrame:
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("_s"))).alias(f"_h{i}")
         for i in range(num_hashes)
@@ -230,10 +247,14 @@ def minhash_near_duplicates(
     verification of candidates only.  Returns ``(a_id, b_id, jaccard)``.
 
     Exact verification makes the output precision-1; LSH only affects
-    recall (tunable via bands/rows: threshold ≈ (1/b)^(1/r))."""
-    sigs = minhash_signatures(docs, num_hashes, k, id_col, text_col)
+    recall (tunable via bands/rows: threshold ≈ (1/b)^(1/r)).
+
+    The exploded shingle set is STAGED (lazy local checkpoint) and shared
+    by the signature aggregation and the verification joins — one
+    evaluation of the shingle pipeline for the whole operator."""
+    ex = _stage(_exploded_shingles(docs, id_col, text_col, k))
+    sigs = _signatures_from_ex(ex, num_hashes)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    ex = _exploded_shingles(docs, id_col, text_col, k)
     counts = _shingle_counts(ex)
     return _verify_candidate_pairs(cand, ex, counts, threshold)
 
@@ -315,7 +336,7 @@ def jaccard_similar_pairs_prefix(
     candidate count scales with rare-shingle collisions instead of
     bucket² (verified exact-equal to the plain join in
     tests/test_phase2.py::test_prefix_filtering_is_exact)."""
-    ex = _exploded_shingles(docs, id_col, text_col, k)
+    ex = _stage(_exploded_shingles(docs, id_col, text_col, k))
     counts = _shingle_counts(ex)
     cand = jaccard_prefix_candidates(ex, counts, threshold)
     return _verify_candidate_pairs(cand, ex, counts, threshold)
