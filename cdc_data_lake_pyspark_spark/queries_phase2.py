@@ -302,6 +302,52 @@ def dedup_embedding_cosine(spark, sf_dir):
     return cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+_CLEAN_CORPUS_ORACLE = r"""
+WITH scored AS (
+  SELECT doc_id, text,
+         0.5 * least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 64.0, 1.0)
+       + 0.4 * (CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE))
+       + 0.1 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                / CAST(length(text) AS DOUBLE)) AS quality,
+         len(list_filter(string_split(lower(text), ' '),
+             x -> list_contains(['the','a','of','and','to','in','is'], x))) AS s_en
+  FROM documents
+), kept AS (
+  SELECT doc_id, text, quality FROM scored
+  WHERE quality >= 0.7 AND s_en > 0
+), keepers AS (
+  SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keeper_id
+  FROM kept GROUP BY md5(lower(trim(text)))
+)
+SELECT k.doc_id, k.quality
+FROM kept k JOIN keepers g ON k.doc_id = g.keeper_id
+"""
+
+
+@query("pipeline_clean_corpus", oracle=_CLEAN_CORPUS_ORACLE)
+def pipeline_clean_corpus(spark, sf_dir):
+    """The training-data cleaning pipeline as ONE composed query: quality
+    gate → English stopword-hit gate → exact-dedup keeper selection.
+    Map-only scoring; the only shuffles are the fingerprint groupBy and
+    the (broadcast) keeper join."""
+    docs = _t(spark, sf_dir, "documents")
+    scores = language_scores(F.col("text"))
+    kept = docs.select(
+        "doc_id",
+        "text",
+        quality_score(F.col("text")).alias("quality"),
+        scores["en"].alias("s_en"),
+    ).filter((F.col("quality") >= 0.7) & (F.col("s_en") > 0))
+    keepers = exact_dedup(kept).select("keeper_id")
+    return (
+        kept.join(
+            F.broadcast(keepers), kept.doc_id == keepers.keeper_id
+        )
+        .select("doc_id", "quality")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
