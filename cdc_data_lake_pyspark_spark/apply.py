@@ -215,6 +215,12 @@ class TableSink:
     def delete(self, cfg: TableConfig, keys_df: DataFrame) -> None:
         raise NotImplementedError
 
+    def flush(self, cfg: TableConfig) -> None:
+        """Called once per table at the end of a batch, after all of that
+        batch's mutations.  Sinks that write eagerly (files, catalogs)
+        ignore it; lazy sinks materialize here so a batch costs ONE
+        materialization instead of one per mutation."""
+
     def _guard(self, action: str, fn) -> None:
         try:
             fn()
@@ -225,7 +231,13 @@ class TableSink:
 
 
 class MemoryTableSink(TableSink):
-    """In-memory sink for unit tests: tables are cached DataFrames."""
+    """In-memory sink: tables are DataFrames.
+
+    Mutations build a LAZY plan chain; :meth:`flush` (called by the
+    pipeline once per table per batch) checkpoints the final state, so a
+    batch of append+merge+delete costs one materialization instead of
+    three.  Reading an unflushed table is still correct — just lazy.
+    """
 
     def __init__(self, continue_on_error: bool = False):
         self.tables: dict[tuple[str, str], DataFrame] = {}
@@ -251,9 +263,9 @@ class MemoryTableSink(TableSink):
                 evolved = merge_schemas(base.schema, df.schema)
                 base = align_to_schema(base, evolved)
                 incoming = align_to_schema(df, evolved)
-                self.tables[key] = base.unionByName(incoming).localCheckpoint()
+                self.tables[key] = base.unionByName(incoming)
             else:
-                self.tables[key] = df.localCheckpoint()
+                self.tables[key] = df
 
         self._guard("append", _do)
 
@@ -261,7 +273,7 @@ class MemoryTableSink(TableSink):
         def _do():
             key = (cfg.db, cfg.table)
             if key not in self.tables:
-                self.tables[key] = df.localCheckpoint()
+                self.tables[key] = df
                 return
             base = self.tables[key]
             evolved = merge_schemas(base.schema, df.schema)
@@ -269,7 +281,7 @@ class MemoryTableSink(TableSink):
             incoming = align_to_schema(df, evolved)
             self.tables[key] = merge_into(
                 base, incoming, cfg.primary_keys, ts_guard=ts_guard
-            ).localCheckpoint()
+            )
 
         self._guard("merge", _do)
 
@@ -280,9 +292,15 @@ class MemoryTableSink(TableSink):
                 return
             self.tables[key] = delete_matching(
                 self.tables[key], keys_df, cfg.primary_keys
-            ).localCheckpoint()
+            )
 
         self._guard("delete", _do)
+
+    def flush(self, cfg):
+        key = (cfg.db, cfg.table)
+        if key in self.tables:
+            # eager: the batch's source may be unpersisted right after
+            self.tables[key] = self.tables[key].localCheckpoint()
 
 
 class SqlTableSink(TableSink):

@@ -126,6 +126,9 @@ class CdcPipeline:
                     self._apply_upsert(cfg, tbl)
                 if ROUTE_DELETE in entry.routes:
                     self._apply_delete(cfg, tbl)
+                # one materialization point per table per batch (lazy sinks
+                # checkpoint here, while the batch cache is still alive)
+                self.sink.flush(cfg)
         finally:
             routed.unpersist()
 
