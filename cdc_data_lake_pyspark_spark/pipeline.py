@@ -172,9 +172,21 @@ class CdcPipeline:
             payload_schema = inferred
         payload = parse_payload(sliced, "after", payload_schema, keep_cols=["ts_ms"])
         payload = cast_timestamp_fields(payload, cfg.timestamp_fields)
-        deduped = latest_change_per_key(
-            payload, cfg.primary_keys, order_by=["ts_ms"]
-        )
+        # precombine: the configured payload column decides which of several
+        # changes to one key wins (reference tables.json `precombine_key`,
+        # readme "table 配置参数"); envelope ts_ms breaks ties / is the
+        # fallback when the column isn't present in this batch.
+        order_by = ["ts_ms"]
+        if cfg.precombine_key != "ts_ms":
+            if cfg.precombine_key in payload.columns:
+                order_by = [cfg.precombine_key, "ts_ms"]
+            else:
+                logger.warning(
+                    "precombine_key %r not in %s payload; ordering by ts_ms",
+                    cfg.precombine_key,
+                    cfg.qualified_name,
+                )
+        deduped = latest_change_per_key(payload, cfg.primary_keys, order_by=order_by)
         if self.ts_guard:
             deduped = deduped.withColumnRenamed("ts_ms", self.ts_guard)
             self.sink.merge(cfg, deduped, ts_guard=self.ts_guard)

@@ -156,6 +156,37 @@ def test_empty_batch_short_circuit(spark):
     assert not sink.tables
 
 
+def test_precombine_key_overrides_ts_order(spark):
+    """With precombine_key='ver', the higher-version row must win even when
+    its envelope ts_ms is older (the reference's precombine semantics)."""
+
+    def env(op, ts, key, ver, val):
+        payload = json.dumps({"k": key, "ver": ver, "val": val})
+        return json.dumps(
+            {
+                "before": None,
+                "after": payload,
+                "source": json.dumps({"db": "testdb", "table": "t"}),
+                "op": op,
+                "ts_ms": ts,
+                "transaction": None,
+            }
+        )
+
+    rows = [
+        (env("r", 100, 1, 1, "base"),),
+        (env("u", 300, 1, 2, "low-ver-late-ts"),),
+        (env("u", 200, 1, 5, "high-ver-early-ts"),),
+    ]
+    batch = spark.createDataFrame(rows, "value string")
+    sink = MemoryTableSink()
+    cfg = [{"db": "testdb", "table": "t", "primary_key": "k",
+            "precombine_key": "ver"}]
+    CdcPipeline(config=cfg, sink=sink).process_batch(batch)
+    out = {r.k: (r.ver, r.val) for r in sink.read(spark, "testdb", "t").collect()}
+    assert out[1] == (5, "high-ver-early-ts")
+
+
 def test_ts_guard_cross_batch_out_of_order(spark):
     # batch 2 carries an OLDER update than batch 1 → guarded merge keeps new
     sink = MemoryTableSink()
