@@ -26,7 +26,7 @@ upserts, then deletes (``transaction_log_util.py:78-168``).
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 from pyspark.sql import DataFrame

@@ -17,7 +17,6 @@ from cdc_data_lake_pyspark_spark.functions.text import (
     STOPWORDS,
     bpe_token_count,
     char_stats,
-    doc_fingerprint,
     language_id,
     language_scores,
     quality_score,

@@ -7,7 +7,6 @@ the locally-runnable stand-in for the Kafka topic (SURVEY §1.4 mapping).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _VALUE_SCHEMA = T.StructType([T.StructField("value", T.StringType(), True)])

@@ -2,7 +2,6 @@
 visible in the executed plan, not just intended."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from cdc_data_lake_pyspark_spark import queries as q
 

@@ -3,7 +3,6 @@
 import json
 import time
 
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cdc_data_lake_pyspark_spark.streaming.stateful import (
