@@ -385,6 +385,20 @@ def similarity_topk_bruteforce(spark, sf_dir):
     return brute_force_top_k(emb, queries_df, k=3, exclude_self=True)
 
 
+@query("similarity_ivf")  # rows-only: KMeans quantizer isn't portable to SQL
+def similarity_ivf(spark, sf_dir):
+    """IVF ANN: seeded k-means coarse quantizer, 6-of-16 cell multi-probe;
+    recall vs the exact result is asserted in
+    tests/test_phase2.py::test_ivf_recall."""
+    from cdc_data_lake_pyspark_spark.operators.similarity import ivf_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_top_k(emb, queries_df, k=3, n_clusters=16, n_probe=6)
+
+
 @query("similarity_ann_lsh")  # rows-only: hyperplanes seeded driver-side
 def similarity_ann_lsh(spark, sf_dir):
     """Hyperplane-LSH ANN over the same query subset; recall vs the exact

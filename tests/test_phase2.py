@@ -122,6 +122,24 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert mismatch == 0
 
 
+def test_ivf_recall(spark, sf_dir):
+    """IVF must beat the ANN recall floor and return exact-scored rows."""
+    from cdc_data_lake_pyspark_spark.operators.similarity import ivf_top_k
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_top_k(emb, queries, k=3, exclude_self=True)
+    approx = ivf_top_k(emb, queries, k=3, n_clusters=16, n_probe=6)
+    exact_rows = {(r.query_id, r.neighbor_id): r.score for r in exact.collect()}
+    approx_rows = {(r.query_id, r.neighbor_id): r.score for r in approx.collect()}
+    recall = len(exact_rows.keys() & approx_rows.keys()) / len(exact_rows)
+    assert recall >= 0.5, f"IVF recall suspiciously low: {recall}"
+    for pair in exact_rows.keys() & approx_rows.keys():
+        assert exact_rows[pair] == approx_rows[pair]  # same strict-fold score
+
+
 def test_multimodal_metadata_jvm_side(spark):
     rows = [Row(doc_id=1, text="abc"), Row(doc_id=2, text="")]
     df = with_media_metadata(text_as_binary(spark.createDataFrame(rows)), "payload")
