@@ -490,3 +490,22 @@ class ParquetTableSink(TableSink):
         df.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(path, ignore_errors=True)
         os.replace(tmp, path)
+
+    def compact(self, db: str, table: str, target_files: int = 1) -> int:
+        """Rewrite the table into ``target_files`` files and return the
+        small-file count removed.  Streaming appends accumulate one file
+        per batch per partition; periodic compaction is the parquet-sink
+        stand-in for Iceberg's ``rewrite_data_files`` / Delta's
+        ``OPTIMIZE`` (the reference leaves this to the lakehouse).
+        """
+        path = self._path(db, table)
+        if not os.path.isdir(path):
+            return 0
+        before = len(
+            [f for f in os.listdir(path) if f.endswith(".parquet")]
+        )
+        spark = SparkSession.getActiveSession()
+        df = spark.read.parquet(path)
+        self._overwrite(df.coalesce(target_files), path)
+        after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+        return max(before - after, 0)

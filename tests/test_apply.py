@@ -80,3 +80,55 @@ def test_create_table_sql_properties():
     assert "'write.merge.mode'='merge-on-read'" in sql
     assert "'write.distribution-mode'='hash'" in sql
     assert "'write.spark.accept-any-schema'='true'" in sql
+
+
+def test_parquet_sink_compaction(spark, tmp_path):
+    """Streaming appends accumulate files; compact() rewrites to few files
+    with identical content."""
+    from cdc_data_lake_pyspark_spark.apply import ParquetTableSink
+    from cdc_data_lake_pyspark_spark.config import load_tables_config
+
+    cfg = load_tables_config(
+        [{"db": "d", "table": "t", "primary_key": "k"}]
+    ).get("d", "t")
+    sink = ParquetTableSink(str(tmp_path))
+    for i in range(4):  # 4 append batches -> many small files
+        sink.append(cfg, spark.createDataFrame([(i, i * 10)], "k long, v long"))
+    before = sorted(
+        r.k for r in sink.read(spark, "d", "t").collect()
+    )
+    removed = sink.compact("d", "t", target_files=1)
+    assert removed > 0
+    after = sorted(r.k for r in sink.read(spark, "d", "t").collect())
+    assert after == before == [0, 1, 2, 3]
+
+
+def test_upsert_type_conflict_casts_to_target(spark):
+    """Cross-batch type conflict: the sink schema is authoritative; an
+    incompatible incoming value casts leniently (ANSI off) to null rather
+    than failing the batch or mutating the column type."""
+    import json as _json
+
+    from cdc_data_lake_pyspark_spark.apply import MemoryTableSink
+    from cdc_data_lake_pyspark_spark.pipeline import CdcPipeline
+
+    def env(op, ts, key, val):
+        payload = _json.dumps({"k": key, "v": val})
+        return _json.dumps(
+            {"before": None, "after": payload,
+             "source": _json.dumps({"db": "testdb", "table": "t"}),
+             "op": op, "ts_ms": ts, "transaction": None}
+        )
+
+    sink = MemoryTableSink()
+    cfg = [{"db": "testdb", "table": "t", "primary_key": "k"}]
+    pipe = CdcPipeline(config=cfg, sink=sink)
+    pipe.process_batch(spark.createDataFrame([(env("r", 1, 1, 42),)], "value string"))
+    assert dict(sink.read(spark, "testdb", "t").dtypes)["v"] == "bigint"
+    # second batch: v arrives as a non-numeric string
+    pipe.process_batch(
+        spark.createDataFrame([(env("u", 2, 1, "not-a-number"),)], "value string")
+    )
+    out = sink.read(spark, "testdb", "t")
+    assert dict(out.dtypes)["v"] == "bigint"  # target type is authoritative
+    assert out.collect()[0].v is None  # lenient cast, batch survives
