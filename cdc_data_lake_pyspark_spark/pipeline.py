@@ -197,7 +197,20 @@ class CdcPipeline:
 
     def _apply_delete(self, cfg, tbl: DataFrame) -> None:
         sliced = tbl.filter(F.col("route") == ROUTE_DELETE)
-        schema = infer_json_schema(
+        # DELETE only needs the PK columns.  When the target exists its
+        # schema is authoritative for key types, so skip the whole-slice
+        # inference pass entirely and give from_json a PK-only schema —
+        # one narrow extraction instead of infer-everything +
+        # parse-everything (a full extra scan of the batch JSON at scale).
+        target_pk_schema = None
+        if self.sink.exists(cfg.db, cfg.table):
+            target_schema = self.sink.read(tbl.sparkSession, cfg.db, cfg.table).schema
+            pk_fields = [f for f in target_schema.fields if f.name in cfg.primary_keys]
+            if len(pk_fields) == len(cfg.primary_keys):
+                from pyspark.sql import types as T
+
+                target_pk_schema = T.StructType(pk_fields)
+        schema = target_pk_schema or infer_json_schema(
             sliced, "before", sample_rows=self.schema_sample_rows
         )
         payload = parse_payload(sliced, "before", schema, keep_cols=["ts_ms"])
