@@ -161,6 +161,8 @@ def ivf_top_k(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = False,
+    max_fit_rows: int = 200_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means coarse quantizer + multi-probe.
 
@@ -169,12 +171,18 @@ def ivf_top_k(
     its ``n_probe`` closest centroids and scores only vectors in those
     cells.  Returns ``(query_id, neighbor_id, score, rank)`` — drop-in
     with the exact op; recall is controlled by ``n_probe / n_clusters``.
+    ``exclude_self`` drops identical-id pairs before ranking, matching
+    :func:`brute_force_top_k` (off by default: query and corpus id spaces
+    may legitimately collide).
 
     Scale: the centroid table is tiny (closure/broadcast); assignment is
     one ML transform over the corpus; the search joins on the cell id, so
     per-query work is ``n_probe/n_clusters`` of the corpus.  At 100 TB the
     cells are the partition key — this is the classic IVF layout where
-    each cell's vectors are co-located.
+    each cell's vectors are co-located.  The quantizer fits on a bounded
+    seeded sample (``max_fit_rows``, standard IVF practice — centroid
+    quality saturates long before that); assignment remains a full
+    transform over the corpus.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -185,9 +193,17 @@ def ivf_top_k(
         F.col(vec_col).alias("_vv"),
         array_to_vector(_as_double(F.col(vec_col))).alias("_fv"),
     )
+    fit_df = v.select("_fv")
+    n_total = vectors.count()  # columnar count: metadata-cheap on parquet
+    if n_total > max_fit_rows:
+        # seeded Bernoulli sample, slightly over-drawn so the expected
+        # sample stays near the cap without a second pass
+        fit_df = fit_df.sample(
+            fraction=min(1.0, 1.2 * max_fit_rows / n_total), seed=seed
+        )
     km = KMeans(
         k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cell"
-    ).fit(v.select("_fv"))
+    ).fit(fit_df)
     assigned = km.transform(v).select("neighbor_id", "_vv", "_cell")
 
     centers = np.vstack([np.asarray(c) for c in km.clusterCenters()])
@@ -204,14 +220,13 @@ def ivf_top_k(
         F.col(vec_col).alias("_qv"),
         F.explode(_probe(F.col(vec_col))).alias("_cell"),
     )
-    scored = (
-        assigned.join(F.broadcast(q), "_cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_pandas_udf()(F.col("_qv"), F.col("_vv")).alias("score"),
-        )
+    scored = assigned.join(F.broadcast(q), "_cell")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        cosine_pandas_udf()(F.col("_qv"), F.col("_vv")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -223,54 +238,191 @@ def ivf_top_k(
     )
 
 
+def _exact_rescored_pairs(A_ids, A, B_ids, B, threshold):
+    """Score two id/matrix blocks: BLAS matmul prefilter at ``threshold −
+    1e-6``, then a strict-sequential ``np.cumsum`` rescore of candidates
+    only, keeping ``a_id < b_id`` — emitted scores are bit-identical to a
+    sequential-loop (or ``F.aggregate`` fold) oracle while the matmul does
+    99.9% of the work."""
+    seq_sum = lambda X: np.cumsum(X, axis=1)[:, -1]
+    a_norms = np.sqrt(seq_sum(A * A))
+    b_norms = np.sqrt(seq_sum(B * B))
+    approx = (A @ B.T) / np.outer(a_norms, b_norms)
+    cand_i, cand_j = np.nonzero(
+        (approx >= threshold - 1e-6) & (A_ids[:, None] < B_ids[None, :])
+    )
+    if len(cand_i) == 0:
+        return None
+    exact = seq_sum(A[cand_i] * B[cand_j]) / (a_norms[cand_i] * b_norms[cand_j])
+    keep = exact >= threshold
+    return pd.DataFrame(
+        {
+            "a_id": A_ids[cand_i[keep]],
+            "b_id": B_ids[cand_j[keep]],
+            "score": exact[keep],
+        }
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs:
     ``(a_id, b_id, score)`` with ``score >= threshold`` and ``a_id < b_id``.
 
-    The all-pairs baseline (O(N²) scores — the LSH-bucketed scale path is
-    :func:`hyperplane_lsh_top_k`'s banding applied the same way): the
-    corpus matrix rides in the task closure; each corpus partition scores
-    its block against the full matrix with ONE BLAS matmul, then only
-    pairs at ``>= threshold − 1e-6`` are re-scored with the strict
-    sequential ``np.cumsum`` fold and filtered exactly — so emitted scores
-    are bit-identical to a sequential-loop oracle while the matmul does
-    99.9% of the work.  Only above-threshold pairs cross back over Arrow.
+    Distributed block-nested-loop self-join: the corpus is hashed into
+    ``n_blocks`` blocks, each block is packed into ONE row (ids + matrix),
+    and the ``n_blocks·(n_blocks+1)/2`` unordered block pairs are scored
+    independently — each task runs one BLAS matmul over its two blocks,
+    prefilters at ``threshold − 1e-6``, and exact-rescored candidates with
+    the strict sequential ``np.cumsum`` fold (bit-identical to a
+    sequential-loop oracle).  Only above-threshold pairs cross back over
+    Arrow.
+
+    Scale: no driver collect and no closure shipping — total shuffle is
+    O(N · n_blocks) vector copies (each block meets every other block
+    once), the classic exact all-pairs layout; pick ``n_blocks`` so a
+    block's matrix fits executor memory (N/n_blocks rows).  Exact all-pairs
+    is inherently O(N²) compute — for corpus-scale near-dup use
+    :func:`cosine_near_dup_pairs_lsh`, which bounds the candidate space by
+    hyperplane banding and exact-rescores only same-bucket pairs.
     """
-    pdf = vectors.select(id_col, vec_col).toPandas()
-    ids = pdf[id_col].to_numpy()
-    M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-    seq_sum = lambda X: np.cumsum(X, axis=1)[:, -1]
-    norms = np.sqrt(seq_sum(M * M))
     id_type = vectors.schema[id_col].dataType.simpleString()
     out_schema = f"a_id {id_type}, b_id {id_type}, score double"
 
+    packed = (
+        vectors.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+            F.struct(
+                F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+            ).alias("_r"),
+        )
+        .groupBy("_blk")
+        .agg(F.collect_list("_r").alias("_rows"))
+    )
+    a = packed.select(F.col("_blk").alias("_ba"), F.col("_rows").alias("_rows_a"))
+    b = packed.select(F.col("_blk").alias("_bb"), F.col("_rows").alias("_rows_b"))
+    block_pairs = a.join(b, F.col("_ba") <= F.col("_bb"))
+    # spread the O(B²/2) block-pair tasks across the cluster
+    block_pairs = block_pairs.repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism
+    )
+
+    def _unpack(rows):
+        ids = np.asarray([r["id"] for r in rows])
+        M = np.vstack([r["v"] for r in rows]).astype(np.float64)
+        return ids, M
+
     def _score(batches):
-        for bdf in batches:
-            bids = bdf[id_col].to_numpy()
-            V = np.vstack(bdf[vec_col].to_numpy()).astype(np.float64)
-            bnorms = np.sqrt(seq_sum(V * V))
-            approx = (V @ M.T) / np.outer(bnorms, norms)
-            cand_i, cand_j = np.nonzero((approx >= threshold - 1e-6) & (bids[:, None] < ids[None, :]))
-            if len(cand_i) == 0:
+        for pdf in batches:
+            for rows_a, rows_b, same in zip(
+                pdf["_rows_a"], pdf["_rows_b"], pdf["_ba"] == pdf["_bb"]
+            ):
+                A_ids, A = _unpack(rows_a)
+                B_ids, B = (A_ids, A) if same else _unpack(rows_b)
+                parts = [_exact_rescored_pairs(A_ids, A, B_ids, B, threshold)]
+                if not same:
+                    # unordered block pair: also score the b→a direction
+                    parts.append(
+                        _exact_rescored_pairs(B_ids, B, A_ids, A, threshold)
+                    )
+                parts = [p for p in parts if p is not None and len(p)]
+                if parts:
+                    yield pd.concat(parts, ignore_index=True)
+
+    return block_pairs.mapInPandas(_score, out_schema)
+
+
+def cosine_near_dup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate embedding-cosine near-duplicate pairs — the 100 TB path.
+
+    Hyperplane banding (same signatures as :func:`hyperplane_lsh_top_k`)
+    buckets the corpus ``n_tables`` times; only same-``(table, bucket)``
+    pairs are candidates, and every candidate is exact-rescored with the
+    strict ``np.cumsum`` fold then filtered at ``threshold`` — so emitted
+    pairs are a SUBSET of :func:`cosine_near_dup_pairs` with identical
+    scores (precision 1; recall controlled by ``n_planes``/``n_tables``,
+    P[collide in ≥1 table] = 1 − (1 − (1 − θ/π)^planes)^tables).
+
+    Scale: the corpus never self-joins all-pairs — it shuffles once on
+    ``(table, bucket)``; bucket sizes track near-duplicate clusters, not
+    corpus size.  Dedup across tables happens on the pair key before
+    scoring so each candidate is scored once.
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    planes = np.array(
+        [make_hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)]
+    )
+    H = planes.reshape(n_tables * n_planes, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(col: pd.Series) -> pd.Series:
+        V = np.vstack(col.to_numpy()).astype(np.float64)
+        bits = (V @ H.T) >= 0
+        b = (bits.reshape(len(V), n_tables, n_planes) * weights).sum(axis=2)
+        return pd.Series(list(b))
+
+    banded = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.posexplode(_buckets(F.col(vec_col))).alias("_tbl", "_bkt"),
+    )
+    a = banded.alias("a").hint("shuffle_hash")
+    b = banded.alias("b").hint("shuffle_hash")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._tbl") == F.col("b._tbl"))
+            & (F.col("a._bkt") == F.col("b._bkt"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("a_id"),
+            F.col("a._v").alias("_va"),
+            F.col("b._id").alias("b_id"),
+            F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    id_type = vectors.schema[id_col].dataType.simpleString()
+
+    def _rescore(batches):
+        for pdf in batches:
+            if not len(pdf):
                 continue
-            # exact sequential-fold rescore of the candidate set only
-            prod = V[cand_i] * M[cand_j]
-            exact = seq_sum(prod) / (bnorms[cand_i] * norms[cand_j])
+            A = np.vstack(pdf["_va"].to_numpy()).astype(np.float64)
+            B = np.vstack(pdf["_vb"].to_numpy()).astype(np.float64)
+            seq_sum = lambda X: np.cumsum(X, axis=1)[:, -1]
+            exact = seq_sum(A * B) / (
+                np.sqrt(seq_sum(A * A)) * np.sqrt(seq_sum(B * B))
+            )
             keep = exact >= threshold
             yield pd.DataFrame(
                 {
-                    "a_id": bids[cand_i[keep]],
-                    "b_id": ids[cand_j[keep]],
+                    "a_id": pdf["a_id"].to_numpy()[keep],
+                    "b_id": pdf["b_id"].to_numpy()[keep],
                     "score": exact[keep],
                 }
             )
 
-    return vectors.select(id_col, vec_col).mapInPandas(_score, out_schema)
+    return cand.mapInPandas(
+        _rescore, f"a_id {id_type}, b_id {id_type}, score double"
+    )
 
 
 def hyperplane_lsh_top_k(
@@ -284,12 +436,15 @@ def hyperplane_lsh_top_k(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket (vector, query) pairs,
     over ``n_tables`` independent hyperplane tables for recall.
 
     Returns ``(query_id, neighbor_id, score, rank)`` like the exact op —
     drop-in, with recall controlled by (n_planes, n_tables).
+    ``exclude_self`` drops identical-id pairs before ranking, matching
+    :func:`brute_force_top_k`.
 
     All ``n_tables × n_planes`` signature bits per vector come from ONE
     Arrow-batched numpy matmul (``V @ H.T``) in a pandas UDF — the
@@ -333,8 +488,11 @@ def hyperplane_lsh_top_k(
         vb.join(F.broadcast(qb), ["_tbl", "_bkt"])
         .select("query_id", "neighbor_id", "_qv", "_vv")
         .dropDuplicates(["query_id", "neighbor_id"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = (
+        scored.select(
             "query_id",
             "neighbor_id",
             _cosine(F.col("_qv"), F.col("_vv")).alias("score"),

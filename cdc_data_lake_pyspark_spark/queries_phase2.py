@@ -296,9 +296,25 @@ SELECT a_id, b_id, score FROM pairs WHERE score >= 0.4
 
 @query("dedup_embedding_cosine", oracle=_EMB_COS_ORACLE)
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (≥ 0.4): BLAS-prefiltered,
-    exact-fold rescored — only above-threshold pairs leave the executor."""
+    """Embedding-cosine near-duplicate pairs (≥ 0.4): distributed
+    block-matrix self-join, BLAS-prefiltered, exact-fold rescored — only
+    above-threshold pairs leave the executors, no driver collect."""
     return cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query("dedup_embedding_cosine_lsh")  # rows-only: hyperplanes seeded driver-side
+def dedup_embedding_cosine_lsh(spark, sf_dir):
+    """Hyperplane-LSH banded near-dup pairs — the corpus-scale path: only
+    same-bucket pairs are scored, every emitted pair exact-rescored (so
+    output ⊆ the exact op with identical scores; recall floor asserted in
+    tests/test_phase2.py::test_cosine_lsh_pairs_subset_and_recall)."""
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        cosine_near_dup_pairs_lsh,
+    )
+
+    return cosine_near_dup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, dim=64
+    )
 
 
 _CLEAN_CORPUS_ORACLE = r"""
@@ -396,7 +412,9 @@ def similarity_ivf(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_top_k(emb, queries_df, k=3, n_clusters=16, n_probe=6)
+    return ivf_top_k(
+        emb, queries_df, k=3, n_clusters=16, n_probe=6, exclude_self=True
+    )
 
 
 @query("similarity_ann_lsh")  # rows-only: hyperplanes seeded driver-side
@@ -407,7 +425,9 @@ def similarity_ann_lsh(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return hyperplane_lsh_top_k(emb, queries_df, k=3, dim=64, n_planes=5, n_tables=8)
+    return hyperplane_lsh_top_k(
+        emb, queries_df, k=3, dim=64, n_planes=5, n_tables=8, exclude_self=True
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -105,7 +105,9 @@ def test_ann_lsh_recall(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = brute_force_top_k(emb, queries, k=3, exclude_self=True)
-    approx = hyperplane_lsh_top_k(emb, queries, k=3, dim=64, n_planes=5, n_tables=8)
+    approx = hyperplane_lsh_top_k(
+        emb, queries, k=3, dim=64, n_planes=5, n_tables=8, exclude_self=True
+    )
     exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     approx_pairs = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
@@ -131,13 +133,61 @@ def test_ivf_recall(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = brute_force_top_k(emb, queries, k=3, exclude_self=True)
-    approx = ivf_top_k(emb, queries, k=3, n_clusters=16, n_probe=6)
+    approx = ivf_top_k(emb, queries, k=3, n_clusters=16, n_probe=6, exclude_self=True)
     exact_rows = {(r.query_id, r.neighbor_id): r.score for r in exact.collect()}
     approx_rows = {(r.query_id, r.neighbor_id): r.score for r in approx.collect()}
     recall = len(exact_rows.keys() & approx_rows.keys()) / len(exact_rows)
     assert recall >= 0.5, f"IVF recall suspiciously low: {recall}"
     for pair in exact_rows.keys() & approx_rows.keys():
         assert exact_rows[pair] == approx_rows[pair]  # same strict-fold score
+
+
+def test_cosine_pairs_blocking_is_exact(spark, sf_dir):
+    """The distributed block self-join must produce the SAME pair set and
+    bit-identical scores regardless of block count (1 block ≡ the single
+    in-memory matmul)."""
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = {
+        (r.a_id, r.b_id): r.score
+        for r in cosine_near_dup_pairs(emb, threshold=0.4, n_blocks=1).collect()
+    }
+    assert base, "fixture should contain near-duplicate embeddings"
+    for n_blocks in (3, 8):
+        got = {
+            (r.a_id, r.b_id): r.score
+            for r in cosine_near_dup_pairs(
+                emb, threshold=0.4, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == base
+
+
+def test_cosine_lsh_pairs_subset_and_recall(spark, sf_dir):
+    """Banded pairs must be a subset of the exact pairs with identical
+    scores (precision 1), at reasonable recall."""
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_lsh,
+    )
+
+    emb = _emb(spark, sf_dir)
+    exact = {
+        (r.a_id, r.b_id): r.score
+        for r in cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r.a_id, r.b_id): r.score
+        for r in cosine_near_dup_pairs_lsh(emb, threshold=0.4, dim=64).collect()
+    }
+    assert set(approx) <= set(exact)
+    for pair, score in approx.items():
+        assert score == exact[pair]  # exact rescore ⇒ identical bits
+    recall = len(approx) / len(exact)
+    assert recall >= 0.6, f"LSH pair recall suspiciously low: {recall}"
 
 
 def test_multimodal_metadata_jvm_side(spark):
