@@ -93,13 +93,35 @@ def merge_into(
 
 
 def delete_matching(
-    target: DataFrame, deletes: DataFrame, keys: Sequence[str]
+    target: DataFrame,
+    deletes: DataFrame,
+    keys: Sequence[str],
+    ts_guard: Optional[str] = None,
 ) -> DataFrame:
     """Remove target rows whose key appears in ``deletes`` (J2) — the
     DataFrame form of ``DELETE FROM t WHERE EXISTS (...)``: a left
-    anti-join, broadcast when the delete set is small."""
+    anti-join, broadcast when the delete set is small.
+
+    ``ts_guard``: optional column name carried by BOTH frames; when set, a
+    matching key only deletes rows whose guard value is ``<=`` the delete's
+    — the out-of-order protection for deletes (a stale delete arriving
+    after a newer upsert must not remove the newer row).  Plan shape is
+    unchanged: a left join on the key with a residual guard predicate, the
+    (small, deduped) delete side still broadcasts.
+    """
     keys = list(keys)
-    return target.join(deletes.select(*keys).distinct(), on=keys, how="left_anti")
+    if ts_guard is None:
+        return target.join(deletes.select(*keys).distinct(), on=keys, how="left_anti")
+    d = (
+        deletes.select(*keys, F.col(ts_guard).alias("_del_ts"))
+        .groupBy(*keys)
+        .agg(F.max("_del_ts").alias("_del_ts"))
+    )
+    return (
+        target.join(d, on=keys, how="left")
+        .filter(F.col("_del_ts").isNull() | (F.col("_del_ts") < F.col(ts_guard)))
+        .drop("_del_ts")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -136,17 +158,54 @@ def build_merge_sql(
     )
 
 
-def build_delete_sql(target_table: str, source_view: str, keys: Sequence[str]) -> str:
+def build_delete_sql(
+    target_table: str,
+    source_view: str,
+    keys: Sequence[str],
+    ts_guard: Optional[str] = None,
+) -> str:
     """``DELETE FROM ... WHERE EXISTS`` text (reference
     ``transaction_log_util.py:326-327`` — the correct two-alias form, not
-    the broken self-comparison in ``WriteIcebergTable.py:197``)."""
-    cond = build_on_condition(keys, t=target_table_alias(target_table), u="u")
+    the broken self-comparison in ``WriteIcebergTable.py:197``).  With
+    ``ts_guard``, only target rows at-or-before the delete's timestamp
+    match (stale deletes are inert)."""
     alias = target_table_alias(target_table)
+    cond = build_on_condition(keys, t=alias, u="u")
+    if ts_guard:
+        cond += f" AND u.{_quote(ts_guard)} >= {alias}.{_quote(ts_guard)}"
     key_list = ", ".join(f"u.{_quote(k)}" for k in keys)
     return (
         f"DELETE FROM {target_table} {alias} WHERE EXISTS "
         f"(SELECT {key_list} FROM {source_view} u WHERE {cond})"
     )
+
+
+def build_merge_statement_sequence(
+    target_table: str,
+    source_view: str,
+    keys: Sequence[str],
+    ts_guard: Optional[str] = None,
+    using: str = "iceberg",
+) -> list[str]:
+    """The statements an upsert actually executes against a lakehouse
+    catalog.
+
+    On Iceberg, ``'write.spark.accept-any-schema'='true'`` (set at CREATE
+    for append-path schema evolution) makes MERGE INTO fail analysis with
+    UNRESOLVED_COLUMN on Spark 3.5+ (apache/iceberg#9827); the reference
+    works around it by unsetting the property before the MERGE and
+    restoring it after (``transaction_log_util.py:287-298``).  Delta has no
+    such property, so the sequence is just the MERGE there.
+    """
+    merge = build_merge_sql(target_table, source_view, keys, ts_guard=ts_guard)
+    if using != "iceberg":
+        return [merge]
+    prop = "'write.spark.accept-any-schema'"
+    return [
+        f"ALTER TABLE {target_table} UNSET TBLPROPERTIES ({prop})",
+        merge,
+        f"ALTER TABLE {target_table} SET TBLPROPERTIES ({prop}='true')",
+    ]
 
 
 def target_table_alias(target_table: str) -> str:
@@ -175,8 +234,10 @@ def build_create_table_sql(
     }
     props_sql = ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
     loc = f" LOCATION '{location}'" if location else ""
+    # identifier quoting matches SqlTableSink._qualified — a name needing
+    # quoting must resolve to the SAME table at create and merge time
     return (
-        f"CREATE TABLE IF NOT EXISTS {catalog}.{cfg.db}.{cfg.table} "
+        f"CREATE TABLE IF NOT EXISTS {catalog}.{_quote(cfg.db)}.{_quote(cfg.table)} "
         f"({schema_ddl}) USING {using}{loc} TBLPROPERTIES ({props_sql})"
     )
 
@@ -212,7 +273,10 @@ class TableSink:
     def merge(self, cfg: TableConfig, df: DataFrame, ts_guard=None) -> None:
         raise NotImplementedError
 
-    def delete(self, cfg: TableConfig, keys_df: DataFrame) -> None:
+    def delete(self, cfg: TableConfig, keys_df: DataFrame, ts_guard=None) -> None:
+        """Delete rows matching ``keys_df``'s keys.  With ``ts_guard``,
+        ``keys_df`` also carries the guard column and only target rows
+        at-or-before the delete's timestamp are removed."""
         raise NotImplementedError
 
     def flush(self, cfg: TableConfig) -> None:
@@ -285,13 +349,13 @@ class MemoryTableSink(TableSink):
 
         self._guard("merge", _do)
 
-    def delete(self, cfg, keys_df):
+    def delete(self, cfg, keys_df, ts_guard=None):
         def _do():
             key = (cfg.db, cfg.table)
             if key not in self.tables:
                 return
             self.tables[key] = delete_matching(
-                self.tables[key], keys_df, cfg.primary_keys
+                self.tables[key], keys_df, cfg.primary_keys, ts_guard=ts_guard
             )
 
         self._guard("delete", _do)
@@ -339,7 +403,7 @@ class SqlTableSink(TableSink):
 
     def exists(self, db, table):
         spark = SparkSession.getActiveSession()
-        return spark.catalog.tableExists(f"{self.catalog}.{db}.{table}")
+        return spark.catalog.tableExists(self._qualified(db, table))
 
     def read(self, spark, db, table):
         return spark.table(self._qualified(db, table))
@@ -379,18 +443,19 @@ class SqlTableSink(TableSink):
     def merge(self, cfg, df, ts_guard=None):
         target = self._qualified(cfg.db, cfg.table)
 
-        def _do():
-            self._with_view(
-                df,
-                f"{cfg.table}_u",
-                lambda view: df.sparkSession.sql(
-                    build_merge_sql(target, view, cfg.primary_keys, ts_guard=ts_guard)
-                ),
-            )
+        def _run(view):
+            # Iceberg needs the accept-any-schema UNSET/SET dance around
+            # MERGE (apache/iceberg#9827; reference
+            # transaction_log_util.py:287-298) — see
+            # build_merge_statement_sequence.
+            for stmt in build_merge_statement_sequence(
+                target, view, cfg.primary_keys, ts_guard=ts_guard, using=self.using
+            ):
+                df.sparkSession.sql(stmt)
 
-        self._guard("merge", _do)
+        self._guard("merge", lambda: self._with_view(df, f"{cfg.table}_u", _run))
 
-    def delete(self, cfg, keys_df):
+    def delete(self, cfg, keys_df, ts_guard=None):
         target = self._qualified(cfg.db, cfg.table)
 
         def _do():
@@ -398,7 +463,7 @@ class SqlTableSink(TableSink):
                 keys_df,
                 f"{cfg.table}_d",
                 lambda view: keys_df.sparkSession.sql(
-                    build_delete_sql(target, view, cfg.primary_keys)
+                    build_delete_sql(target, view, cfg.primary_keys, ts_guard=ts_guard)
                 ),
             )
 
@@ -473,14 +538,17 @@ class ParquetTableSink(TableSink):
 
         self._guard("merge", _do)
 
-    def delete(self, cfg, keys_df):
+    def delete(self, cfg, keys_df, ts_guard=None):
         def _do():
             path = self._path(cfg.db, cfg.table)
             if not os.path.isdir(path):
                 return
             spark = keys_df.sparkSession
             base = spark.read.parquet(path)
-            self._overwrite(delete_matching(base, keys_df, cfg.primary_keys), path)
+            self._overwrite(
+                delete_matching(base, keys_df, cfg.primary_keys, ts_guard=ts_guard),
+                path,
+            )
 
         self._guard("delete", _do)
 

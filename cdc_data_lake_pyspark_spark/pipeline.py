@@ -45,6 +45,7 @@ from cdc_data_lake_pyspark_spark.router import (
     with_route,
 )
 from cdc_data_lake_pyspark_spark.schema import (
+    align_to_schema,
     cast_timestamp_fields,
     infer_and_parse_json,
     infer_json_schema,
@@ -134,17 +135,21 @@ class CdcPipeline:
 
     # -- route appliers -------------------------------------------------
 
+    def _parse_after(self, sliced: DataFrame, keep: list[str]) -> DataFrame:
+        """ONE distributed JSON pass over a route slice: fused infer+parse
+        (envelope columns ride inside the same pass) — or the reference's
+        sampled two-step when ``schema_sample_rows`` is set."""
+        if self.schema_sample_rows is None:
+            return infer_and_parse_json(sliced, "after", keep_cols=keep)
+        schema = infer_json_schema(
+            sliced, "after", sample_rows=self.schema_sample_rows
+        )
+        return parse_payload(sliced, "after", schema, keep_cols=keep)
+
     def _apply_insert(self, cfg, tbl: DataFrame) -> None:
         sliced = tbl.filter(F.col("route") == ROUTE_INSERT)
-        if self.ts_guard is None and self.schema_sample_rows is None:
-            # fused infer+parse: one distributed JSON pass instead of two
-            payload = infer_and_parse_json(sliced, "after")
-        else:
-            schema = infer_json_schema(
-                sliced, "after", sample_rows=self.schema_sample_rows
-            )
-            keep = ["ts_ms"] if self.ts_guard else []
-            payload = parse_payload(sliced, "after", schema, keep_cols=keep)
+        keep = ["ts_ms"] if self.ts_guard else []
+        payload = self._parse_after(sliced, keep)
         payload = cast_timestamp_fields(payload, cfg.timestamp_fields)
         if self.ts_guard:
             payload = payload.withColumnRenamed("ts_ms", self.ts_guard)
@@ -154,23 +159,21 @@ class CdcPipeline:
 
     def _apply_upsert(self, cfg, tbl: DataFrame) -> None:
         sliced = tbl.filter(F.col("route") == ROUTE_UPSERT)
-        # Authoritative sink schema when the table exists (reference
-        # REFRESH TABLE + spark.table(...).schema, :138-145); else infer.
         spark = tbl.sparkSession
-        inferred = infer_json_schema(
-            sliced, "after", sample_rows=self.schema_sample_rows
-        )
+        # ONE JSON pass: fused infer+parse with ts_ms carried through.
+        # When the target exists, its schema stays authoritative for
+        # existing columns (reference REFRESH TABLE + spark.table().schema,
+        # :138-145) via a post-parse projection/cast — NOT a second parse;
+        # columns first appearing in an update still evolve (the
+        # reference's MERGE path silently drops them — SURVEY §1.3/§8).
+        payload = self._parse_after(sliced, ["ts_ms"])
         if self.sink.exists(cfg.db, cfg.table):
             target_schema = self.sink.read(spark, cfg.db, cfg.table).schema
-            # target types are authoritative for existing columns; columns
-            # first appearing in an update still evolve (the reference's
-            # MERGE path silently drops them — SURVEY §1.3/§8; we don't).
-            payload_schema = merge_schemas(
-                _strip_fields(target_schema, {self.ts_guard}), inferred
+            evolved = merge_schemas(
+                _strip_fields(target_schema, {self.ts_guard, "ts_ms"}),
+                _strip_fields(payload.schema, {"ts_ms"}),
             )
-        else:
-            payload_schema = inferred
-        payload = parse_payload(sliced, "after", payload_schema, keep_cols=["ts_ms"])
+            payload = align_to_schema(payload, evolved)
         payload = cast_timestamp_fields(payload, cfg.timestamp_fields)
         # precombine: the configured payload column decides which of several
         # changes to one key wins (reference tables.json `precombine_key`,
@@ -219,7 +222,18 @@ class CdcPipeline:
         # by ts ordering at the route level (reference applies routes in
         # insert→upsert→delete order; we keep that order).
         keys_df = latest_change_per_key(payload, cfg.primary_keys, order_by=["ts_ms"])
-        self.sink.delete(cfg, keys_df.select(*cfg.primary_keys))
+        if self.ts_guard:
+            # Guarded delete: the delete's envelope timestamp rides along
+            # and the sink removes only rows whose guard column is at or
+            # before it — a stale delete can't remove a newer image, either
+            # cross-batch or within this batch (inserts/upserts apply
+            # first, carrying their own guard values).
+            keys_df = keys_df.select(
+                *cfg.primary_keys, F.col("ts_ms").alias(self.ts_guard)
+            )
+            self.sink.delete(cfg, keys_df, ts_guard=self.ts_guard)
+        else:
+            self.sink.delete(cfg, keys_df.select(*cfg.primary_keys))
         logger.info("delete applied: %s", cfg.qualified_name)
 
 

@@ -65,28 +65,55 @@ def infer_json_schema(
         return spark.read.json(rdd).schema
 
 
-def infer_and_parse_json(df: DataFrame, json_col: str) -> DataFrame:
+def infer_and_parse_json(
+    df: DataFrame, json_col: str, keep_cols: Iterable[str] = ()
+) -> DataFrame:
     """Distributed infer+parse in ONE pass: the JVM ``read.json`` job that
     infers the schema already produces the parsed frame — return it instead
-    of re-parsing with ``from_json`` (halves the JSON work on routes that
-    don't need envelope columns carried alongside the payload).
+    of re-parsing with ``from_json`` (halves the JSON work vs infer + parse
+    as separate passes).
 
-    Column order follows Spark's JSON inference (lexicographic), identical
-    to ``parse_payload`` with the schema from :func:`infer_json_schema`.
+    ``keep_cols`` (envelope columns such as ``ts_ms``) ride along INSIDE
+    the single pass: each row is wrapped as ``{"k": <to_json(keep)>,
+    "d": <payload>}`` with a cheap codegen'd string concat, so the one JSON
+    job infers and decodes payload AND carried columns together — no
+    second scan, no join.  Output columns: keep_cols first, then payload
+    fields in Spark's JSON-inference (lexicographic) order — identical to
+    ``parse_payload`` with the schema from :func:`infer_json_schema`.
     """
     from pyspark.sql import DataFrame as PyDataFrame
 
+    keep_cols = list(keep_cols)
     spark = df.sparkSession
-    strings = df.select(F.col(json_col).cast("string").alias("value")).filter(
-        F.col("value").isNotNull()
-    )
+    if keep_cols:
+        # to_json is staged in its own projection so CollapseProject can't
+        # duplicate the (codegen-fallback) expression per consumer
+        wrapped = df.select(
+            F.to_json(F.struct(*[F.col(c) for c in keep_cols])).alias("_k"),
+            F.col(json_col).cast("string").alias("_d"),
+        )
+        # a null payload nulls the whole concat, so one filter covers both
+        strings = wrapped.select(
+            F.concat(
+                F.lit('{"k":'), F.col("_k"), F.lit(',"d":'), F.col("_d"), F.lit("}")
+            ).alias("value")
+        ).filter(F.col("value").isNotNull())
+    else:
+        strings = df.select(F.col(json_col).cast("string").alias("value")).filter(
+            F.col("value").isNotNull()
+        )
     try:
         jvm = spark._jvm
         jds = getattr(strings._jdf, "as")(jvm.org.apache.spark.sql.Encoders.STRING())
-        jdf = spark._jsparkSession.read().json(jds)
-        return PyDataFrame(jdf, spark)
+        jdf = PyDataFrame(spark._jsparkSession.read().json(jds), spark)
     except Exception:  # pragma: no cover - connect mode / API drift
-        return parse_payload(df, json_col, infer_json_schema(df, json_col))
+        schema = infer_json_schema(strings, "value")
+        jdf = parse_payload(strings, "value", schema)
+    if not keep_cols:
+        return jdf
+    return jdf.select(
+        *[F.col(f"k.{c}").alias(c) for c in keep_cols], F.col("d.*")
+    )
 
 
 def parse_payload(
@@ -125,7 +152,10 @@ def align_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
     cols = []
     for f in target.fields:
         if f.name in have:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            # try_cast: a malformed value becomes null instead of failing
+            # the batch under ANSI mode — matching from_json's leniency
+            # when parsing directly against the target type
+            cols.append(F.col(f.name).try_cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     target_names = {f.name for f in target.fields}

@@ -4,6 +4,7 @@ from cdc_data_lake_pyspark_spark.apply import (
     build_create_table_sql,
     build_delete_sql,
     build_merge_sql,
+    build_merge_statement_sequence,
     delete_matching,
     merge_into,
 )
@@ -50,6 +51,43 @@ def test_delete_matching(spark):
     assert out == [0, 2, 4]
 
 
+def test_delete_matching_ts_guard(spark):
+    """A delete only removes rows at-or-before its timestamp; newer images
+    survive a stale delete."""
+    target = spark.createDataFrame(
+        [Row(id=1, v="new", ts=100), Row(id=2, v="b", ts=10), Row(id=3, v="c", ts=10)]
+    )
+    deletes = spark.createDataFrame(
+        [Row(id=1, ts=50), Row(id=2, ts=20), Row(id=3, ts=10)]  # 3: tie → delete wins
+    )
+    out = {r.id for r in delete_matching(target, deletes, ["id"], ts_guard="ts").collect()}
+    assert out == {1}
+
+
+def test_merge_statement_sequence_iceberg_unsets_accept_any_schema():
+    """Spark 3.5+/Iceberg fails MERGE while 'write.spark.accept-any-schema'
+    is set (apache/iceberg#9827); the sequence must mirror the reference's
+    UNSET → MERGE → SET dance (transaction_log_util.py:287-298)."""
+    stmts = build_merge_statement_sequence("c.`d`.`t`", "v", ["id"], using="iceberg")
+    assert len(stmts) == 3
+    assert stmts[0] == (
+        "ALTER TABLE c.`d`.`t` UNSET TBLPROPERTIES ('write.spark.accept-any-schema')"
+    )
+    assert stmts[1].startswith("MERGE INTO c.`d`.`t` t USING v u")
+    assert stmts[2] == (
+        "ALTER TABLE c.`d`.`t` SET TBLPROPERTIES ('write.spark.accept-any-schema'='true')"
+    )
+    # non-iceberg sinks have no such property: plain MERGE
+    assert build_merge_statement_sequence("c.d.t", "v", ["id"], using="delta") == [
+        build_merge_sql("c.d.t", "v", ["id"])
+    ]
+
+
+def test_delete_sql_with_guard():
+    sql = build_delete_sql("c.d.t", "v", ["id"], ts_guard="_cdc_ts_ms")
+    assert "AND u.`_cdc_ts_ms` >= t1.`_cdc_ts_ms`" in sql
+
+
 def test_merge_sql_text():
     sql = build_merge_sql("glue.db.t", "global_temp.src", ["k1", "k2"])
     assert sql == (
@@ -75,7 +113,10 @@ def test_delete_sql_text():
 def test_create_table_sql_properties():
     cfg = TableConfig(db="db", table="t", merge_mode="merge-on-read")
     sql = build_create_table_sql(cfg, "glue", "id BIGINT, v STRING")
-    assert "CREATE TABLE IF NOT EXISTS glue.db.t (id BIGINT, v STRING) USING iceberg" in sql
+    assert (
+        "CREATE TABLE IF NOT EXISTS glue.`db`.`t` (id BIGINT, v STRING) USING iceberg"
+        in sql
+    )  # quoted identically to SqlTableSink._qualified (create/read/merge agree)
     assert "'format-version'='2'" in sql
     assert "'write.merge.mode'='merge-on-read'" in sql
     assert "'write.distribution-mode'='hash'" in sql

@@ -187,6 +187,40 @@ def test_precombine_key_overrides_ts_order(spark):
     assert out[1] == (5, "high-ver-early-ts")
 
 
+def test_ts_guard_stale_delete_within_batch(spark):
+    """With the guard on, a delete whose ts precedes a same-batch upsert of
+    the same key must NOT remove the newer image (without the guard the
+    reference's insert→upsert→delete order lets it — covered by
+    test_delete_then_reinsert_within_batch_order)."""
+    sink = MemoryTableSink()
+    pipe = CdcPipeline(config=_CFG, sink=sink, ts_guard="_cdc_ts_ms")
+    batch = spark.createDataFrame(
+        [
+            _env("d", None, 5, before={"id": 1, "v": "x"}),
+            _env("u", {"id": 1, "v": "newer"}, 10),
+        ]
+    )
+    pipe.process_batch(batch)
+    out = {r.id: r.v for r in sink.read(spark, "d", "t").collect()}
+    assert out == {1: "newer"}
+
+
+def test_ts_guard_stale_delete_cross_batch(spark):
+    sink = MemoryTableSink()
+    pipe = CdcPipeline(config=_CFG, sink=sink, ts_guard="_cdc_ts_ms")
+    pipe.process_batch(spark.createDataFrame([_env("u", {"id": 1, "v": "a"}, 100)]))
+    # stale delete from before the upsert: inert
+    pipe.process_batch(
+        spark.createDataFrame([_env("d", None, 50, before={"id": 1, "v": "a"})])
+    )
+    assert sink.read(spark, "d", "t").count() == 1
+    # genuinely newer delete: applies
+    pipe.process_batch(
+        spark.createDataFrame([_env("d", None, 150, before={"id": 1, "v": "a"})])
+    )
+    assert sink.read(spark, "d", "t").count() == 0
+
+
 def test_ts_guard_cross_batch_out_of_order(spark):
     # batch 2 carries an OLDER update than batch 1 → guarded merge keeps new
     sink = MemoryTableSink()
