@@ -342,12 +342,23 @@ def jaccard_similar_pairs_prefix(
     return _verify_candidate_pairs(cand, ex, counts, threshold)
 
 
+def portable_token_hash(col) -> "F.Column":
+    """60-bit token hash derivable in ANY engine with md5: parse the first
+    15 hex chars of ``md5(token)`` as an integer.  Slower than ``xxhash64``
+    (md5 + string slicing per token) but bit-reproducible outside the JVM —
+    the DuckDB oracle computes the identical value, making the SimHash
+    operators oracle-checkable end-to-end."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash_near_duplicate_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     n_bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn=None,
+    n_bits: int = 63,
 ) -> DataFrame:
     """SimHash near-duplicate pairs ``(a_id, b_id, hamming)`` with hamming
     distance ≤ ``max_hamming`` — the Manku/Jain/Das Sarma web-dedup shape.
@@ -361,9 +372,11 @@ def simhash_near_duplicate_pairs(
     """
     if max_hamming >= n_bands:
         raise ValueError("exactness needs n_bands > max_hamming (pigeonhole)")
-    width = 64 // n_bands
+    width = -(-(n_bits + 1) // n_bands)  # ceil; bands must cover every bit
     mask = (1 << width) - 1
-    sigs = simhash_signatures(docs, id_col=id_col, text_col=text_col)
+    sigs = simhash_signatures(
+        docs, id_col=id_col, text_col=text_col, hash_fn=hash_fn, n_bits=n_bits
+    )
     banded = sigs.select(
         "doc_id",
         "simhash",
@@ -425,33 +438,44 @@ def doc_fingerprints(
 
 
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=None,
+    n_bits: int = 63,
 ) -> DataFrame:
-    """Charikar SimHash: 64-bit fingerprint ``(doc_id, simhash)``.
+    """Charikar SimHash: ``n_bits``-bit fingerprint ``(doc_id, simhash)``.
 
     For each bit position, majority vote of token-hash bits: bit k of the
     fingerprint is 1 iff Σ_tokens (hash(token) bit k ? +1 : −1) > 0.
-    Computed as explode(tokens) → one xxhash64 per token → hash-aggregate
-    with 63 SUM columns (codegen'd, map-side combined), then the bits are
-    OR-packed from the vote sums.  (An ``F.aggregate`` over the token array
-    per bit would re-tokenize and re-hash interpreted 63× per row.)
-    Near-duplicate docs land within small hamming distance.
+    Computed as explode(tokens) → one hash per token → hash-aggregate
+    with ``n_bits`` SUM columns (codegen'd, map-side combined), then the
+    bits are OR-packed from the vote sums.  (An ``F.aggregate`` over the
+    token array per bit would re-tokenize and re-hash interpreted per
+    row.)  Near-duplicate docs land within small hamming distance.
+
+    ``hash_fn`` defaults to JVM ``xxhash64`` with 63 usable bits (bit 63
+    excluded keeps the fingerprint non-negative); pass
+    :func:`portable_token_hash` with ``n_bits=60`` for a fingerprint an
+    external SQL engine can reproduce bit-for-bit (the DuckDB oracle).
     """
+    if hash_fn is None:
+        hash_fn = lambda c: F.xxhash64(c)
     ex = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(F.col(text_col))).alias("_t"),
-    ).select("_id", F.xxhash64(F.col("_t")).alias("_h"))
+    ).select("_id", hash_fn(F.col("_t")).alias("_h"))
     votes = [
         F.sum(
             F.when(
                 F.col("_h").bitwiseAND(F.lit(1 << k).cast("long")) != 0, 1
             ).otherwise(-1)
         ).alias(f"_v{k}")
-        for k in range(63)  # bit 63 excluded: keep the fingerprint non-negative
+        for k in range(n_bits)
     ]
     agg = ex.groupBy("_id").agg(*votes)
     sim = F.lit(0).cast("long")
-    for k in range(63):
+    for k in range(n_bits):
         sim = sim.bitwiseOR(
             F.when(F.col(f"_v{k}") > 0, F.lit(1 << k).cast("long")).otherwise(
                 F.lit(0).cast("long")

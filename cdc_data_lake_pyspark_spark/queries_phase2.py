@@ -253,30 +253,91 @@ def dedup_jaccard_prefix(spark, sf_dir):
     )
 
 
-@query("dedup_minhash_lsh")  # rows-only: xxhash64 isn't portable to DuckDB
+@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash → LSH banding → exact verification (the 100 TB dedup path).
-    Correctness vs the exact Jaccard baseline is asserted in
-    tests/test_phase2.py::test_minhash_lsh_matches_exact_jaccard."""
+
+    Oracle-checkable BECAUSE of the exact-verification step: every emitted
+    pair carries the true Jaccard, so the output is the exact-Jaccard pair
+    set whenever banding recall is 1 — which the seeded (64-hash, 16×4)
+    configuration achieves on this corpus (planted near-dups sit well
+    above the 0.8 threshold: P[miss] < 1e-7 per pair; verified equal at
+    sf0.001/sf0.01 and asserted in
+    tests/test_phase2.py::test_minhash_lsh_matches_exact_jaccard)."""
     return minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 isn't portable to DuckDB
+def _simhash_sql(n_bits: int = 60) -> str:
+    """DuckDB SimHash reproducing ``simhash_signatures(...,
+    portable_token_hash, n_bits=60)`` bit-for-bit: same whitespace
+    tokenization, same md5-hex-prefix token hash, same ±1 bit votes."""
+    hex_parse = (
+        "list_reduce(list_transform(generate_series(1, 15), "
+        "i -> CAST(strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1 AS BIGINT)), "
+        "(a, c) -> a * 16 + c)"
+    )
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}"
+        for k in range(n_bits)
+    )
+    packed = " + ".join(
+        f"CASE WHEN v{k} > 0 THEN CAST({1 << k} AS BIGINT) ELSE 0 END"
+        for k in range(n_bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+), hashed AS (
+  SELECT doc_id, {hex_parse} AS h FROM toks
+), votes AS (
+  SELECT doc_id, {votes}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
+"""
+
+
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH sim AS ({_simhash_sql()})
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("dedup_simhash", oracle=_simhash_sql())
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash fingerprints; hamming-close ⇒ near-duplicate."""
-    return simhash_signatures(_t(spark, sf_dir, "documents"))
+    """SimHash fingerprints with the portable (md5-derived) token hash —
+    bit-identical in DuckDB, so the whole explode→vote→pack pipeline is
+    oracle-checked.  (The operator's default stays JVM xxhash64 — faster
+    at scale; its banding exactness is pytest-verified.)"""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        portable_token_hash,
+    )
+
+    return simhash_signatures(
+        _t(spark, sf_dir, "documents"), hash_fn=portable_token_hash, n_bits=60
+    )
 
 
-@query("dedup_simhash_pairs")  # rows-only: xxhash64 isn't portable to DuckDB
+@query("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (hamming ≤ 3) via exact pigeonhole banding;
-    recall-exactness vs the brute-force pair set is asserted in
+    """SimHash near-dup pairs (hamming ≤ 3) via exact pigeonhole banding.
+    The banding loses NO pairs (any pair within hamming d < n_bands shares
+    a whole band), so the output equals the all-pairs hamming join the
+    oracle runs; with the portable hash the signatures — and therefore the
+    pairs AND distances — match DuckDB bit-for-bit.  Banding exactness is
+    also asserted in
     tests/test_phase2.py::test_simhash_banding_finds_all_close_pairs."""
     from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        portable_token_hash,
         simhash_near_duplicate_pairs,
     )
 
-    return simhash_near_duplicate_pairs(_t(spark, sf_dir, "documents"))
+    return simhash_near_duplicate_pairs(
+        _t(spark, sf_dir, "documents"), hash_fn=portable_token_hash, n_bits=60
+    )
 
 
 _EMB_COS_ORACLE = """
