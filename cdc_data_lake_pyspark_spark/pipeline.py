@@ -192,10 +192,16 @@ class CdcPipeline:
         deduped = latest_change_per_key(payload, cfg.primary_keys, order_by=order_by)
         if self.ts_guard:
             deduped = deduped.withColumnRenamed("ts_ms", self.ts_guard)
-            self.sink.merge(cfg, deduped, ts_guard=self.ts_guard)
         else:
             # reference drops ts_ms before MERGE (:273)
-            self.sink.merge(cfg, deduped.drop("ts_ms"))
+            deduped = deduped.drop("ts_ms")
+        # an upsert-only stream must still create the table (the reference
+        # creates before MERGE, transaction_log_util.py:202-214; catalog
+        # sinks can't merge into a missing table)
+        self.sink.create_if_not_exists(cfg, deduped.schema)
+        self.sink.merge(
+            cfg, deduped, **({"ts_guard": self.ts_guard} if self.ts_guard else {})
+        )
         logger.info("upsert applied: %s", cfg.qualified_name)
 
     def _apply_delete(self, cfg, tbl: DataFrame) -> None:
@@ -205,14 +211,18 @@ class CdcPipeline:
         # inference pass entirely and give from_json a PK-only schema —
         # one narrow extraction instead of infer-everything +
         # parse-everything (a full extra scan of the batch JSON at scale).
+        if not self.sink.exists(cfg.db, cfg.table):
+            # nothing to delete from — and catalog sinks can't run DELETE
+            # against a missing table
+            logger.info("delete skipped (no table): %s", cfg.qualified_name)
+            return
         target_pk_schema = None
-        if self.sink.exists(cfg.db, cfg.table):
-            target_schema = self.sink.read(tbl.sparkSession, cfg.db, cfg.table).schema
-            pk_fields = [f for f in target_schema.fields if f.name in cfg.primary_keys]
-            if len(pk_fields) == len(cfg.primary_keys):
-                from pyspark.sql import types as T
+        target_schema = self.sink.read(tbl.sparkSession, cfg.db, cfg.table).schema
+        pk_fields = [f for f in target_schema.fields if f.name in cfg.primary_keys]
+        if len(pk_fields) == len(cfg.primary_keys):
+            from pyspark.sql import types as T
 
-                target_pk_schema = T.StructType(pk_fields)
+            target_pk_schema = T.StructType(pk_fields)
         schema = target_pk_schema or infer_json_schema(
             sliced, "before", sample_rows=self.schema_sample_rows
         )

@@ -25,6 +25,16 @@ def build_session(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
+    # LocalLake DSv2 catalog (executable MERGE INTO / DELETE without an
+    # Iceberg/Delta runtime): compile lazily and put the classes on the
+    # driver classpath BEFORE the JVM starts. No-op without a JDK.
+    locallake_cp = None
+    try:
+        from cdc_data_lake_pyspark_spark.catalog import ensure_compiled
+
+        locallake_cp = ensure_compiled()
+    except Exception:  # pragma: no cover - compile failure is non-fatal
+        pass
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -35,6 +45,8 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
+    if locallake_cp:
+        builder = builder.config("spark.driver.extraClassPath", locallake_cp)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
