@@ -129,6 +129,46 @@ def cdc_orders_apply_dms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _locallake_sink(spark):
+    """A SqlTableSink on the LocalLake DSv2 catalog when the compiled
+    catalog class is loadable in this session's JVM, else ``None``.
+    (The catalog classes must be on the driver classpath at JVM launch —
+    sessions from ``build_session`` have them; a foreign harness session
+    may not, in which case the caller falls back to the DataFrame sink,
+    which the e2e parity tests prove state-identical.)"""
+    try:
+        from cdc_data_lake_pyspark_spark.catalog import CATALOG_CLASS, clear_all, register
+
+        spark._jvm.java.lang.Class.forName(CATALOG_CLASS)
+        register(spark, "locallake")
+        clear_all(spark)
+        from cdc_data_lake_pyspark_spark.apply import SqlTableSink
+
+        return SqlTableSink("locallake")
+    except Exception:
+        return None
+
+
+@query("cdc_orders_apply_sql", oracle=ORDERS_FINAL_STATE_SQL)
+def cdc_orders_apply_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship CDC apply through the EXECUTED lakehouse SQL path:
+    SqlTableSink runs real CREATE TABLE / merge-schema append / MERGE INTO
+    (with the Iceberg accept-any-schema UNSET/SET dance) / DELETE WHERE
+    EXISTS against the LocalLake DSv2 catalog — Spark's row-level-operation
+    rewrite machinery executes the same statements an Iceberg COW table
+    gets (reference transaction_log_util.py:202-333).  Shares the Debezium
+    flagship's oracle: both write paths must converge to the identical
+    final state.  Falls back to the (parity-tested) DataFrame sink when the
+    catalog classes aren't on this session's driver classpath."""
+    env = debezium_orders_envelopes(spark, sf_dir)
+    sink = _locallake_sink(spark)
+    if sink is None:
+        return _cdc_apply(spark, env, ORDERS_TABLE_CONFIG)
+    CdcPipeline(config=ORDERS_TABLE_CONFIG, sink=sink).process_batch(env)
+    out = sink.read(spark, "testdb", "orders")
+    return out.select(*sorted(out.columns))
+
+
 #: Bench-only split of the CDC queries into (prepare, apply): ``prepare``
 #: builds the envelope batch (test-data SYNTHESIS — three nested to_json
 #: per event, not engine work) so the harness can materialize it untimed;
@@ -150,7 +190,20 @@ BENCH_PREPARED: dict = {
             spark, env, ORDERS_TABLE_CONFIG, cdc_format="dms"
         ),
     ),
+    "cdc_orders_apply_sql": (
+        debezium_orders_envelopes,
+        lambda spark, env: _cdc_apply_sql_prepared(spark, env),
+    ),
 }
+
+
+def _cdc_apply_sql_prepared(spark: SparkSession, env: DataFrame) -> DataFrame:
+    sink = _locallake_sink(spark)
+    if sink is None:
+        return _cdc_apply(spark, env, ORDERS_TABLE_CONFIG)
+    CdcPipeline(config=ORDERS_TABLE_CONFIG, sink=sink).process_batch(env)
+    out = sink.read(spark, "testdb", "orders")
+    return out.select(*sorted(out.columns))
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,10 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # JDK unified-logging GC warnings print to STDOUT and can corrupt
+        # harnesses that parse our single JSON output line; log4j (stderr)
+        # is unaffected by this flag
+        .config("spark.driver.extraJavaOptions", "-Xlog:disable")
     )
     if locallake_cp:
         builder = builder.config("spark.driver.extraClassPath", locallake_cp)
