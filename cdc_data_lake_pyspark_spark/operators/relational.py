@@ -1,0 +1,163 @@
+"""Relational operators a training-data pipeline leans on beyond the
+reference's CDC surface: gap sessionization, as-of joins, deterministic
+hash splits, and quantile bucketing.
+
+All four are pure DataFrame compositions (no UDFs, no driver collects) and
+each has an exact ANSI-SQL oracle (registered in queries_phase3.py).
+
+Scale notes per operator in the docstrings; the common theme: one shuffle
+on the natural key, window functions over per-key partitions, everything
+codegen'd.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: events of one key belong to the same
+    session while consecutive gaps stay under ``gap``.
+
+    Adds ``session_seq`` (1-based per-key session index) — the classic
+    lag → new-session flag → running-sum composition.  ONE shuffle (hash
+    by key); both windows share the same partitioning so Spark plans a
+    single exchange + sort.  At 100 TB this is the canonical layout:
+    sessions never span keys, so per-key partitions parallelize freely.
+    ``id_col`` breaks timestamp ties deterministically.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(id_col).asc())
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col(ts_col) > prev_ts + gap_expr), 1
+    ).otherwise(0)
+    return events.withColumn("_new", new_session).withColumn(
+        "session_seq", F.sum("_new").over(w)
+    ).drop("_new")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """As-of join: each left row picks the LATEST right row with the same
+    key and ``right_ts <= left_ts`` (the time-series/price-lookup shape;
+    DuckDB spells it ``ASOF JOIN``).
+
+    Spark-first: NOT a range join (which explodes to O(matches) pairs and
+    re-filters) — the union-and-window trick:
+
+      union both sides tagged → one window per key ordered by (ts, side)
+      → ``last_value(right payload, ignoreNulls)`` carries the most recent
+      right row forward → keep left rows.
+
+    ONE shuffle of left+right on the key, one sort, no join at all; ties
+    (right_ts == left_ts) match because right rows sort BEFORE left rows
+    at equal timestamps.  Left rows with no prior right row keep nulls
+    (LEFT OUTER ASOF semantics).
+    """
+    right_cols = list(right_cols or [c for c in right.columns if c not in (right_key, right_ts)])
+    lcols = [c for c in left.columns]
+
+    tagged_left = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("_r_ts"),
+    )
+    tagged_right = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(right_ts).alias("_r_ts"),
+    )
+    both = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in right_cols
+        ],
+        F.last(F.col("_r_ts"), ignorenulls=True).over(w).alias("_c_ts"),
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"_c_{c}").alias(c) for c in right_cols],
+        F.col("_c_ts").alias("asof_ts"),
+    )
+
+
+def portable_id_hash(col: Column) -> Column:
+    """60-bit deterministic hash of any value, identical in DuckDB: parse
+    the first 15 hex chars of ``md5(cast(x as string))``.  The portable
+    cousin of ``xxhash64`` for split/sample decisions that must be
+    reproducible outside the JVM."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: Sequence[int] = (80, 10, 10),
+    names: Sequence[str] = ("train", "val", "test"),
+) -> DataFrame:
+    """Deterministic train/val/test assignment: ``split`` column derived
+    from a portable hash of the id — stable across runs, engines, and
+    cluster layouts (unlike ``randomSplit``, which depends on partitioning).
+
+    Map-only: no shuffle, no state; at 100 TB each task decides its rows
+    independently, and adding data never reassigns existing ids.
+    """
+    if len(weights) != len(names):
+        raise ValueError("weights and names must align")
+    total = sum(weights)
+    bucket = F.pmod(portable_id_hash(F.col(id_col)), F.lit(total))
+    expr = None
+    acc = 0
+    for w, name in zip(weights, names):
+        acc += w
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+    partition_cols: Sequence[str] = (),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact quantile bucketing (``ntile``) with a deterministic tiebreak
+    on ``id_col`` — e.g. quality-score deciles per language for curriculum
+    mixing.  One shuffle on the partition columns; the per-partition sort
+    is the unavoidable cost of exact quantiles (approx alternatives:
+    ``approxQuantile`` driver-side, not oracle-stable)."""
+    w = Window.partitionBy(*[F.col(c) for c in partition_cols]).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    return df.withColumn("bucket", F.ntile(n_buckets).over(w))

@@ -576,6 +576,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _load_phase2() -> None:
-    """Register the phase-2 inventory (deferred import: queries_phase2
-    imports back from this module)."""
+    """Register the phase-2/3 inventories (deferred import: those modules
+    import back from this module)."""
     import cdc_data_lake_pyspark_spark.queries_phase2  # noqa: F401
+    import cdc_data_lake_pyspark_spark.queries_phase3  # noqa: F401

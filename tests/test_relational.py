@@ -1,0 +1,82 @@
+"""Property tests for the phase-3 relational operators (the oracle gate
+covers exact parity; these pin the semantic properties)."""
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.operators.relational import (
+    asof_join,
+    hash_split,
+    quantile_buckets,
+    sessionize,
+)
+
+
+def _ts(minute):
+    return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=minute)
+
+
+def test_sessionize_gap_boundaries(spark):
+    rows = [
+        Row(event_id=1, user_id=1, ts=_ts(0)),
+        Row(event_id=2, user_id=1, ts=_ts(30)),   # exactly the gap: same session
+        Row(event_id=3, user_id=1, ts=_ts(61)),   # > gap after #2: new session
+        Row(event_id=4, user_id=2, ts=_ts(0)),    # other key: independent
+    ]
+    out = {
+        r.event_id: r.session_seq
+        for r in sessionize(spark.createDataFrame(rows), gap="30 minutes").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_asof_join_matches_bruteforce(spark):
+    left = spark.createDataFrame(
+        [Row(eid=i, k=i % 3, lts=_ts(i)) for i in range(30)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=i % 3, rts=_ts(i * 2), payload=i * 100) for i in range(10)]
+    )
+    got = {
+        r.eid: (r.payload, r.asof_ts)
+        for r in asof_join(
+            left, right, "k", "k", "lts", "rts", right_cols=["payload"]
+        ).collect()
+    }
+    # brute force: max-ts right row with rts <= lts per left row
+    rrows = [(r.k, r.rts, r.payload) for r in right.collect()]
+    for lrow in left.collect():
+        cands = [(rts, p) for (k, rts, p) in rrows if k == lrow.k and rts <= lrow.lts]
+        expect = max(cands) if cands else (None, None)
+        assert got[lrow.eid] == (expect[1], expect[0]), f"eid={lrow.eid}"
+    assert len(got) == 30  # left-outer: every left row survives
+
+
+def test_hash_split_deterministic_and_partition(spark):
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(1000)])
+    a = {r.doc_id: r.split for r in hash_split(df).collect()}
+    b = {r.doc_id: r.split for r in hash_split(df.repartition(7)).collect()}
+    assert a == b  # independent of physical layout
+    counts = {s: list(a.values()).count(s) for s in ("train", "val", "test")}
+    assert counts["train"] > 700 and counts["val"] > 50 and counts["test"] > 50
+    assert sum(counts.values()) == 1000
+
+
+def test_quantile_buckets_sizes(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, grp="a", v=float(i % 97)) for i in range(100)]
+    )
+    out = quantile_buckets(df, "v", n_buckets=10, partition_cols=["grp"]).collect()
+    sizes = {}
+    for r in out:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+    assert sorted(sizes) == list(range(1, 11))
+    assert all(size == 10 for size in sizes.values())
+    # monotone: higher bucket never has a smaller max value than lower's min
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.v)
+    for b in range(1, 10):
+        assert max(by_bucket[b]) <= min(by_bucket[b + 1]) + 1e-9
