@@ -212,6 +212,20 @@ def target_table_alias(target_table: str) -> str:
     return "t1"
 
 
+def build_compaction_sql(catalog: str, db: str, table: str, using: str = "iceberg") -> str:
+    """Small-file compaction statement for the lakehouse sink — the
+    maintenance the reference leaves to the platform: Iceberg's
+    ``rewrite_data_files`` procedure, Delta's ``OPTIMIZE``.  The parquet
+    sink's equivalent is :meth:`ParquetTableSink.compact` (executed +
+    tested); catalog procedures need the respective runtime, so this text
+    is generated/unit-tested and run by :meth:`SqlTableSink.compact`."""
+    if using == "delta":
+        return f"OPTIMIZE {catalog}.{_quote(db)}.{_quote(table)}"
+    # Iceberg stored procedure: table arg is a quoted string literal
+    ident = f"{db}.{table}".replace("'", "''")
+    return f"CALL {catalog}.system.rewrite_data_files(table => '{ident}')"
+
+
 def build_create_table_sql(
     cfg: TableConfig,
     catalog: str,
@@ -468,6 +482,14 @@ class SqlTableSink(TableSink):
             )
 
         self._guard("delete", _do)
+
+    def compact(self, db: str, table: str) -> None:
+        """Run the lakehouse maintenance statement (Iceberg
+        ``rewrite_data_files`` / Delta ``OPTIMIZE``).  Requires the
+        respective runtime's stored-procedure support; see
+        :func:`build_compaction_sql`."""
+        spark = SparkSession.getActiveSession()
+        spark.sql(build_compaction_sql(self.catalog, db, table, using=self.using))
 
 
 class ParquetTableSink(TableSink):

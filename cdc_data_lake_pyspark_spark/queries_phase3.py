@@ -115,6 +115,96 @@ def split_assignment(spark, sf_dir):
 
 
 @query(
+    "vocab_top_tokens",
+    oracle="""
+    SELECT t AS token, CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+    GROUP BY t
+    ORDER BY n DESC, t ASC
+    LIMIT 100
+    """,
+)
+def vocab_top_tokens(spark, sf_dir):
+    """Vocabulary building: corpus-wide token frequencies + document
+    frequencies, top-100 with a deterministic (count desc, token asc)
+    order.  Explode → ONE hash aggregate computing tf and df together
+    (count + approx-free distinct via count(distinct) -> two-phase
+    aggregate); the top-k is a tiny sorted take, never a full sort at
+    scale (Spark plans TakeOrderedAndProject)."""
+    from cdc_data_lake_pyspark_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    return (
+        ex.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "tfidf_top_term",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM ex GROUP BY doc_id, t
+    ), df AS (
+      SELECT t, count(DISTINCT doc_id) AS df FROM ex GROUP BY t
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.t, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+      FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+    )
+    SELECT doc_id, t AS term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+    FROM (
+      SELECT doc_id, t, tf, df,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, t ASC) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def tfidf_top_term(spark, sf_dir):
+    """TF-IDF: each document's highest-scoring term (tf · ln(N/df)) with a
+    deterministic tie-break.  Shuffles: one (doc, token) aggregate, one
+    token df aggregate (broadcast back onto the tf frame — token
+    vocabulary ≪ corpus), one per-doc top-1 window.  The emitted columns
+    are the exact integers (tf, df) rather than the float score: ln() is
+    not bit-identical across math libraries (JVM vs libm differ in the
+    last ulp), so the score ranks internally but stays out of the hash."""
+    from cdc_data_lake_pyspark_spark.functions.text import tokens
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    ex = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tf = ex.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    df = ex.groupBy("t").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "t").select(
+        "doc_id",
+        "t",
+        "tf",
+        "df",
+        (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("t").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("t").alias("term"), "tf", "df")
+    )
+
+
+@query(
     "quality_deciles",
     oracle="""
     WITH scored AS (

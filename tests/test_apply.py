@@ -83,6 +83,15 @@ def test_merge_statement_sequence_iceberg_unsets_accept_any_schema():
     ]
 
 
+def test_compaction_sql_text():
+    from cdc_data_lake_pyspark_spark.apply import build_compaction_sql
+
+    assert build_compaction_sql("glue", "db", "t") == (
+        "CALL glue.system.rewrite_data_files(table => 'db.t')"
+    )
+    assert build_compaction_sql("c", "db", "t", using="delta") == "OPTIMIZE c.`db`.`t`"
+
+
 def test_delete_sql_with_guard():
     sql = build_delete_sql("c.d.t", "v", ["id"], ts_guard="_cdc_ts_ms")
     assert "AND u.`_cdc_ts_ms` >= t1.`_cdc_ts_ms`" in sql

@@ -141,6 +141,38 @@ def test_sql_sink_schema_evolution_append(spark, lake):
     assert out[1].extra is None and out[2].extra == 7
 
 
+def test_streaming_into_sql_sink(spark, lake, tmp_path):
+    """Structured Streaming foreachBatch driving the EXECUTED SQL sink:
+    two micro-batches of file-source envelopes, each applied to the
+    LocalLake table with real append/MERGE/DELETE statements — the
+    reference's full deployment shape (stream → foreachBatch → Iceberg)."""
+    import os
+
+    from cdc_data_lake_pyspark_spark.streaming.runner import start_cdc_stream
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+    sink = SqlTableSink(lake)
+    pipe = CdcPipeline(config=_CFG, sink=sink)
+
+    def write_batch(name, lines):
+        with open(src / name, "w") as f:
+            f.write("\n".join(v[0] for v in lines))
+
+    write_batch("b0.jsonl", [_env("c", {"id": 1, "v": "a"}, 1),
+                             _env("c", {"id": 2, "v": "b"}, 2)])
+    write_batch("b1.jsonl", [_env("u", {"id": 2, "v": "B2"}, 3),
+                             _env("d", None, 4, before={"id": 1, "v": "a"})])
+    stream = spark.readStream.format("text").schema("value string").load(str(src))
+    q = start_cdc_stream(
+        stream, pipe, str(tmp_path / "ckpt"), available_now=True,
+        query_name="locallake_stream",
+    )
+    q.awaitTermination(120)
+    out = {r.id: r.v for r in spark.table(f"{lake}.`d`.`t`").collect()}
+    assert out == {2: "B2"}
+
+
 def test_executed_merge_sql_is_the_generated_text(spark, lake):
     """The statements the sink runs are the tested generators' output —
     including the accept-any-schema UNSET/SET dance around MERGE."""
