@@ -580,3 +580,4 @@ def _load_phase2() -> None:
     import back from this module)."""
     import cdc_data_lake_pyspark_spark.queries_phase2  # noqa: F401
     import cdc_data_lake_pyspark_spark.queries_phase3  # noqa: F401
+    import cdc_data_lake_pyspark_spark.queries_phase4  # noqa: F401
