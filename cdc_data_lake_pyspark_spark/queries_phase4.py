@@ -16,7 +16,20 @@ from cdc_data_lake_pyspark_spark.operators.clusters import (
     dedup_keep_canonical,
 )
 from cdc_data_lake_pyspark_spark.operators.dedup_text import jaccard_similar_pairs
+from cdc_data_lake_pyspark_spark.operators.packing import pack_documents
+from cdc_data_lake_pyspark_spark.operators.sampling import stratified_sample
 from cdc_data_lake_pyspark_spark.queries import _t, query
+from cdc_data_lake_pyspark_spark.queries_phase3 import _HASH_SQL
+
+
+def _hash_sql(expr: str) -> str:
+    """The 60-bit portable md5 hash of an arbitrary VARCHAR expression,
+    spelled in DuckDB (same math as relational.portable_id_hash)."""
+    return (
+        "list_reduce(list_transform(generate_series(1, 15), "
+        f"i -> CAST(strpos('0123456789abcdef', substring(md5({expr}), i, 1)) - 1 AS BIGINT)), "
+        "(a, c) -> a * 16 + c)"
+    )
 
 # ---------------------------------------------------------------------------
 # Duplicate clustering — connected components over the exact-Jaccard pair
@@ -90,3 +103,81 @@ def dedup_keep_canonical_q(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = jaccard_similar_pairs(docs, threshold=0.8).select("a_id", "b_id")
     return dedup_keep_canonical(docs, pairs).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — token-budget bin assignment (greedy first-fit in id
+# order within portable-hash groups).  The oracle replays the same greedy
+# walk with a recursive CTE advancing one row per group per step.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             CAST({_HASH_SQL} % 16 AS INT) AS grp,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), seq AS (
+      SELECT grp, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+      FROM base
+    ), rec AS (
+      SELECT grp, rn, doc_id, n_tokens,
+             CAST(1 AS BIGINT) AS bin, n_tokens AS fill
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.grp, s.rn, s.doc_id, s.n_tokens,
+             CASE WHEN r.fill + s.n_tokens <= 512
+                  THEN r.bin ELSE r.bin + 1 END,
+             CASE WHEN r.fill + s.n_tokens <= 512
+                  THEN r.fill + s.n_tokens ELSE s.n_tokens END
+      FROM rec r JOIN seq s ON s.grp = r.grp AND s.rn = r.rn + 1
+    )
+    SELECT grp AS "group", doc_id, n_tokens, bin FROM rec
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (512-token bins, 16 independent
+    hash groups): greedy first-fit in id order inside each group via ONE
+    applyInPandas pass — the sequential decision stays per-group-linear
+    while groups parallelize freely.  The oracle replays the identical
+    greedy walk with a recursive CTE."""
+    from cdc_data_lake_pyspark_spark.functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_documents(docs, budget=512, n_groups=16)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling — data-mixing rates per language.
+# ---------------------------------------------------------------------------
+
+_TICKET_SQL = _hash_sql("lang || '|' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang, {_TICKET_SQL} % 1000000 AS ticket FROM documents
+    )
+    WHERE ticket < CASE lang WHEN 'en' THEN 500000
+                             WHEN 'zh' THEN 250000
+                             ELSE 100000 END
+    """,
+)
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic data mixing: keep 50% of en, 25% of zh, 10% of the
+    rest — the keep decision is a pure function of (stratum, id) via the
+    portable hash, so the selected set is identical across engines, runs,
+    and partitionings (what sample()/sampleBy() cannot promise).
+    Map-only: no shuffle, filter pushes to the scan."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, {"en": 0.5, "zh": 0.25}, default_fraction=0.1
+    )
