@@ -1,0 +1,86 @@
+"""Cardinality sketching: a PORTABLE HyperLogLog whose register state is
+exact integer arithmetic over the portable md5 hash — so the sketch (not
+just the estimate) is reproducible bit-for-bit in any engine, and the
+DuckDB oracle can verify it (queries_phase4).
+
+Why not ``approx_count_distinct``: Spark's HLL++ is correct but its
+register state is engine-private — unverifiable across systems, and
+sketches built elsewhere can't merge with it.  This one is the textbook
+Flajolet et al. construction over a fixed hash, which makes the sketch a
+portable ARTIFACT: per-partition / per-file sketches computed by any
+engine merge by register-max.
+
+Scale story: the sketch state is ``m`` registers per group — constant
+size.  The aggregation is one shuffle keyed by (group, register); partial
+max combines map-side, so 100 TB of rows reduce to ``groups × m`` tiny
+rows before the exchange.  The decoded estimate is driver-side float math
+over one row per group.
+
+State encoding (what the operators emit):
+* ``v_empty``  — registers never hit (needed for linear counting);
+* ``sum_pow``  — Σ 2^(53 − M_j) over NON-empty registers, a BIGINT:
+  the harmonic-mean denominator scaled by 2^53 so it stays integer-exact
+  (M_j ≤ 53 ⇒ each term ≤ 2^52; m ≤ 2^12 terms fit comfortably).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.operators.relational import portable_id_hash
+
+#: hash width consumed by the sketch (the portable hash is 60-bit)
+_HASH_BITS = 60
+
+
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HLL register state: ``(*group_cols, m, v_empty, sum_pow)``.
+
+    ``p`` index bits ⇒ ``m = 2**p`` registers; the remaining
+    ``60 − p`` hash bits feed the leading-zero rank.  Two aggregations:
+    (group, register) → max rank, then group → the integer state.
+    """
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    hv = portable_id_hash(F.col(value_col))
+    j = F.pmod(hv, F.lit(m))
+    w = F.floor(hv / F.lit(m)).cast("long")
+    # rank = leading zeros of the (60-p)-bit suffix + 1 = (w_bits+1) - bit_length(w)
+    bit_length = F.length(F.conv(w.cast("string"), 10, 2))
+    rank = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - bit_length
+    )
+    regs = (
+        df.select(*group_cols, j.alias("_j"), rank.alias("_rank"))
+        .groupBy(*group_cols, "_j")
+        .agg(F.max("_rank").alias("_m_j"))
+    )
+    return regs.groupBy(*group_cols).agg(
+        F.lit(m).alias("m"),
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("v_empty"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({w_bits + 1} - _m_j AS INT))")
+        ).alias("sum_pow"),
+    )
+
+
+def hll_estimate(m: int, v_empty: int, sum_pow: int, p: int = 8) -> float:
+    """Decode a sketch row into a cardinality estimate (standard HLL
+    bias-corrected harmonic mean + linear-counting small-range fix)."""
+    w_bits = _HASH_BITS - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    # empty registers contribute 2^-0 = 1 each, scaled: 2^(w_bits+1)
+    z_scaled = sum_pow + v_empty * (1 << (w_bits + 1))
+    estimate = alpha * m * m * float(1 << (w_bits + 1)) / float(z_scaled)
+    if estimate <= 2.5 * m and v_empty > 0:
+        return m * math.log(m / v_empty)
+    return estimate

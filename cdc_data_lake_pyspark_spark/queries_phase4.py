@@ -181,3 +181,339 @@ def stratified_sample_docs(spark, sf_dir):
     return stratified_sample(
         docs, {"en": 0.5, "zh": 0.25}, default_fraction=0.1
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics suite — rollup, pivot, exact percentiles, interval join,
+# moving averages.  Star-join dimensions broadcast; float aggregates ride
+# the exact decimal bridge so both engines hash identically.
+# ---------------------------------------------------------------------------
+
+
+def _star(spark, sf_dir):
+    """orders ⋈ customer ⋈ nation ⋈ region with dimensions broadcast —
+    the shared star-join base (facts shuffle once on o_custkey; the
+    dimension chain is build-side broadcast, no extra exchanges)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(
+            F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+        )
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+
+
+@query(
+    "revenue_rollup",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def revenue_rollup(spark, sf_dir):
+    """Hierarchical revenue rollup (region → nation → grand total) in ONE
+    pass: Spark's ``rollup`` expands grouping sets inside a single
+    aggregate (Expand + partial agg), not three scans.  Dimensions
+    broadcast; the fact table shuffles once."""
+    star = _star(spark, sf_dir)
+    return (
+        star.rollup(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+
+@query(
+    "pivot_segment_region",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+    """
+    + ",\n    ".join(
+        "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) "
+        f"FILTER (WHERE r.r_name = '{reg}') AS DOUBLE) AS \"rev_{reg}\""
+        for reg in _REGIONS
+    )
+    + """
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def pivot_segment_region(spark, sf_dir):
+    """Revenue pivot: market segment rows × region columns.  Explicit
+    pivot values keep this a single aggregate (no extra distinct pass to
+    discover columns — the scale trap of ``pivot()`` without values)."""
+    star = _star(spark, sf_dir)
+    pivoted = (
+        star.groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("r_name", _REGIONS)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+    )
+    return pivoted.select(
+        "segment",
+        *[F.col(f"`{reg}`").cast("double").alias(f"rev_{reg}") for reg in _REGIONS],
+    )
+
+
+@query(
+    "segment_price_percentiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT c.c_mktsegment AS segment, o.o_totalprice AS price,
+             row_number() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice, o.o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY c.c_mktsegment) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT segment,
+           max(CASE WHEN rn = CAST(ceiling(0.25 * n) AS BIGINT) THEN price END) AS p25,
+           max(CASE WHEN rn = CAST(ceiling(0.50 * n) AS BIGINT) THEN price END) AS p50,
+           max(CASE WHEN rn = CAST(ceiling(0.75 * n) AS BIGINT) THEN price END) AS p75
+    FROM ranked GROUP BY segment
+    """,
+)
+def segment_price_percentiles(spark, sf_dir):
+    """Exact per-group percentiles (p25/p50/p75 of order value per market
+    segment) by deterministic rank selection — each percentile is an
+    ACTUAL data value (discrete selection at ceil(p·n)), so the result is
+    bit-identical across engines, unlike interpolating percentile_cont
+    whose float arithmetic differs in the last ulp.  One shuffle + one
+    per-group sort; the window and the final aggregate share the same
+    partitioning."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("price"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("segment").orderBy("price", "o_orderkey")
+    ranked = joined.select(
+        "segment",
+        "price",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("segment")).alias("n"),
+    )
+
+    def pick(p: float):
+        at = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == at, F.col("price")))
+
+    return ranked.groupBy("segment").agg(
+        pick(0.25).alias("p25"), pick(0.50).alias("p50"), pick(0.75).alias("p75")
+    )
+
+
+@query(
+    "purchase_attribution_window",
+    oracle="""
+    SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_prior_events
+    FROM events p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts <= p.ts
+     AND e.ts > p.ts - INTERVAL 1 HOUR
+     AND e.event_id <> p.event_id
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def purchase_attribution_window(spark, sf_dir):
+    """Interval (range) join: for each purchase, the user's other events
+    in the preceding hour — the attribution-window shape.  The EQUALITY
+    key (user) drives the join, so this is an equi-join with residual
+    range predicates, never a cross join: both sides shuffle once on the
+    user key and the time window filters within matched groups.  At
+    100 TB per-user groups stay small, so the residual filter never
+    explodes; the purchase-side filter pushes to the scan."""
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    purchases = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    cond = (
+        (events["user_id"] == purchases["p_user"])
+        & (events["ts"] <= purchases["p_ts"])
+        & (events["ts"] > purchases["p_ts"] - F.expr("INTERVAL 1 HOUR"))
+        & (events["event_id"] != purchases["p_id"])
+    )
+    return (
+        purchases.join(events, cond)
+        .groupBy(F.col("p_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_prior_events"))
+    )
+
+
+@query(
+    "daily_revenue_ma7",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+    )
+    SELECT day, CAST(rev AS DOUBLE) AS revenue, n_orders,
+           CAST(CAST(SUM(rev) OVER w AS DOUBLE)
+                / CAST(count(*) OVER w AS DOUBLE) AS DOUBLE) AS ma7
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def daily_revenue_ma7(spark, sf_dir):
+    """Daily revenue with a trailing 7-day moving average.  The window sum
+    runs over EXACT decimals (order-independent), and the average is one
+    double division of exact inputs — bit-identical across engines.  The
+    unpartitioned window is fine here because the day-level frame is tiny
+    (one row per day); at raw-event scale you aggregate to days first —
+    exactly what this query does."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        F.col("rev").cast("double").alias("revenue"),
+        "n_orders",
+        (
+            F.sum("rev").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        )
+        .cast("double")
+        .alias("ma7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketches — portable HLL distinct counts (integer register state, oracle-
+# verifiable) and embedding centroid state per label.
+# ---------------------------------------------------------------------------
+
+_HLL_HASH = _hash_sql("CAST(user_id AS VARCHAR)")
+
+
+@query(
+    "hll_distinct_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, {_HLL_HASH} AS hv FROM events
+    ), r AS (
+      SELECT event_type, hv % 256 AS j, hv // 256 AS w FROM h
+    ), regs AS (
+      SELECT event_type, j,
+             max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS m_j
+      FROM r GROUP BY event_type, j
+    ), state AS (
+      SELECT event_type,
+             CAST(256 AS INT) AS m,
+             CAST(256 - count(*) AS BIGINT) AS v_empty,
+             CAST(SUM(1::BIGINT << (53 - m_j)) AS BIGINT) AS sum_pow
+      FROM regs GROUP BY event_type
+    ), exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, m, v_empty, sum_pow, n_exact
+    FROM state s JOIN exact e ON s.event_type = e.event_type
+    """,
+)
+def hll_distinct_users(spark, sf_dir):
+    """Portable HyperLogLog distinct-user sketch per event type — the
+    register STATE (not just the estimate) is exact integer arithmetic
+    over the portable hash, so the oracle verifies the sketch itself and
+    sketches built by any engine merge by register-max.  Two map-side-
+    combined aggregations: 100 TB of events reduce to groups × 256 rows
+    before the shuffle.  ``n_exact`` rides along for comparison (at scale
+    you'd skip it — that's the point of the sketch)."""
+    from cdc_data_lake_pyspark_spark.functions.sketch import hll_sketch
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = hll_sketch(ev, "user_id", ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return sk.join(exact, "event_type")
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings
+    )
+    SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT)
+             AS sum_scaled,
+           CAST(CAST(SUM(CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS DOUBLE) AS mean_scaled
+    FROM ex GROUP BY label, dim
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroid state: each dimension's exact integer
+    micro-unit sum (floats quantized to 1e-6 BEFORE aggregation, so the
+    sum is order-independent) plus the mean as one double division.
+    posexplode keeps everything JVM-side; the shuffle key (label, dim)
+    spreads a 100 TB corpus over labels × dims reducers with map-side
+    partial sums."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("v").cast("double") * F.lit(1e6)).cast("long")
+            ).alias("sum_scaled"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n",
+            "sum_scaled",
+            (
+                F.col("sum_scaled").cast("double") / F.col("n").cast("double")
+            ).alias("mean_scaled"),
+        )
+    )

@@ -1,0 +1,52 @@
+"""Portable HLL sketch (functions/sketch.py)."""
+
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.functions.sketch import hll_estimate, hll_sketch
+
+
+def _estimates(df):
+    return {
+        r["g"]: hll_estimate(r["m"], r["v_empty"], r["sum_pow"])
+        for r in df.collect()
+    }
+
+
+def test_estimate_within_hll_error_bound(spark):
+    # ~2857 distinct values per group: harmonic-mean regime for m=256
+    # (relative std error 1.04/sqrt(256) = 6.5%; assert 4 sigma)
+    df = spark.range(20000).select(
+        (F.col("id") % 7).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    got = _estimates(hll_sketch(df, "v", ["g"]))
+    for g, est in got.items():
+        true = len([i for i in range(20000) if i % 7 == int(g)])
+        assert abs(est - true) / true < 0.26, (g, est, true)
+
+
+def test_small_cardinality_uses_linear_counting(spark):
+    # 40 distinct « m=256: linear counting is near-exact
+    df = spark.range(40).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    est = _estimates(hll_sketch(df, "v", ["g"]))["a"]
+    assert abs(est - 40) < 3
+
+
+def test_sketch_state_layout_independent(spark):
+    df = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    rows = lambda d: sorted(
+        (r["g"], r["m"], r["v_empty"], r["sum_pow"]) for r in d.collect()
+    )
+    assert rows(hll_sketch(df, "v", ["g"])) == rows(
+        hll_sketch(df.repartition(17, "v"), "v", ["g"])
+    )
+
+
+def test_duplicates_do_not_move_the_sketch(spark):
+    base = spark.range(1000).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    doubled = base.unionAll(base)
+    rows = lambda d: sorted(
+        (r["g"], r["m"], r["v_empty"], r["sum_pow"]) for r in d.collect()
+    )
+    assert rows(hll_sketch(base, "v", ["g"])) == rows(hll_sketch(doubled, "v", ["g"]))
