@@ -73,6 +73,55 @@ def hll_sketch(
     )
 
 
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch state: ``(hash_row, bucket, n)`` — ``depth``
+    independent hash rows of ``width`` counters, counting occurrences of
+    ``value_col``.  Point estimate for a value = min over rows of its
+    bucket's counter (overestimates only; error ≤ n/width w.h.p.).
+
+    Like :func:`hll_sketch`, the state is exact integer arithmetic over
+    the portable hash (row-salted), so the whole sketch is verifiable in
+    DuckDB and sketches from different engines/partitions merge by
+    element-wise SUM.  One posexplode (depth rows per input) + one
+    map-side-combined aggregation to ``depth × width`` rows.
+    """
+    buckets = F.array(
+        *[
+            F.pmod(
+                portable_id_hash(
+                    F.concat_ws("|", F.lit(i), F.col(value_col))
+                ),
+                F.lit(width),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("hash_row", "bucket"))
+        .groupBy("hash_row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(state, value: str, depth: int = 4, width: int = 256) -> int:
+    """Decode a point estimate from collected sketch rows (pytest helper).
+
+    ``state`` is ``{(hash_row, bucket): n}``; absent cells are zero."""
+    import hashlib
+
+    def phash(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return min(
+        state.get((i, phash(f"{i}|{value}") % width), 0) for i in range(depth)
+    )
+
+
 def hll_estimate(m: int, v_empty: int, sum_pow: int, p: int = 8) -> float:
     """Decode a sketch row into a cardinality estimate (standard HLL
     bias-corrected harmonic mean + linear-counting small-range fix)."""

@@ -471,6 +471,37 @@ def hll_distinct_users(spark, sf_dir):
     return sk.join(exact, "event_type")
 
 
+_CMS_ROWS = "\n      UNION ALL\n      ".join(
+    f"SELECT {i} AS hash_row, "
+    + _hash_sql(f"'{i}|' || CAST(user_id AS VARCHAR)")
+    + " % 256 AS bucket FROM events"
+    for i in range(4)
+)
+
+
+@query(
+    "cms_user_counts",
+    oracle=f"""
+    WITH ex AS (
+      {_CMS_ROWS}
+    )
+    SELECT CAST(hash_row AS INT) AS hash_row, bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ex GROUP BY hash_row, bucket
+    """,
+)
+def cms_user_counts(spark, sf_dir):
+    """Count-min sketch of per-user event counts: 4 × 256 integer
+    counters over the row-salted portable hash — the heavy-hitter /
+    frequency-estimate sketch, state verified cell-for-cell by the
+    oracle.  Sketches from different partitions or engines merge by
+    element-wise sum; 100 TB of events reduce to 1024 rows."""
+    from cdc_data_lake_pyspark_spark.functions.sketch import cms_sketch
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    return cms_sketch(ev, "user_id")
+
+
 @query(
     "embedding_centroids",
     oracle="""

@@ -97,3 +97,37 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def session_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Event-time SESSION windows: per-key activity bursts separated by at
+    least ``gap`` of silence — the streaming counterpart of the batch
+    ``sessionize`` operator (operators/relational.py).
+
+    ``session_window`` keeps per-key open sessions in the state store and
+    MERGES them across micro-batches (an event bridging two sessions
+    collapses them — something a tumbling window can't express); a session
+    finalizes and emits (append mode) once the watermark passes its end,
+    which also evicts its state.  Scale knobs are the same as any stateful
+    agg: shuffle on the key, RocksDB state store, watermark bounds state.
+    """
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )

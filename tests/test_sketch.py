@@ -50,3 +50,46 @@ def test_duplicates_do_not_move_the_sketch(spark):
         (r["g"], r["m"], r["v_empty"], r["sum_pow"]) for r in d.collect()
     )
     assert rows(hll_sketch(base, "v", ["g"])) == rows(hll_sketch(doubled, "v", ["g"]))
+
+
+def test_cms_point_estimates_upper_bound_and_accuracy(spark):
+    from cdc_data_lake_pyspark_spark.functions.sketch import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    # skewed stream: value "hot" 500 times, 200 singletons
+    rows = [("hot",)] * 500 + [(f"v{i}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "v string")
+    state = {
+        (r["hash_row"], r["bucket"]): r["n"]
+        for r in cms_sketch(df, "v").collect()
+    }
+    est_hot = cms_estimate(state, "hot")
+    assert est_hot >= 500                 # CMS never underestimates
+    assert est_hot <= 500 + 700 // 64     # and collisions stay bounded
+    for v in ("v0", "v1", "v199"):
+        e = cms_estimate(state, v)
+        assert 1 <= e <= 1 + 700 // 64
+
+
+def test_cms_merges_by_cell_sum(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_data_lake_pyspark_spark.functions.sketch import cms_sketch
+
+    a = spark.createDataFrame([(f"x{i % 50}",) for i in range(300)], "v string")
+    b = spark.createDataFrame([(f"x{i % 80}",) for i in range(200)], "v string")
+    whole = {
+        (r["hash_row"], r["bucket"]): r["n"]
+        for r in cms_sketch(a.unionAll(b), "v").collect()
+    }
+    merged = {
+        (r["hash_row"], r["bucket"]): r["n"]
+        for r in cms_sketch(a, "v")
+        .unionAll(cms_sketch(b, "v"))
+        .groupBy("hash_row", "bucket")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert whole == merged

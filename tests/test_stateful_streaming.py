@@ -100,3 +100,51 @@ def test_windowed_event_counts_finalize_with_watermark(spark, tmp_path):
     assert got[(0, 1)] == 2
     assert got[(1, 1)] == 1
     assert got[(0, 2)] == 1
+
+
+def test_session_windows_merge_across_batches(spark, tmp_path):
+    from cdc_data_lake_pyspark_spark.streaming.stateful import (
+        session_event_counts,
+    )
+
+    d = tmp_path / "sess"
+    d.mkdir()
+    base = "2024-01-01T00:{m:02d}:{s:02d}"
+
+    def ev(m, s, u):
+        return json.dumps({"ts": base.format(m=m, s=s), "user_id": u})
+
+    # user 1: burst at 00:00:00-00:00:30, silence > 1 min, burst at 00:03:00;
+    # batch 2 EXTENDS the second burst (00:03:40 within the gap) — session
+    # merging across micro-batches — and a far-future event finalizes all.
+    (d / "a.jsonl").write_text(
+        "\n".join([ev(0, 0, 1), ev(0, 30, 1), ev(3, 0, 1), ev(0, 10, 2)])
+    )
+    time.sleep(1.1)
+    (d / "b.jsonl").write_text("\n".join([ev(3, 40, 1), ev(30, 0, 9)]))
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("user_id", T.LongType(), True),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+    )
+    out = _run_stream(
+        spark,
+        src,
+        "sess_out",
+        lambda s: session_event_counts(
+            s, gap="1 minute", watermark_delay="1 minute"
+        ),
+    )
+    got = {
+        (r.user_id, r.session_start.minute): r.n_events for r in out.collect()
+    }
+    # user 1: session @0 has 2 events; session @3 merged across batches -> 2
+    assert got[(1, 0)] == 2
+    assert got[(1, 3)] == 2
+    assert got[(2, 0)] == 1
