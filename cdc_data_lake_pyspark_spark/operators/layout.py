@@ -1,0 +1,69 @@
+"""Data layout for scan efficiency: partitioned writes, within-partition
+sort for min/max skipping, and Z-order (Morton) clustering keys.
+
+At 100 TB the fastest query is the one that never reads the data: layout
+is the write-side half of predicate pushdown.
+
+* :func:`write_partitioned` — hive-style directory partitioning (coarse
+  pruning: equality/IN predicates on partition columns skip whole
+  directories at planning time) plus a within-partition sort so parquet
+  row-group min/max statistics prune at the finer grain.
+* :func:`morton_key` — interleaves the bits of two normalized columns so
+  ONE sort key clusters BOTH dimensions: range predicates on either
+  column map to bounded Morton ranges, keeping row-group min/max windows
+  tight for two-column workloads (the classic Z-order layout Delta's
+  OPTIMIZE ZORDER applies; here it's an explicit column any writer can
+  sort by).  Pure JVM bit arithmetic — no UDF.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` of two non-negative integer columns
+    into a single Z-order key (a's bits at even positions).
+
+    Callers normalize each dimension into [0, 2^bits) first — e.g. rank,
+    bucketed timestamp, or quantized value.  2·bits ≤ 62 keeps the result
+    in a BIGINT.
+    """
+    if 2 * bits > 62:
+        raise ValueError("2*bits must fit in a signed 64-bit integer")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        key = (
+            key
+            .bitwiseOR(F.shiftleft(abit, 2 * i))
+            .bitwiseOR(F.shiftleft(bbit, 2 * i + 1))
+        )
+    return key
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write hive-partitioned parquet with an optional within-partition
+    sort.
+
+    ``repartition(partition_cols)`` first, so each output directory is
+    written by the tasks that own its keys (no small-file explosion from
+    every task writing every partition); ``sortWithinPartitions`` then
+    lines up row-group min/max stats along ``sort_cols`` for skipping.
+    """
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        out = out.sortWithinPartitions(
+            *[F.col(c) for c in list(partition_cols) + list(sort_cols)]
+        )
+    out.write.partitionBy(*partition_cols).mode(mode).parquet(path)

@@ -1,0 +1,70 @@
+"""Data layout: partitioned writes, partition pruning, Morton keys
+(operators/layout.py)."""
+
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.operators.layout import (
+    morton_key,
+    write_partitioned,
+)
+
+
+def _morton_ref(a: int, b: int, bits: int = 16) -> int:
+    out = 0
+    for i in range(bits):
+        out |= ((a >> i) & 1) << (2 * i)
+        out |= ((b >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def test_morton_key_matches_reference_bit_interleave(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 1), (12345, 54321)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", morton_key(F.col("a"), F.col("b")).alias("z")).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _morton_ref(a, b), (a, b)
+
+
+def test_morton_locality_beats_concat(spark):
+    # points in a 2D grid close in BOTH dims sit close in Morton order:
+    # the max Z-gap inside a 4x4 tile is far smaller than under (a<<16|b)
+    pts = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(pts, "a long, b long")
+    z = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select("a", "b", morton_key(F.col("a"), F.col("b"), 8).alias("z")).collect()
+    }
+    tile = sorted(z[(a, b)] for a in range(4) for b in range(4))
+    assert tile == list(range(16))  # a 4x4 tile is one contiguous Z-range
+
+
+def test_write_partitioned_prunes_directories(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], i * 1.0) for i in range(300)],
+        "id long, lang string, v double",
+    )
+    path = str(tmp_path / "docs")
+    write_partitioned(df, path, ["lang"], sort_cols=["id"])
+
+    back = spark.read.parquet(path)
+    pruned = back.filter(F.col("lang") == "en")
+    assert pruned.count() == 100
+    # the equality predicate must land in the scan's PartitionFilters —
+    # directory-level pruning at planning time, before any file is read
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "= en)" in plan
+
+
+def test_write_partitioned_roundtrip_content(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 5}") for i in range(100)], "id long, src string"
+    )
+    path = str(tmp_path / "rt")
+    write_partitioned(df, path, ["src"])
+    back = spark.read.parquet(path).select("id", "src")
+    assert sorted((r["id"], r["src"]) for r in back.collect()) == sorted(
+        (r["id"], r["src"]) for r in df.collect()
+    )
