@@ -377,27 +377,35 @@ def cosine_near_dup_pairs_lsh(
         b = (bits.reshape(len(V), n_tables, n_planes) * weights).sum(axis=2)
         return pd.Series(list(b))
 
+    # Band IDS ONLY: the bucket self-join and the pair dedup shuffle
+    # 16-byte id pairs, never the vectors (n_tables × vector payload
+    # through two exchanges is the expensive wrong shape at 100 TB).
+    # Vectors re-attach afterwards by id — broadcast at small corpora
+    # under AQE, a co-partitioned join at scale.
     banded = vectors.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
         F.posexplode(_buckets(F.col(vec_col))).alias("_tbl", "_bkt"),
     )
     a = banded.alias("a").hint("shuffle_hash")
     b = banded.alias("b").hint("shuffle_hash")
-    cand = (
+    pair_ids = (
         a.join(
             b,
             (F.col("a._tbl") == F.col("b._tbl"))
             & (F.col("a._bkt") == F.col("b._bkt"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("a_id"),
-            F.col("a._v").alias("_va"),
-            F.col("b._id").alias("b_id"),
-            F.col("b._v").alias("_vb"),
-        )
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
+    )
+    side = vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    cand = (
+        pair_ids.join(side, pair_ids["a_id"] == side["_id"])
+        .drop("_id")
+        .withColumnRenamed("_v", "_va")
+        .join(side, F.col("b_id") == side["_id"])
+        .drop("_id")
+        .withColumnRenamed("_v", "_vb")
     )
     id_type = vectors.schema[id_col].dataType.simpleString()
 
