@@ -63,3 +63,47 @@ def test_dedup_keep_canonical_drops_non_minimum_members(spark):
     )
     # clusters {2,3,4} -> keep 2; {6,7} -> keep 6; 1 and 5 untouched
     assert kept == [1, 2, 5, 6]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+pairs_strategy = st.lists(
+    st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(
+        lambda p: p[0] != p[1]
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # fully compress, then label = min member per root
+    roots = {}
+    for n in list(parent):
+        roots.setdefault(find(n), []).append(n)
+    return {n: min(members) for root, members in roots.items() for n in members}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=pairs_strategy)
+def test_random_graphs_match_union_find(spark, pairs):
+    got = _cc_dict(connected_components(_pairs(spark, pairs)))
+    assert got == _union_find(pairs)
