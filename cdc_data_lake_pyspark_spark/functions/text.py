@@ -162,3 +162,25 @@ def quality_score(text: Column) -> Column:
         + F.lit(0.4) * stats["alpha_ratio"]
         + F.lit(0.1) * (F.lit(1.0) - stats["digit_ratio"])
     )
+
+
+#: PII patterns kept to plain character classes so Java regex (Spark) and
+#: RE2 (DuckDB) agree exactly — no lookarounds, no shorthand classes.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails then phone numbers with typed placeholders — the
+    PII-scrubbing pass of a training pipeline.  Map-only JVM regex; at
+    100 TB this is a free rider on any other full-text pass."""
+    redacted = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(redacted, PHONE_PATTERN, "<PHONE>")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Match counts per PII class (detection/reporting mode)."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(EMAIL_PATTERN)),
+        "n_phones": F.regexp_count(text, F.lit(PHONE_PATTERN)),
+    }

@@ -152,6 +152,44 @@ def jaccard_similar_pairs(
     return pairs
 
 
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination detection: corpus docs sharing ≥
+    ``min_hits`` distinct k-token shingles with any benchmark item —
+    ``(doc_id, bench_id, n_shared)``.
+
+    The decontamination step of a training pipeline: before training,
+    drop (or flag) corpus documents that textually overlap an eval set.
+    Long shingles (k=8 tokens ≈ the n-gram dedup window used in published
+    dataset pipelines) make incidental collisions rare, so the shingle
+    equi-join degenerates to ~|true overlaps|.
+
+    Scale shape: the CORPUS shuffles by shingle once; the benchmark side
+    (eval sets are ≤ millions of rows) hash-joins in — at real scale its
+    exploded shingles broadcast, so the corpus never moves twice.  No
+    thresholds on similarity: any shared long shingle is evidence.
+    """
+    corpus_ex = _exploded_shingles(docs, id_col, text_col, k)
+    bench_ex = _exploded_shingles(benchmark, bench_id_col, bench_text_col, k)
+    return (
+        corpus_ex.alias("c")
+        .join(bench_ex.alias("b"), F.col("c._s") == F.col("b._s"))
+        .groupBy(
+            F.col("c._id").alias(id_col), F.col("b._id").alias("bench_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_hits)
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 64,

@@ -471,6 +471,134 @@ def hll_distinct_users(spark, sf_dir):
     return sk.join(exact, "event_type")
 
 
+# ---------------------------------------------------------------------------
+# PII scrubbing — the corpus carries no PII, so the query deterministically
+# plants synthetic PII per row (same expression both sides) and scrubs it:
+# every row exercises both replacements, and the full redacted text is
+# hash-compared, proving regex parity on real document content too.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scrub_pii_docs",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               text || ' contact: u' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or 555-123-4567.',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(
+               text || ' contact: u' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or 555-123-4567.',
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(
+               text || ' contact: u' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.com or 555-123-4567.',
+               '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}')) AS INT) AS n_phones
+    FROM documents
+    """,
+)
+def scrub_pii_docs(spark, sf_dir):
+    """PII scrubbing: plant a synthetic email+phone per row (the corpus
+    has none), then redact with typed placeholders and count matches.
+    Patterns stay within plain character classes so Java regex and RE2
+    agree; map-only, no shuffle."""
+    from cdc_data_lake_pyspark_spark.functions.text import pii_counts, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact: u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-123-4567."),
+    )
+    counts = pii_counts(planted)
+    return docs.select(
+        "doc_id",
+        scrub_pii(planted).alias("redacted"),
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination + repetition quality gates.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "contamination_report",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, greatest(len(string_split(lower(text),' ')) - 7, 0)),
+             i -> array_to_string(string_split(lower(text),' ')[i:i+7], ' '))) AS sh
+      FROM documents
+    ), cex AS (
+      SELECT doc_id, unnest(sh) AS s FROM corpus
+    ), bex AS (
+      SELECT doc_id AS bench_id, unnest(sh) AS s FROM corpus WHERE doc_id % 20 = 0
+    )
+    SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM cex c JOIN bex b ON c.s = b.s
+    WHERE c.doc_id <> b.bench_id
+    GROUP BY c.doc_id, b.bench_id
+    """,
+)
+def contamination_report_q(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any 8-token shingle
+    with a (here: deterministic every-20th-doc) benchmark set.  The
+    corpus shuffles by shingle ONCE; the small benchmark side joins in
+    (broadcast at real scale).  Long shingles make incidental collisions
+    rare, so the join output tracks true overlaps."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        contamination_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return contamination_report(docs, bench, k=8).filter(
+        F.col("doc_id") != F.col("bench_id")
+    )
+
+
+@query(
+    "doc_repetition_ratio",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id, unnest(string_split(lower(text),' ')) AS t FROM documents
+    ), tf AS (
+      SELECT doc_id, t, count(*) AS c FROM ex GROUP BY doc_id, t
+    )
+    SELECT doc_id, CAST(max(c) AS BIGINT) AS max_tf,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS DOUBLE)
+             AS repetition_ratio
+    FROM tf GROUP BY doc_id
+    """,
+)
+def doc_repetition_ratio(spark, sf_dir):
+    """Repetition/boilerplate scoring: each doc's most-frequent-token
+    share — degenerate repetitive documents score near 1.  Two map-side-
+    combined aggregates sharing the (doc, token) partitioning; one double
+    division of exact integers keeps the ratio hash-stable."""
+    from cdc_data_lake_pyspark_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    tf = ex.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    return tf.groupBy("doc_id").agg(
+        F.max("c").alias("max_tf"),
+        F.sum("c").alias("n_tokens"),
+        (
+            F.max("c").cast("double") / F.sum("c").cast("double")
+        ).alias("repetition_ratio"),
+    )
+
+
 _CMS_ROWS = "\n      UNION ALL\n      ".join(
     f"SELECT {i} AS hash_row, "
     + _hash_sql(f"'{i}|' || CAST(user_id AS VARCHAR)")
