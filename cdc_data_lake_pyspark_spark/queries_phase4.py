@@ -472,6 +472,136 @@ def hll_distinct_users(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Flagship composite: the whole prepare-training-data pipeline in ONE
+# query — quality gate → exact dedup → near-dup canonical clustering →
+# benchmark decontamination → deterministic split assignment.  Every stage
+# is one of the engine's operators; the oracle replays the identical
+# composition in SQL (recursive CTE for the clustering stage).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "prepare_training_corpus",
+    oracle=f"""
+    WITH RECURSIVE scored AS (
+      SELECT doc_id, lang, text,
+             0.5 * least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 64.0, 1.0)
+           + 0.4 * (CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE))
+           + 0.1 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE)) AS quality,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains(['the','a','of','and','to','in','is'], x))) AS s_en
+      FROM documents
+    ), kept AS (
+      SELECT doc_id, lang, text FROM scored WHERE quality >= 0.7 AND s_en > 0
+    ), keepers AS (
+      SELECT min(doc_id) AS keeper FROM kept GROUP BY md5(lower(trim(text)))
+    ), base AS (
+      SELECT k.doc_id, k.lang, k.text FROM kept k JOIN keepers g ON k.doc_id = g.keeper
+    ), toks AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 0)),
+               i -> array_to_string(string_split(lower(text),' ')[i:i+2], ' '))) AS sh
+      FROM base
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             count(*) AS common, any_value(a.n) AS na, any_value(b.n) AS nb
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), close_pairs AS (
+      SELECT a_id, b_id FROM pairs
+      WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.8
+    ), edges AS (
+      SELECT a_id AS src, b_id AS dst FROM close_pairs
+      UNION
+      SELECT b_id AS src, a_id AS dst FROM close_pairs
+    ), reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    ), comp AS (
+      SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    ), canon AS (
+      SELECT doc_id, lang, text FROM base
+      WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> cluster_id)
+    ), btoks AS (
+      SELECT doc_id AS bench_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(lower(text),' ')) - 7, 0)),
+               i -> array_to_string(string_split(lower(text),' ')[i:i+7], ' '))) AS sh
+      FROM documents WHERE doc_id % 20 = 0
+    ), bex AS (
+      SELECT bench_id, unnest(sh) AS s FROM btoks
+    ), ctoks AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split(lower(text),' ')) - 7, 0)),
+               i -> array_to_string(string_split(lower(text),' ')[i:i+7], ' '))) AS sh
+      FROM canon
+    ), cex AS (
+      SELECT doc_id, unnest(sh) AS s FROM ctoks
+    ), contaminated AS (
+      SELECT DISTINCT c.doc_id FROM cex c
+      JOIN bex b ON c.s = b.s AND c.doc_id <> b.bench_id
+    )
+    SELECT doc_id, lang,
+           CASE WHEN {_HASH_SQL} % 100 < 80 THEN 'train'
+                WHEN {_HASH_SQL} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM canon
+    WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def prepare_training_corpus(spark, sf_dir):
+    """The whole prepare-training-data pipeline, composed from the
+    engine's operators: quality+language gate (map-only) → exact-dedup
+    keeper selection (one fingerprint groupBy) → near-dup clustering at
+    Jaccard ≥ 0.8 with canonical-member survival (connected components)
+    → 8-shingle benchmark decontamination (anti-join) → deterministic
+    80/10/10 split (portable hash, map-only).  One engine, one lazily-
+    planned DAG, every stage individually oracle-checked elsewhere — this
+    query checks their COMPOSITION."""
+    from cdc_data_lake_pyspark_spark.functions.text import (
+        language_scores,
+        quality_score,
+    )
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import exact_dedup
+    from cdc_data_lake_pyspark_spark.operators.relational import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = language_scores(F.col("text"))
+    kept = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        quality_score(F.col("text")).alias("quality"),
+        scores["en"].alias("s_en"),
+    ).filter((F.col("quality") >= 0.7) & (F.col("s_en") > 0))
+    keepers = exact_dedup(kept).select("keeper_id")
+    base = kept.join(
+        F.broadcast(keepers), kept["doc_id"] == keepers["keeper_id"]
+    ).select("doc_id", "lang", "text")
+
+    near_pairs = jaccard_similar_pairs(base, threshold=0.8).select("a_id", "b_id")
+    canon = dedup_keep_canonical(base, near_pairs)
+
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        contamination_report,
+    )
+
+    contaminated = (
+        contamination_report(canon, bench, k=8)
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    clean = canon.join(contaminated, "doc_id", "left_anti")
+    return hash_split(clean, id_col="doc_id").select("doc_id", "lang", "split")
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing — the corpus carries no PII, so the query deterministically
 # plants synthetic PII per row (same expression both sides) and scrubs it:
 # every row exercises both replacements, and the full redacted text is
