@@ -90,6 +90,17 @@ def main() -> None:
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 3)
+    # BASELINE.md comparison: the flagship applies the sf batch in
+    # timings["cdc_orders_apply"] seconds; the reference's derived ceiling
+    # for the same unit of work is 3,333 events/s (200k / 60 s trigger).
+    flagship_events = prepared_env["cdc_orders_apply"].count() if (
+        "cdc_orders_apply" in prepared_env
+    ) else 0
+    flagship_eps = (
+        round(flagship_events / timings["cdc_orders_apply"])
+        if flagship_events and timings.get("cdc_orders_apply")
+        else None
+    )
     print(
         json.dumps(
             {
@@ -98,6 +109,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "flagship_events": flagship_events,
+                "flagship_events_per_sec": flagship_eps,
             }
         )
     )
