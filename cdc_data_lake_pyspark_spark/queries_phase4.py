@@ -472,6 +472,58 @@ def hll_distinct_users(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Incremental ingestion dedup: a NEW batch of documents against the
+# fingerprint index of the already-ingested corpus — the continuous
+# (day-over-day crawl) shape, where re-deduping the whole corpus per batch
+# is the classic non-scalable mistake.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "incremental_novel_docs",
+    oracle="""
+    WITH index_fps AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents
+      WHERE doc_id < 250
+    ), batch AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+      WHERE doc_id >= 250
+    ), novel AS (
+      SELECT doc_id, fp FROM batch
+      WHERE fp NOT IN (SELECT fp FROM index_fps)
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN row_number()
+                OVER (PARTITION BY fp ORDER BY doc_id) = 1
+                THEN 1 ELSE 0 END AS INT) AS is_first_of_fp
+    FROM novel
+    """,
+)
+def incremental_novel_docs(spark, sf_dir):
+    """Incremental exact dedup: the new batch (doc_id ≥ 250 stands in for
+    today's crawl) anti-joins the ingested corpus's FINGERPRINT INDEX —
+    32-byte digests, not documents — then self-dedups within the batch
+    (first-per-fingerprint flag).  At 100 TB the index is a fraction of
+    corpus size, the batch shuffles once on the digest, and the corpus is
+    never rescanned; the index then grows by the novel fingerprints
+    (union, not rebuild)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    index_fps = (
+        docs.filter(F.col("doc_id") < 250).select(fp.alias("fp")).distinct()
+    )
+    batch = docs.filter(F.col("doc_id") >= 250).select("doc_id", fp.alias("fp"))
+    novel = batch.join(index_fps, "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return novel.select(
+        "doc_id",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0).alias("is_first_of_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flagship composite: the whole prepare-training-data pipeline in ONE
 # query — quality gate → exact dedup → near-dup canonical clustering →
 # benchmark decontamination → deterministic split assignment.  Every stage
