@@ -813,6 +813,43 @@ def cms_user_counts(spark, sf_dir):
 
 
 @query(
+    "embedding_normalize",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v,
+             sqrt(list_reduce(list_transform(v, x -> x * x),
+                              (a, b) -> a + b)) AS nrm
+      FROM d
+    )
+    SELECT vec_id,
+           CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+           unnest(v) / nrm AS u
+    FROM n
+    """,
+)
+def embedding_normalize(spark, sf_dir):
+    """Unit-normalize embeddings (the pre-step every cosine pipeline
+    needs): L2 norm via an in-order left fold (both engines sum x² in
+    array order, so the double math is bit-identical), then one division
+    per element.  Map-only, no shuffle; emitted posexploded so the hash
+    compares every component."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return emb.select(
+        "vec_id", F.posexplode(v).alias("dim", "_x"), nrm.alias("_n")
+    ).select("vec_id", "dim", (F.col("_x") / F.col("_n")).alias("u"))
+
+
+@query(
     "embedding_centroids",
     oracle="""
     WITH ex AS (
