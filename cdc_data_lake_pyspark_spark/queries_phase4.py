@@ -421,6 +421,107 @@ def daily_revenue_ma7(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-shaped classics (Q3 / Q10 analogues on the driver's schema) —
+# the canonical fact-to-fact + broadcast-dimension plans.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 not-yet-shipped orders by discounted
+    revenue for one segment.  Both date filters and the segment filter
+    push into the parquet scans; customer broadcasts onto orders, the
+    orders→lineitem join shuffles on the order key (the co-partitioning a
+    bucketed lakehouse table gets for free); the top-10 is
+    TakeOrderedAndProject, never a full sort."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    customer = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,2)"
+        )
+    ).cast("double")
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "returned_item_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items.  The returnflag filter pushes to the lineitem scan;
+    customer/nation broadcast; one shuffle on the order key, one on the
+    customer grouping; top-20 via TakeOrderedAndProject."""
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,2)"
+        )
+    ).cast("double")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(rev.alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sketches — portable HLL distinct counts (integer register state, oracle-
 # verifiable) and embedding centroid state per label.
 # ---------------------------------------------------------------------------
