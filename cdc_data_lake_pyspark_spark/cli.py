@@ -66,7 +66,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--catalogname", default="glue_catalog")
     # local-run additions
     p.add_argument("--source-path", help="JSON-lines dir for --sourcetype file")
-    p.add_argument("--sink", choices=["iceberg", "parquet", "memory"], default=None)
+    p.add_argument(
+        "--sink",
+        choices=["iceberg", "locallake", "parquet", "memory"],
+        default=None,
+    )
     p.add_argument("--sink-root", help="root dir for the parquet sink")
     p.add_argument("--trigger-seconds", type=int, default=60)
     p.add_argument(
@@ -105,10 +109,18 @@ def catalog_session_conf(args) -> dict[str, str]:
     return conf
 
 
-def make_sink(args) -> TableSink:
+def make_sink(args, spark=None) -> TableSink:
     sink = args.sink or ("iceberg" if args.catalogtype != "none" else "parquet")
     if sink == "iceberg":
         return SqlTableSink(catalog=args.catalogname)
+    if sink == "locallake":
+        # executed-SQL path without a lakehouse runtime: register the
+        # in-process DSv2 catalog and drive it with the same SqlTableSink
+        # that targets Iceberg/Delta in production
+        from cdc_data_lake_pyspark_spark.catalog import register
+
+        register(spark, "locallake")
+        return SqlTableSink(catalog="locallake")
     if sink == "parquet":
         if not args.sink_root:
             raise SystemExit("--sink-root is required for the parquet sink")
@@ -142,7 +154,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     )
     pipeline = CdcPipeline(
         config=args.tablejsonfile,
-        sink=make_sink(args),
+        sink=make_sink(args, spark),
         cdc_format=args.cdcformat,
         ts_guard=args.ts_guard,
     )

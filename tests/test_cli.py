@@ -92,3 +92,45 @@ def test_cli_file_source_end_to_end(spark, sf_dir, tmp_path):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     expected = orders.filter("o_orderkey % 10 <> 9").count()
     assert out.count() == expected
+
+
+def test_cli_locallake_sink_end_to_end(spark, sf_dir, tmp_path):
+    """Full CLI run into the executed-SQL sink: file source -> debezium
+    parse -> SqlTableSink on the LocalLake DSv2 catalog (real CREATE /
+    MERGE INTO / DELETE through Spark's row-level rewrite rules)."""
+    from cdc_data_lake_pyspark_spark.catalog import clear_all, ensure_compiled, register
+
+    if not ensure_compiled():
+        import pytest
+
+        pytest.skip("LocalLake catalog not compilable here")
+    from cdc_data_lake_pyspark_spark.fixtures import (
+        ORDERS_TABLE_CONFIG,
+        debezium_orders_envelopes,
+    )
+
+    register(spark, "locallake")
+    clear_all(spark)
+    src = tmp_path / "events"
+    src.mkdir()
+    env = debezium_orders_envelopes(spark, sf_dir)
+    with open(src / "batch.jsonl", "w") as f:
+        for r in env.collect():
+            f.write(r.value + "\n")
+    conf = tmp_path / "tables.json"
+    conf.write_text(json.dumps(ORDERS_TABLE_CONFIG))
+
+    main(
+        [
+            "--tablejsonfile", str(conf),
+            "--checkpointpath", str(tmp_path / "cp"),
+            "--sourcetype", "file",
+            "--source-path", str(src),
+            "--sink", "locallake",
+            "--available-now",
+        ]
+    )
+    out = spark.table("locallake.testdb.orders")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    expected = orders.filter("o_orderkey % 10 <> 9").count()
+    assert out.count() == expected
