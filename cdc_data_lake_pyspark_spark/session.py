@@ -35,9 +35,16 @@ def build_session(
         locallake_cp = ensure_compiled()
     except Exception:  # pragma: no cover - compile failure is non-fatal
         pass
+    # Spark's driver-memory default is 1g; in local[N] the driver JVM IS
+    # the executor, so N concurrent hash-agg/shuffle tasks at sf>=0.1 can
+    # OOM it (the round-3 bench crash class). Size the heap explicitly —
+    # overridable for the constrained-memory regression test.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
