@@ -151,6 +151,61 @@ def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Squared Euclidean distance matrix via the expanded form — O(N·k·d)
+    flops through one BLAS matmul, never materializing (N, k, d)."""
+    return (
+        (X * X).sum(axis=1)[:, None]
+        - 2.0 * (X @ C.T)
+        + (C * C).sum(axis=1)[None, :]
+    )
+
+
+def fit_kmeans(X: np.ndarray, k: int, seed: int = 42, n_iter: int = 20) -> np.ndarray:
+    """Deterministic Lloyd's k-means: seeded distinct-row init, fixed
+    iteration count, first-index argmin ties.  Given the same rows in the
+    same order the centroids are bit-identical on any host — which is what
+    lets the DuckDB oracle replay the quantizer as literals."""
+    rng = np.random.RandomState(seed)
+    C = X[np.sort(rng.choice(len(X), size=min(k, len(X)), replace=False))].copy()
+    if len(C) < k:  # degenerate corpus: pad by repeating rows
+        C = np.vstack([C, X[: k - len(C)]])
+    for _ in range(n_iter):
+        assign = _sq_dists(X, C).argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return C
+
+
+def fit_ivf_centroids(
+    vectors: DataFrame,
+    n_clusters: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_fit_rows: int = 200_000,
+) -> np.ndarray:
+    """Fit the IVF coarse quantizer on a bounded, id-ordered sample.
+
+    The driver-side fit is standard IVF practice (FAISS trains the
+    quantizer on a bounded sample too — centroid quality saturates long
+    before 200k rows); ``orderBy(id).limit(n)`` is a TakeOrdered (per
+    -partition heap + driver merge, no global sort) and makes the training
+    set — hence the centroids — a pure deterministic function of the data,
+    replayable by the SQL oracle generator.
+    """
+    pdf = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_fit_rows)
+        .toPandas()
+    )
+    X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return fit_kmeans(X, n_clusters, seed=seed)
+
+
 def ivf_top_k(
     vectors: DataFrame,
     queries: DataFrame,
@@ -167,52 +222,50 @@ def ivf_top_k(
     """IVF (inverted-file) ANN: k-means coarse quantizer + multi-probe.
 
     Corpus vectors are assigned to their nearest of ``n_clusters``
-    centroids (Spark ML KMeans, seeded → deterministic); each query probes
-    its ``n_probe`` closest centroids and scores only vectors in those
-    cells.  Returns ``(query_id, neighbor_id, score, rank)`` — drop-in
-    with the exact op; recall is controlled by ``n_probe / n_clusters``.
-    ``exclude_self`` drops identical-id pairs before ranking, matching
+    centroids (deterministic Lloyd's fit on a bounded id-ordered sample,
+    :func:`fit_ivf_centroids`); each query probes its ``n_probe`` closest
+    centroids and scores only vectors in those cells.  Returns
+    ``(query_id, neighbor_id, score, rank)`` — drop-in with the exact op;
+    recall is controlled by ``n_probe / n_clusters``.  ``exclude_self``
+    drops identical-id pairs before ranking, matching
     :func:`brute_force_top_k` (off by default: query and corpus id spaces
     may legitimately collide).
 
-    Scale: the centroid table is tiny (closure/broadcast); assignment is
-    one ML transform over the corpus; the search joins on the cell id, so
-    per-query work is ``n_probe/n_clusters`` of the corpus.  At 100 TB the
-    cells are the partition key — this is the classic IVF layout where
-    each cell's vectors are co-located.  The quantizer fits on a bounded
-    seeded sample (``max_fit_rows``, standard IVF practice — centroid
-    quality saturates long before that); assignment remains a full
-    transform over the corpus.
+    Scale: the centroid table is tiny (UDF closure); assignment is one
+    Arrow-batched matmul over the corpus; the search joins on the cell id,
+    so per-query work is ``n_probe/n_clusters`` of the corpus.  At 100 TB
+    the cells are the partition key — the classic IVF layout where each
+    cell's vectors are co-located.  The deterministic quantizer also makes
+    the whole operator oracle-checkable: the same fit replayed offline
+    pins the centroids as SQL literals.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
     from pyspark.sql.pandas.functions import pandas_udf
 
-    v = vectors.select(
+    centers = fit_ivf_centroids(
+        vectors,
+        n_clusters,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_fit_rows=max_fit_rows,
+    )
+
+    @pandas_udf("int")
+    def _assign(col: pd.Series) -> pd.Series:
+        V = np.vstack(col.to_numpy()).astype(np.float64)
+        return pd.Series(_sq_dists(V, centers).argmin(axis=1).astype(np.int32))
+
+    assigned = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_vv"),
-        array_to_vector(_as_double(F.col(vec_col))).alias("_fv"),
+        _assign(F.col(vec_col)).alias("_cell"),
     )
-    fit_df = v.select("_fv")
-    n_total = vectors.count()  # columnar count: metadata-cheap on parquet
-    if n_total > max_fit_rows:
-        # seeded Bernoulli sample, slightly over-drawn so the expected
-        # sample stays near the cap without a second pass
-        fit_df = fit_df.sample(
-            fraction=min(1.0, 1.2 * max_fit_rows / n_total), seed=seed
-        )
-    km = KMeans(
-        k=n_clusters, seed=seed, featuresCol="_fv", predictionCol="_cell"
-    ).fit(fit_df)
-    assigned = km.transform(v).select("neighbor_id", "_vv", "_cell")
-
-    centers = np.vstack([np.asarray(c) for c in km.clusterCenters()])
 
     @pandas_udf("array<int>")
     def _probe(qcol: pd.Series) -> pd.Series:
         Q = np.vstack(qcol.to_numpy()).astype(np.float64)
-        d = ((Q[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        idx = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
+        d = _sq_dists(Q, centers)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
         return pd.Series(list(idx))
 
     q = queries.select(

@@ -10,6 +10,10 @@ against exact baselines instead.
 
 from __future__ import annotations
 
+import functools
+import os
+
+import numpy as np
 from pyspark.sql import functions as F
 
 from cdc_data_lake_pyspark_spark.functions.text import (
@@ -363,12 +367,73 @@ def dedup_embedding_cosine(spark, sf_dir):
     return cosine_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-@query("dedup_embedding_cosine_lsh")  # rows-only: hyperplanes seeded driver-side
+# --- oracle replay of seeded LSH / IVF structures ------------------------
+#
+# The hyperplanes and the IVF quantizer are deterministic functions of a
+# fixed seed (and, for IVF, of the data itself) — so the "hash functions
+# aren't portable to SQL" limitation dissolves: generate the SQL with the
+# structures pinned as DOUBLE[] literals and DuckDB replays bucketing,
+# probing, and scoring end-to-end.
+
+
+def _double_array_sql(vals) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]::DOUBLE[]"
+
+
+def _planes_values_sql(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
+    from cdc_data_lake_pyspark_spark.operators.similarity import make_hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        for p, h in enumerate(make_hyperplanes(dim, n_planes, seed=seed + 1000 * t)):
+            rows.append(f"({t}, {p}, {_double_array_sql(h)})")
+    return ",\n    ".join(rows)
+
+
+def _cosine_lsh_pairs_oracle(
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 12,
+    seed: int = 42,
+    threshold: float = 0.4,
+) -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), planes(tbl, plane, h) AS (
+      VALUES {_planes_values_sql(dim, n_planes, n_tables, seed)}
+    ), sig AS (
+      SELECT e.vec_id, p.tbl,
+             SUM(CASE WHEN list_dot_product(e.v, p.h) >= 0
+                      THEN 1 << p.plane ELSE 0 END) AS bkt
+      FROM e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.tbl
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM sig a JOIN sig b
+        ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT c.a_id, c.b_id,
+             list_dot_product(ea.v, eb.v)
+             / (sqrt(list_dot_product(ea.v, ea.v))
+              * sqrt(list_dot_product(eb.v, eb.v))) AS score
+      FROM cand c
+      JOIN e ea ON c.a_id = ea.vec_id
+      JOIN e eb ON c.b_id = eb.vec_id
+    )
+    SELECT a_id, b_id, score FROM scored WHERE score >= {threshold}
+    """
+
+
+@query("dedup_embedding_cosine_lsh", oracle=lambda: _cosine_lsh_pairs_oracle())
 def dedup_embedding_cosine_lsh(spark, sf_dir):
     """Hyperplane-LSH banded near-dup pairs — the corpus-scale path: only
     same-bucket pairs are scored, every emitted pair exact-rescored (so
     output ⊆ the exact op with identical scores; recall floor asserted in
-    tests/test_phase2.py::test_cosine_lsh_pairs_subset_and_recall)."""
+    tests/test_phase2.py::test_cosine_lsh_pairs_subset_and_recall).  The
+    oracle replays the seeded hyperplanes as literals, so banding + rescore
+    are value-checked end-to-end in DuckDB."""
     from cdc_data_lake_pyspark_spark.operators.similarity import (
         cosine_near_dup_pairs_lsh,
     )
@@ -462,11 +527,91 @@ def similarity_topk_bruteforce(spark, sf_dir):
     return brute_force_top_k(emb, queries_df, k=3, exclude_self=True)
 
 
-@query("similarity_ivf")  # rows-only: KMeans quantizer isn't portable to SQL
+_COSINE_SQL = """
+             list_dot_product(eq.v, ev.v)
+             / (sqrt(list_dot_product(eq.v, eq.v))
+              * sqrt(list_dot_product(ev.v, ev.v)))
+"""
+
+
+def _topk_from_cand_sql(k: int) -> str:
+    """Shared tail: score candidate (query, neighbor) pairs and keep the
+    per-query top-k with the engine's deterministic tiebreak."""
+    return f"""
+    scored AS (
+      SELECT c.query_id, c.neighbor_id, {_COSINE_SQL} AS score
+      FROM cand c
+      JOIN e eq ON c.query_id = eq.vec_id
+      JOIN e ev ON c.neighbor_id = ev.vec_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@functools.lru_cache(maxsize=None)
+def _ivf_oracle_sql() -> str:
+    """Replay the deterministic IVF quantizer offline and pin its centroids
+    as literals: read the same id-ordered bounded sample the Spark op fits
+    on (fit_ivf_centroids), run the identical numpy Lloyd's, and express
+    cell assignment / multi-probe / scoring in SQL.  The data dir matches
+    the driver's oracle scale (sf0.01) unless overridden."""
+    import duckdb
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import fit_kmeans
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    pdf = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id LIMIT 200000"
+    ).df()
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    centers = fit_kmeans(X, 16, seed=42)
+    cent_values = ",\n    ".join(
+        f"({i}, {_double_array_sql(c)})" for i, c in enumerate(centers)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cent(i, c) AS (
+      VALUES {cent_values}
+    ), vd AS (
+      SELECT e.vec_id, cent.i,
+             list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cent.c)
+               + list_dot_product(cent.c, cent.c) AS d
+      FROM e CROSS JOIN cent
+    ), cells AS (
+      SELECT vec_id, i AS cell FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, i ASC) AS rn
+        FROM vd
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, i AS cell FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, i ASC) AS rn
+        FROM vd WHERE vec_id % 50 = 0
+      ) WHERE rn <= 6
+    ), cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN cells c ON p.cell = c.cell
+      WHERE p.query_id <> c.vec_id
+    ),{_topk_from_cand_sql(3)}
+    """
+
+
+@query("similarity_ivf", oracle=_ivf_oracle_sql)
 def similarity_ivf(spark, sf_dir):
-    """IVF ANN: seeded k-means coarse quantizer, 6-of-16 cell multi-probe;
-    recall vs the exact result is asserted in
-    tests/test_phase2.py::test_ivf_recall."""
+    """IVF ANN: deterministic k-means coarse quantizer (numpy Lloyd's on an
+    id-ordered bounded sample), 6-of-16 cell multi-probe; recall vs the
+    exact result is asserted in tests/test_phase2.py::test_ivf_recall, and
+    the oracle replays the identical fit with centroids pinned as SQL
+    literals — assignment, probing, and scoring are value-checked."""
     from cdc_data_lake_pyspark_spark.operators.similarity import ivf_top_k
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -478,10 +623,35 @@ def similarity_ivf(spark, sf_dir):
     )
 
 
-@query("similarity_ann_lsh")  # rows-only: hyperplanes seeded driver-side
+def _ann_lsh_oracle_sql(
+    dim: int = 64, n_planes: int = 5, n_tables: int = 8, seed: int = 42, k: int = 3
+) -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), planes(tbl, plane, h) AS (
+      VALUES {_planes_values_sql(dim, n_planes, n_tables, seed)}
+    ), sig AS (
+      SELECT e.vec_id, p.tbl,
+             SUM(CASE WHEN list_dot_product(e.v, p.h) >= 0
+                      THEN 1 << p.plane ELSE 0 END) AS bkt
+      FROM e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.tbl
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id
+      FROM sig q JOIN sig v ON q.tbl = v.tbl AND q.bkt = v.bkt
+      WHERE q.vec_id % 50 = 0 AND q.vec_id <> v.vec_id
+    ),{_topk_from_cand_sql(k)}
+    """
+
+
+@query("similarity_ann_lsh", oracle=lambda: _ann_lsh_oracle_sql())
 def similarity_ann_lsh(spark, sf_dir):
     """Hyperplane-LSH ANN over the same query subset; recall vs the exact
-    result is asserted in tests/test_phase2.py::test_ann_lsh_recall."""
+    result is asserted in tests/test_phase2.py::test_ann_lsh_recall, and
+    the oracle replays the seeded hyperplane tables as literals (banding →
+    candidate join → cosine → top-k, all value-checked)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
