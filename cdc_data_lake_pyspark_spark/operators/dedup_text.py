@@ -322,9 +322,7 @@ def _verify_candidate_pairs(
     )
 
 
-def jaccard_prefix_candidates(
-    ex: DataFrame, counts: DataFrame, threshold: float
-) -> DataFrame:
+def jaccard_prefix_candidates(ex: DataFrame, threshold: float) -> DataFrame:
     """SSJoin/AllPairs prefix filtering: EXACT candidate pruning for
     Jaccard ≥ t (Chaudhuri et al. SSJoin; Bayardo et al. AllPairs).
 
@@ -335,13 +333,20 @@ def jaccard_prefix_candidates(
     high-frequency shingles that cause the quadratic bucket blow-ups.
     At 100 TB this is the difference between joining on "the end of"
     (≈ every doc) and joining on each doc's rarest shingles.
-    """
-    df_counts = ex.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
-    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_s").asc())
+
+    Exchange budget (the round-3 review's one thin-this plan): both the
+    document frequency and the per-doc size/rank come from count windows —
+    ``_df`` over one exchange on ``_s`` (replacing a groupBy aggregate PLUS
+    a join that re-shuffled the whole exploded set a second time), then
+    ``_n`` and ``_rn`` share one exchange on ``_id`` (two window functions
+    over the same partitioning collapse into a single sort)."""
+    w_df = Window.partitionBy("_s")
+    w_n = Window.partitionBy("_id")
+    w_rank = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_s").asc())
     prefix = (
-        ex.join(df_counts, "_s")
-        .join(F.broadcast(counts), "_id")
-        .withColumn("_rn", F.row_number().over(w))
+        ex.withColumn("_df", F.count(F.lit(1)).over(w_df))
+        .withColumn("_n", F.count(F.lit(1)).over(w_n))
+        .withColumn("_rn", F.row_number().over(w_rank))
         .filter(
             F.col("_rn")
             <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + F.lit(1)
@@ -376,7 +381,7 @@ def jaccard_similar_pairs_prefix(
     tests/test_phase2.py::test_prefix_filtering_is_exact)."""
     ex = _stage(_exploded_shingles(docs, id_col, text_col, k))
     counts = _shingle_counts(ex)
-    cand = jaccard_prefix_candidates(ex, counts, threshold)
+    cand = jaccard_prefix_candidates(ex, threshold)
     return _verify_candidate_pairs(cand, ex, counts, threshold)
 
 
