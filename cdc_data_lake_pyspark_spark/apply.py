@@ -34,6 +34,7 @@ the same semantics via the DataFrame path.
 
 from __future__ import annotations
 
+import itertools
 import logging
 import os
 import shutil
@@ -410,7 +411,9 @@ class SqlTableSink(TableSink):
         self.using = using
         self.location_root = location_root
         self.continue_on_error = continue_on_error
-        self._seq = 0
+        # itertools.count: atomic under the GIL, so concurrent per-table
+        # threads (pipeline.max_parallel_tables) never mint the same view id
+        self._seq = itertools.count(1)
 
     def _qualified(self, db: str, table: str) -> str:
         return f"{self.catalog}.{_quote(db)}.{_quote(table)}"
@@ -446,8 +449,7 @@ class SqlTableSink(TableSink):
         )
 
     def _with_view(self, df: DataFrame, suffix: str, fn) -> None:
-        self._seq += 1
-        view = f"tmp_{suffix}_{self._seq}"
+        view = f"tmp_{suffix}_{next(self._seq)}"
         df.createOrReplaceTempView(view)
         try:
             fn(view)

@@ -82,6 +82,11 @@ class CdcPipeline:
     cdc_format: str = "debezium"
     ts_guard: Optional[str] = None
     schema_sample_rows: Optional[int] = None
+    # Tables in a batch are independent — apply them concurrently from a
+    # small thread pool so per-table sink flushes overlap instead of
+    # paying serial job-submission latency (1 = sequential).  Threads only
+    # drive job submission; the cluster still schedules the work.
+    max_parallel_tables: int = 8
 
     def __post_init__(self):
         self.config = load_tables_config(self.config)
@@ -117,21 +122,48 @@ class CdcPipeline:
         # spills to disk instead of recomputing under memory pressure.
         routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            inventory = table_op_inventory(routed)
-            for entry in sorted(inventory, key=lambda e: (e.db, e.table)):
-                cfg = self.config.get(entry.db, entry.table)
-                tbl = slice_table(routed, entry.db, entry.table)
-                if ROUTE_INSERT in entry.routes:
-                    self._apply_insert(cfg, tbl)
-                if ROUTE_UPSERT in entry.routes:
-                    self._apply_upsert(cfg, tbl)
-                if ROUTE_DELETE in entry.routes:
-                    self._apply_delete(cfg, tbl)
-                # one materialization point per table per batch (lazy sinks
-                # checkpoint here, while the batch cache is still alive)
-                self.sink.flush(cfg)
+            inventory = sorted(
+                table_op_inventory(routed), key=lambda e: (e.db, e.table)
+            )
+            workers = min(self.max_parallel_tables, len(inventory))
+            if workers <= 1:
+                for entry in inventory:
+                    self._apply_table(entry, routed)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+
+                spark = routed.sparkSession
+                jspark = spark._jsparkSession
+
+                def _bound(entry):
+                    # Spark's active session is thread-local; bind the
+                    # shared session so sink code using
+                    # SparkSession.getActiveSession() works off-main-thread
+                    spark._jvm.SparkSession.setActiveSession(jspark)
+                    self._apply_table(entry, routed)
+
+                with ThreadPoolExecutor(max_workers=workers) as pool:
+                    # list() drains the iterator, re-raising the first
+                    # worker exception (fail-fast, same as the serial path)
+                    list(pool.map(_bound, inventory))
         finally:
             routed.unpersist()
+
+    def _apply_table(self, entry, routed: DataFrame) -> None:
+        """Apply one table's routes (insert → upsert → delete, the
+        reference's order) and flush — the unit of per-table parallelism;
+        within a table everything stays sequential."""
+        cfg = self.config.get(entry.db, entry.table)
+        tbl = slice_table(routed, entry.db, entry.table)
+        if ROUTE_INSERT in entry.routes:
+            self._apply_insert(cfg, tbl)
+        if ROUTE_UPSERT in entry.routes:
+            self._apply_upsert(cfg, tbl)
+        if ROUTE_DELETE in entry.routes:
+            self._apply_delete(cfg, tbl)
+        # one materialization point per table per batch (lazy sinks
+        # checkpoint here, while the batch cache is still alive)
+        self.sink.flush(cfg)
 
     # -- route appliers -------------------------------------------------
 
