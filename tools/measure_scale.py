@@ -1,0 +1,205 @@
+"""Measured scaling evidence for the dedup/similarity family.
+
+SCALE.md's designed-for claims say each operator's shuffle volume grows
+~linearly with the corpus (bucketed/banded candidate generation, digests
+-not-documents shuffles).  This harness MEASURES it: run the family at
+sf0.1 and at a derived ~10x corpus (sf1-equivalent row counts) and record
+wall time plus ACTUAL shuffle read/write bytes per operator from Spark's
+REST status API.
+
+The 10x corpus derives from the driver's sf0.1 tables (never synthesized
+from scratch, never written outside /tmp):
+
+* documents — replica r appends a per-(doc, r) salt token sequence ~50%
+  of the doc's length: replicas of the same doc fall to Jaccard ~0.5
+  (below the 0.8 threshold), so pair structure does not explode
+  quadratically while every scan/explode/join stage carries 10x rows.
+* embeddings — replica r flips the sign of each dimension by a
+  deterministic hash of (dim, r): within a replica all pairwise cosines
+  are EXACTLY preserved (near-dup structure grows linearly), while
+  cross-replica copies decorrelate to ~0 cosine.
+
+Usage::
+
+    python tools/measure_scale.py [--replicas 10] [--out SCALE_MEASURED.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK_DIR = "/tmp/spark_graft_scale"
+
+
+def derived_documents(spark, sf_dir: str, replicas: int):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    parts = [docs]
+    for r in range(1, replicas):
+        salt = F.array_join(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(
+                        (F.size(F.split(F.col("text"), " ")) / 2).cast("int"),
+                        F.lit(4),
+                    ),
+                ),
+                lambda i: F.concat(
+                    F.lit("z"), F.col("doc_id"), F.lit(f"x{r}q"), i
+                ),
+            ),
+            " ",
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" "), salt).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def derived_embeddings(spark, sf_dir: str, replicas: int):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    parts = [emb]
+    for r in range(1, replicas):
+        flipped = F.transform(
+            F.col("embedding"),
+            lambda x, i: x
+            * F.when(F.pmod(F.xxhash64(i, F.lit(r)), F.lit(2)) == 0, F.lit(1.0))
+            .otherwise(F.lit(-1.0))
+            .cast("float"),
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * 10_000_000)).alias("vec_id"),
+                flipped.alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def shuffle_totals(spark) -> tuple[int, int]:
+    app_id = spark.sparkContext.applicationId
+    url = f"http://localhost:4040/api/v1/applications/{app_id}/stages"
+    stages = json.load(urllib.request.urlopen(url))
+    return (
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
+    )
+
+
+def family(docs, emb):
+    from cdc_data_lake_pyspark_spark.operators.clusters import (
+        connected_components,
+        dedup_keep_canonical,
+    )
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        exact_dedup,
+        jaccard_similar_pairs_prefix,
+        minhash_near_duplicates,
+        simhash_near_duplicate_pairs,
+    )
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        cosine_near_dup_pairs_lsh,
+    )
+
+    pairs = lambda: minhash_near_duplicates(docs)
+    return {
+        "dedup_exact": lambda: exact_dedup(docs),
+        "jaccard_prefix": lambda: jaccard_similar_pairs_prefix(docs, threshold=0.8),
+        "minhash_lsh_verify": pairs,
+        "simhash_pairs": lambda: simhash_near_duplicate_pairs(docs),
+        "cosine_exact": lambda: cosine_near_dup_pairs(emb, threshold=0.4),
+        "cosine_lsh": lambda: cosine_near_dup_pairs_lsh(emb, threshold=0.4, dim=64),
+        "dup_clusters": lambda: dedup_keep_canonical(
+            docs, connected_components(pairs(), "a_id", "b_id")
+        ),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--out", default="SCALE_MEASURED.json")
+    args = ap.parse_args()
+
+    from cdc_data_lake_pyspark_spark.session import build_session
+
+    spark = build_session(
+        app_name="scale-measure", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # materialize the derived corpus once so derivation cost never pollutes
+    # the per-operator measurements
+    paths = {}
+    for name, build in (
+        ("documents", derived_documents),
+        ("embeddings", derived_embeddings),
+    ):
+        p = f"{WORK_DIR}/{name}_x{args.replicas}.parquet"
+        if not os.path.exists(p):
+            build(spark, SF_DIR, args.replicas).write.mode("overwrite").parquet(p)
+        paths[name] = p
+
+    results = {"sf_dir": SF_DIR, "replicas": args.replicas, "scales": {}}
+    for label, docs, emb in (
+        (
+            "1x",
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+                "doc_id", "text"
+            ),
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            ),
+        ),
+        (
+            f"{args.replicas}x",
+            spark.read.parquet(paths["documents"]),
+            spark.read.parquet(paths["embeddings"]),
+        ),
+    ):
+        n_docs, n_vecs = docs.count(), emb.count()
+        scale = {"n_docs": n_docs, "n_vectors": n_vecs, "ops": {}}
+        for op, build in family(docs, emb).items():
+            r0, w0 = shuffle_totals(spark)
+            t0 = time.time()
+            out_rows = build().count()
+            elapsed = round(time.time() - t0, 2)
+            r1, w1 = shuffle_totals(spark)
+            scale["ops"][op] = {
+                "sec": elapsed,
+                "out_rows": out_rows,
+                "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+            }
+            print(label, op, scale["ops"][op], flush=True)
+        results["scales"][label] = scale
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps({"written": args.out}))
+
+
+if __name__ == "__main__":
+    main()
