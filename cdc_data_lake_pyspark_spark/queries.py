@@ -586,6 +586,9 @@ _DEMOTED: tuple[str, ...] = (
     "embedding_normalize",  # embedding family: embedding_centroids
     "daily_revenue_ma7",  # agg window family: revenue_rollup + sessionize
     "returned_item_customers",  # TPC-H analogue: shipping_priority
+    # equality-contract utilities: their oracles ARE the plain operation
+    "skew_salted_join",  # == plain inner join (also pytest test_skew.py)
+    "skew_salted_agg",  # == plain groupBy count
 )
 
 

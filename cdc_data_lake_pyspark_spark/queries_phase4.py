@@ -996,3 +996,46 @@ def embedding_centroids(spark, sf_dir):
             ).alias("mean_scaled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew utilities — oracled for completeness (registered OUTSIDE the gate
+# window via queries._DEMOTED: their whole contract is equality with the
+# plain operation the oracle states, also pytest-asserted in test_skew.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Deterministically salted join (hot keys spread over 8 salts, build
+    side replicated 8x) — result must equal the plain inner join, which is
+    exactly what the oracle computes."""
+    from cdc_data_lake_pyspark_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return salted_join(orders, customer, ["o_custkey"], n_salts=8)
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-phase salted count (partial per-salt collapse, then final sum)
+    — result must equal the plain groupBy count."""
+    from cdc_data_lake_pyspark_spark.operators.skew import salted_count_by_key
+
+    ev = _t(spark, sf_dir, "events").select("event_type")
+    return salted_count_by_key(ev, ["event_type"], n_salts=8)
