@@ -301,7 +301,21 @@ def _verify_candidate_pairs(
     cand: DataFrame, ex: DataFrame, counts: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard over candidate ``(a_id, b_id)`` pairs only: join both
-    docs' shingle sets, count the intersection, attach set sizes."""
+    docs' shingle sets, count the intersection, attach set sizes.
+
+    The shingle frame is first PRUNED to docs that appear in any candidate
+    pair (semi-join; AQE broadcasts the distinct candidate-id frame at
+    runtime whenever duplicates are rare — the common case) — so the
+    verify join shuffles shingles proportional to the CANDIDATE
+    population, not the corpus.  The candidate frame is staged so its
+    (banding/prefix join) pipeline evaluates once for the id set and the
+    pair join both.
+    """
+    cand = _stage(cand)
+    cand_ids = (
+        cand.select(F.explode(F.array("a_id", "b_id")).alias("_id")).distinct()
+    )
+    ex = ex.join(cand_ids, "_id", "left_semi")
     a = ex.alias("a").hint("shuffle_hash")
     b = ex.alias("b").hint("shuffle_hash")
     verified = (

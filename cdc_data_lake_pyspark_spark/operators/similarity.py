@@ -151,6 +151,22 @@ def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def suggest_lsh_planes(n_vectors: int, target_bucket_rows: int = 64) -> int:
+    """Plane count so expected bucket occupancy stays ~``target_bucket_rows``.
+
+    Candidate generation does quadratic work WITHIN a bucket, so fixed
+    ``n_planes`` means occupancy — and shuffle — grows linearly-squared
+    with the corpus (measured: 10x corpus → ~95x candidate shuffle at 6
+    planes, tools/measure_scale.py).  Growing ``n_planes`` with
+    ``log2(N / target)`` pins occupancy; per-table recall drops as planes
+    grow, so scale ``n_tables`` alongside (P[collide in >=1 table] =
+    1 − (1 − (1 − θ/π)^planes)^tables).
+    """
+    import math
+
+    return max(4, math.ceil(math.log2(max(n_vectors / target_bucket_rows, 2.0))))
+
+
 def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     """Squared Euclidean distance matrix via the expanded form — O(N·k·d)
     flops through one BLAS matmul, never materializing (N, k, d)."""

@@ -221,3 +221,18 @@ def test_sample_frames_offsets(spark):
     assert [r.frame_offset for r in frames] == [1, 65, 129, 193]
     assert bytes(frames[0].frame_bytes) == b"x" * 64
     assert bytes(frames[-1].frame_bytes) == b"x" * 8  # tail frame is short
+
+
+def test_suggest_lsh_planes_pins_bucket_occupancy():
+    from cdc_data_lake_pyspark_spark.operators.similarity import suggest_lsh_planes
+
+    # occupancy N / 2^planes stays within [target/2, 2*target] as N grows
+    for n in (1_000, 100_000, 10_000_000, 1_000_000_000):
+        p = suggest_lsh_planes(n, target_bucket_rows=64)
+        occupancy = n / (2**p)
+        assert occupancy <= 64, (n, p, occupancy)
+        assert occupancy > 16 or n < 2_000, (n, p, occupancy)
+    # monotone in N, floored at 4
+    assert suggest_lsh_planes(10) == 4
+    planes = [suggest_lsh_planes(n) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert planes == sorted(planes)

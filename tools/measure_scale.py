@@ -108,10 +108,7 @@ def shuffle_totals(spark) -> tuple[int, int]:
 
 
 def family(docs, emb):
-    from cdc_data_lake_pyspark_spark.operators.clusters import (
-        connected_components,
-        dedup_keep_canonical,
-    )
+    from cdc_data_lake_pyspark_spark.operators.clusters import dedup_keep_canonical
     from cdc_data_lake_pyspark_spark.operators.dedup_text import (
         exact_dedup,
         jaccard_similar_pairs_prefix,
@@ -131,9 +128,7 @@ def family(docs, emb):
         "simhash_pairs": lambda: simhash_near_duplicate_pairs(docs),
         "cosine_exact": lambda: cosine_near_dup_pairs(emb, threshold=0.4),
         "cosine_lsh": lambda: cosine_near_dup_pairs_lsh(emb, threshold=0.4, dim=64),
-        "dup_clusters": lambda: dedup_keep_canonical(
-            docs, connected_components(pairs(), "a_id", "b_id")
-        ),
+        "dup_clusters": lambda: dedup_keep_canonical(docs, pairs()),
     }
 
 
