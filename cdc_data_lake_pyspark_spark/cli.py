@@ -83,6 +83,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default=None,
         help="column name enabling the cross-batch out-of-order merge guard",
     )
+    p.add_argument(
+        "--max-parallel-tables",
+        type=int,
+        default=8,
+        help="tables applied concurrently per batch (1 = sequential)",
+    )
     return p
 
 
@@ -157,6 +163,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         sink=make_sink(args, spark),
         cdc_format=args.cdcformat,
         ts_guard=args.ts_guard,
+        max_parallel_tables=args.max_parallel_tables,
     )
     query = start_cdc_stream(
         source=make_source(spark, args),
