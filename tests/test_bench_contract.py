@@ -1,0 +1,38 @@
+"""bench.py contract: the driver tail-parses its final stdout line, so the
+harness pieces it depends on must not drift."""
+
+import json
+
+import bench
+from cdc_data_lake_pyspark_spark import queries as q
+
+
+def test_headline_queries_all_registered():
+    reg = q.queries()
+    missing = [n for n in bench.HEADLINE if n not in reg]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+
+
+def test_prepared_fixtures_all_registered():
+    reg = q.queries()
+    assert set(q.BENCH_PREPARED) <= set(reg)
+
+
+def test_summary_line_stays_tail_parseable():
+    """The compact summary (aggregates + 10 headline timings) must stay
+    well under the driver's tail-capture window even with worst-case
+    float widths."""
+    summary = {
+        "metric": "headline query wall time (sum)",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": {n: 9999.999 for n in bench.HEADLINE},
+        "sf": "0.1",
+        "n_queries": len(q.queries()),
+        "n_failed": 0,
+        "failed": [],
+        "flagship_events": 99_999_999,
+        "flagship_events_per_sec": 9_999_999,
+        "full_results": "BENCH_local.json",
+    }
+    assert len(json.dumps(summary)) < 1024
