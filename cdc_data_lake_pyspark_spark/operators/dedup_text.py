@@ -539,3 +539,83 @@ def simhash_signatures(
             )
         )
     return agg.select(F.col("_id").alias("doc_id"), sim.alias("simhash"))
+
+
+def substring_window_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup over k-token rolling windows (the ExactSubstr
+    shape from "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022): any k-token span that occurs elsewhere in the corpus
+    is removed from every occurrence except the global keeper (minimum
+    ``(doc_id, start)``), and each document is reassembled from its
+    surviving tokens.  Returns ``(doc_id, clean_text, n_tokens,
+    n_dropped)`` for every document.
+
+    All hashing is ``md5`` of the space-joined window — portable, so the
+    DuckDB oracle replays fingerprints bit-for-bit.
+
+    Scale: windows shuffle once keyed by fingerprint (32-byte digests,
+    never text) for keeper election; dropped spans explode to (doc, token
+    position) pairs — bounded by k x duplicated windows, not the corpus;
+    reassembly is one groupBy over surviving tokens (the unavoidable
+    rewrite cost of a span-level editor; suffix-array services do the same
+    work off-cluster). Documents shorter than k tokens pass through
+    untouched.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    base = docs.select(
+        F.col(id_col).alias("_id"), toks.alias("_toks"), n.alias("_n")
+    )
+    win = base.select(
+        "_id",
+        "_toks",
+        F.explode(
+            F.when(F.col("_n") >= k, F.sequence(F.lit(0), F.col("_n") - k)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("_s"),
+    ).select(
+        "_id",
+        "_s",
+        F.md5(F.concat_ws(" ", F.slice("_toks", F.col("_s") + 1, k))).alias("_fp"),
+    )
+    w_fp = Window.partitionBy("_fp")
+    w_keep = Window.partitionBy("_fp").orderBy(F.col("_id").asc(), F.col("_s").asc())
+    dup_win = (
+        win.withColumn("_cnt", F.count(F.lit(1)).over(w_fp))
+        .withColumn("_rn", F.row_number().over(w_keep))
+        .filter((F.col("_cnt") > 1) & (F.col("_rn") > 1))
+        .select("_id", "_s")
+    )
+    dropped = dup_win.select(
+        "_id", F.explode(F.sequence(F.col("_s"), F.col("_s") + (k - 1))).alias("_p")
+    ).distinct()
+    tokens = base.select("_id", F.posexplode("_toks").alias("_p", "_tok"))
+    survived = tokens.join(dropped, ["_id", "_p"], "left_anti")
+    rebuilt = survived.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_tok"))),
+                lambda x: x["_tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    # fully-deduplicated documents still appear, with an empty clean_text
+    # (the caller decides whether to drop empties)
+    return (
+        base.select("_id", "_n")
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("_n").alias("n_tokens"),
+            (F.col("_n") - F.coalesce(F.col("_kept"), F.lit(0))).alias("n_dropped"),
+        )
+    )

@@ -589,6 +589,9 @@ _DEMOTED: tuple[str, ...] = (
     # equality-contract utilities: their oracles ARE the plain operation
     "skew_salted_join",  # == plain inner join (also pytest test_skew.py)
     "skew_salted_agg",  # == plain groupBy count
+    # r4 addition kept outside the frozen window (fully oracled; the
+    # dedup family is already represented inside the window)
+    "dedup_substring_windows",
 )
 
 

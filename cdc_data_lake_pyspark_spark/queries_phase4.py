@@ -1039,3 +1039,58 @@ def skew_salted_agg(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events").select("event_type")
     return salted_count_by_key(ev, ["event_type"], n_salts=8)
+
+
+@query(
+    "dedup_substring_windows",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), win AS (
+      SELECT doc_id, s - 1 AS s,
+             md5(array_to_string(list_slice(toks, s, s + 7), ' ')) AS fp
+      FROM base, LATERAL unnest(generate_series(1, n - 7)) AS g(s)
+      WHERE n >= 8
+    ), marked AS (
+      SELECT doc_id, s,
+             count(*) OVER (PARTITION BY fp) AS cnt,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id, s) AS rn
+      FROM win
+    ), dropped AS (
+      SELECT DISTINCT m.doc_id, m.s + d.i AS p
+      FROM marked m, LATERAL unnest(generate_series(0, 7)) AS d(i)
+      WHERE m.cnt > 1 AND m.rn > 1
+    ), toks AS (
+      SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS p,
+             unnest(toks) AS tok, n
+      FROM base
+    ), survived AS (
+      SELECT t.doc_id, t.p, t.tok
+      FROM toks t LEFT JOIN dropped d
+        ON t.doc_id = d.doc_id AND t.p = d.p
+      WHERE d.p IS NULL
+    ), rebuilt AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY p) AS clean_text,
+             count(*) AS kept
+      FROM survived GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(b.n AS INT) AS n_tokens,
+           CAST(b.n - coalesce(r.kept, 0) AS BIGINT) AS n_dropped
+    FROM base b LEFT JOIN rebuilt r ON b.doc_id = r.doc_id
+    """,
+)
+def dedup_substring_windows(spark, sf_dir):
+    """Exact-substring window dedup (ExactSubstr, Lee et al. 2022): every
+    duplicated 8-token span is removed from all but its first occurrence
+    and documents are reassembled — portable md5 fingerprints make the
+    whole editor value-checkable against DuckDB."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        substring_window_dedup,
+    )
+
+    return substring_window_dedup(_t(spark, sf_dir, "documents"), k=8)

@@ -60,3 +60,26 @@ def test_contamination_min_hits_threshold(spark):
     loose = contamination_report(docs, bench, k=8, min_hits=1).count()
     strict = contamination_report(docs, bench, k=8, min_hits=50).count()
     assert loose >= 1 and strict == 0
+
+
+def test_substring_window_dedup_semantics(spark):
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        substring_window_dedup,
+    )
+
+    phrase = "a b c d"  # k=4 windows
+    docs = spark.createDataFrame(
+        [
+            (1, f"{phrase} x y z"),        # keeper of the shared span
+            (2, f"p q {phrase} r"),        # loses the span, keeps p q r
+            (3, "p q r"),                  # shorter than k: untouched
+            (4, phrase),                   # duplicate span only -> emptied
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in substring_window_dedup(docs, k=4).collect()}
+    assert out[1].clean_text == "a b c d x y z" and out[1].n_dropped == 0
+    assert out[2].clean_text == "p q r" and out[2].n_dropped == 4
+    assert out[3].clean_text == "p q r" and out[3].n_dropped == 0
+    assert out[4].clean_text == "" and out[4].n_dropped == 4
+    assert out[2].n_tokens == 7
