@@ -541,36 +541,23 @@ def simhash_signatures(
     return agg.select(F.col("_id").alias("doc_id"), sim.alias("simhash"))
 
 
-def substring_window_dedup(
-    docs: DataFrame,
-    k: int = 8,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Exact-substring dedup over k-token rolling windows (the ExactSubstr
-    shape from "Deduplicating Training Data Makes Language Models Better",
-    Lee et al. 2022): any k-token span that occurs elsewhere in the corpus
-    is removed from every occurrence except the global keeper (minimum
-    ``(doc_id, start)``), and each document is reassembled from its
-    surviving tokens.  Returns ``(doc_id, clean_text, n_tokens,
-    n_dropped)`` for every document.
-
-    All hashing is ``md5`` of the space-joined window — portable, so the
-    DuckDB oracle replays fingerprints bit-for-bit.
-
-    Scale: windows shuffle once keyed by fingerprint (32-byte digests,
-    never text) for keeper election; dropped spans explode to (doc, token
-    position) pairs — bounded by k x duplicated windows, not the corpus;
-    reassembly is one groupBy over surviving tokens (the unavoidable
-    rewrite cost of a span-level editor; suffix-array services do the same
-    work off-cluster). Documents shorter than k tokens pass through
-    untouched.
-    """
+def _substring_base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Tokenized working frame ``(_id, _text, _toks, _n)`` shared by the
+    span-election and reassembly stages."""
     toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    base = docs.select(
-        F.col(id_col).alias("_id"), toks.alias("_toks"), n.alias("_n")
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
     )
+
+
+def _substring_dropped_positions(base: DataFrame, k: int) -> DataFrame:
+    """Token positions ``(_id, _p)`` covered by non-keeper duplicated
+    k-windows.  One shuffle keyed by the 16-byte window fingerprint (never
+    text); output is bounded by ``k x duplicated windows``, not corpus
+    size."""
     win = base.select(
         "_id",
         "_toks",
@@ -592,10 +579,64 @@ def substring_window_dedup(
         .filter((F.col("_cnt") > 1) & (F.col("_rn") > 1))
         .select("_id", "_s")
     )
-    dropped = dup_win.select(
-        "_id", F.explode(F.sequence(F.col("_s"), F.col("_s") + (k - 1))).alias("_p")
+    return dup_win.select(
+        "_id",
+        F.explode(F.sequence(F.col("_s"), F.col("_s") + (k - 1))).alias("_p"),
     ).distinct()
-    tokens = base.select("_id", F.posexplode("_toks").alias("_p", "_tok"))
+
+
+def substring_duplicate_positions(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level duplication report: ``(doc_id, pos)`` for every token
+    position covered by a non-keeper duplicated k-window (the set
+    ``substring_window_dedup`` removes).  Useful on its own as a corpus
+    audit, and lets harnesses measure the election stage separately from
+    reassembly (tools/measure_scale.py)."""
+    base = _substring_base(docs, id_col, text_col)
+    return _substring_dropped_positions(base, k).select(
+        F.col("_id").alias(id_col), F.col("_p").alias("pos")
+    )
+
+
+def substring_window_dedup(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup over k-token rolling windows (the ExactSubstr
+    shape from "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022): any k-token span that occurs elsewhere in the corpus
+    is removed from every occurrence except the global keeper (minimum
+    ``(doc_id, start)``), and each document is reassembled from its
+    surviving tokens.  Returns ``(doc_id, clean_text, n_tokens,
+    n_dropped)`` for every document.
+
+    All hashing is ``md5`` of the space-joined window — portable, so the
+    DuckDB oracle replays fingerprints bit-for-bit.
+
+    Scale: windows shuffle once keyed by fingerprint (32-byte digests,
+    never text) for keeper election; dropped spans explode to (doc, token
+    position) pairs — bounded by k x duplicated windows, not the corpus.
+    Reassembly touches ONLY affected documents: the (small) dropped-span
+    frame yields the affected doc-id set, ``base`` is semi-joined to it
+    before the token explode, and every untouched document passes through
+    with its original text and zero rewrite cost.  Total rewrite shuffle
+    therefore scales with duplicated-span volume, not corpus size (at a
+    low dup rate the token-level shuffle is near-zero even at 100 TB).
+    Documents shorter than k tokens pass through untouched.
+    """
+    base = _substring_base(docs, id_col, text_col)
+    # the dropped-position frame is small (k x duplicated windows); stage it
+    # so the window-election subtree runs once, not once per consumer below
+    dropped = _stage(_substring_dropped_positions(base, k))
+    affected = dropped.select("_id").distinct()
+    touched = base.join(affected, "_id", "left_semi")
+    tokens = touched.select("_id", F.posexplode("_toks").alias("_p", "_tok"))
     survived = tokens.join(dropped, ["_id", "_p"], "left_anti")
     rebuilt = survived.groupBy("_id").agg(
         F.array_join(
@@ -609,8 +650,8 @@ def substring_window_dedup(
     )
     # fully-deduplicated documents still appear, with an empty clean_text
     # (the caller decides whether to drop empties)
-    return (
-        base.select("_id", "_n")
+    touched_out = (
+        touched.select("_id", "_n")
         .join(rebuilt, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
@@ -619,3 +660,12 @@ def substring_window_dedup(
             (F.col("_n") - F.coalesce(F.col("_kept"), F.lit(0))).alias("n_dropped"),
         )
     )
+    # untouched docs: original text verbatim (split/rejoin on " " is the
+    # identity, so this equals what reassembly would have produced)
+    untouched_out = base.join(affected, "_id", "left_anti").select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("_text"), F.lit("")).alias("clean_text"),
+        F.col("_n").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_dropped"),
+    )
+    return untouched_out.unionByName(touched_out)

@@ -132,10 +132,120 @@ def family(docs, emb):
     }
 
 
+def derived_documents_unique(spark, sf_dir: str, replicas: int):
+    """Replicas whose every token carries a (replica, doc, position) suffix:
+    no k-token window repeats anywhere (within doc, across docs, or across
+    replicas), so the derived corpus adds 10x VOLUME but ZERO duplicated
+    spans — the 'corpus grows, dup volume constant' point for the
+    substring-dedup scaling law."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    parts = [docs]
+    for r in range(1, replicas):
+        uniq = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x, i: F.concat(
+                    x, F.lit(f"x{r}q"), F.col("doc_id"), F.lit("p"), i
+                ),
+            ),
+            " ",
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+                uniq.alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def derived_documents_verbatim(spark, sf_dir: str, replicas: int):
+    """Verbatim replicas (same text, shifted ids): every >=k-token window
+    becomes duplicated ~replicas times — the 'dup volume grows ~10x' point
+    for the substring-dedup scaling law."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    parts = [docs]
+    for r in range(1, replicas):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+                "text",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def measure_substring(spark, sf_dir: str, replicas: int) -> dict:
+    """Measure substring_window_dedup's two stages separately per corpus:
+
+    * election = span-election only (``substring_duplicate_positions``) —
+      one fingerprint-keyed shuffle, expected to grow with corpus size.
+    * full = the whole operator; ``reassembly_shuffle ~= full - election``
+      (the full run re-executes election, so the subtraction isolates the
+      token-explode + rebuild cost).
+
+    Expected law (the claim VERDICT r4 asked to prove): reassembly shuffle
+    tracks ``dropped_rows`` (duplicated-span volume), NOT ``n_docs`` —
+    near-flat from 1x to 10x_const_dups, ~proportional into
+    10x_replicated_dups.
+    """
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        substring_duplicate_positions,
+        substring_window_dedup,
+    )
+
+    corpora = {
+        "1x": spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        ),
+        f"{replicas}x_const_dups": None,
+        f"{replicas}x_replicated_dups": None,
+    }
+    for name, build in (
+        (f"{replicas}x_const_dups", derived_documents_unique),
+        (f"{replicas}x_replicated_dups", derived_documents_verbatim),
+    ):
+        p = f"{WORK_DIR}/substr_{name}.parquet"
+        if not os.path.exists(p):
+            build(spark, sf_dir, replicas).write.mode("overwrite").parquet(p)
+        corpora[name] = spark.read.parquet(p)
+
+    out = {}
+    for label, docs in corpora.items():
+        row = {"n_docs": docs.count()}
+        r0, w0 = shuffle_totals(spark)
+        t0 = time.time()
+        row["dropped_rows"] = substring_duplicate_positions(docs, k=8).count()
+        row["election_sec"] = round(time.time() - t0, 2)
+        r1, w1 = shuffle_totals(spark)
+        t1 = time.time()
+        row["out_rows"] = substring_window_dedup(docs, k=8).count()
+        row["full_sec"] = round(time.time() - t1, 2)
+        r2, w2 = shuffle_totals(spark)
+        row["election_shuffle_mb"] = round((w1 - w0) / 1e6, 2)
+        row["full_shuffle_mb"] = round((w2 - w1) / 1e6, 2)
+        row["reassembly_shuffle_mb"] = round(((w2 - w1) - (w1 - w0)) / 1e6, 2)
+        out[label] = row
+        print("substring", label, row, flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--out", default="SCALE_MEASURED.json")
+    ap.add_argument(
+        "--only",
+        choices=["family", "substring"],
+        default=None,
+        help="measure one section and merge into an existing --out file",
+    )
     args = ap.parse_args()
 
     from cdc_data_lake_pyspark_spark.session import build_session
@@ -144,6 +254,20 @@ def main():
         app_name="scale-measure", extra_conf={"spark.ui.enabled": "true"}
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    results = {"sf_dir": SF_DIR, "replicas": args.replicas, "scales": {}}
+    if args.only and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        if prior.get("sf_dir") == SF_DIR and prior.get("replicas") == args.replicas:
+            results = prior
+
+    if args.only == "substring":
+        results["substring_dedup"] = measure_substring(spark, SF_DIR, args.replicas)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps({"written": args.out}))
+        return
 
     # materialize the derived corpus once so derivation cost never pollutes
     # the per-operator measurements
@@ -157,7 +281,6 @@ def main():
             build(spark, SF_DIR, args.replicas).write.mode("overwrite").parquet(p)
         paths[name] = p
 
-    results = {"sf_dir": SF_DIR, "replicas": args.replicas, "scales": {}}
     for label, docs, emb in (
         (
             "1x",
@@ -190,6 +313,9 @@ def main():
             }
             print(label, op, scale["ops"][op], flush=True)
         results["scales"][label] = scale
+
+    if args.only != "family":
+        results["substring_dedup"] = measure_substring(spark, SF_DIR, args.replicas)
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
