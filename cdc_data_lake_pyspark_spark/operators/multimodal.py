@@ -2,17 +2,20 @@
 
 BASELINE.json §2.6: images/audio/video are carried as ``binary`` columns
 with a typed metadata struct; decode / feature-extract / resize /
-frame-sample run as Arrow-batched ``mapInPandas`` stages.  The actual
-codec work is STUBBED (image/audio libraries are not in this container):
-``decode_image`` raises ``NotImplementedError`` unless a decoder is
-injected, and ``fake_decode_features`` is the deterministic stand-in used
-by tests.  The Spark-side plumbing — schema, batching, partitioning, UDF
-signatures — is real and tested.
+frame-sample run as Arrow-batched ``mapInPandas`` stages.  Decoding is
+REAL for uncompressed containers — 24-bit BMP, netpbm P6, RIFF/WAVE
+PCM16 — via the pure-numpy codecs in ``functions/codecs.py`` (no codec
+libraries exist in this container, and none are needed for those
+formats).  Compressed formats (JPEG/MP3/...) still require an injected
+decoder; ``fake_decode_features`` remains the deterministic stand-in for
+exercising the plumbing without any container at all.
 
 Scale: binary payloads never pass through Python row-by-row; Arrow moves
 whole columnar batches, and ``spark.sql.execution.arrow.maxRecordsPerBatch``
 bounds executor memory per batch.  Metadata-only operations (length,
 digest, filtering) stay JVM-side and never touch the payload in Python.
+Inside a batch, numpy does the per-pixel/per-sample work; Python only
+touches container headers.
 """
 
 from __future__ import annotations
@@ -20,11 +23,19 @@ from __future__ import annotations
 import hashlib
 from typing import Callable, Iterator, Optional
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from cdc_data_lake_pyspark_spark.functions.codecs import (
+    decode_any_image,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+)
 
 #: Metadata carried alongside every binary payload column.
 MEDIA_METADATA_SCHEMA = T.StructType(
@@ -55,19 +66,29 @@ def text_as_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.col(text_col).cast("binary"))
 
 
-#: Signature for injected decoders: raw bytes → feature vector.
-Decoder = Callable[[bytes], list[float]]
+#: Signature for injected decoders: raw bytes → decoded value.
+Decoder = Callable[[bytes], object]
 
 
-def decode_image(payload: bytes, decoder: Optional[Decoder] = None) -> list[float]:
-    """Decode stub: real image decoding needs a codec library that is not
-    available in this environment."""
-    if decoder is None:
-        raise NotImplementedError(
-            "image decoding requires an injected decoder (no codec libs here); "
-            "use fake_decode_features for deterministic tests"
-        )
-    return decoder(payload)
+def decode_image(payload: bytes, decoder: Optional[Decoder] = None):
+    """Decode an image payload to an ``(h, w, 3)`` uint8 RGB array.
+
+    BMP (24-bit BI_RGB) and netpbm P6 decode natively (pure numpy,
+    ``functions/codecs.py``); other containers need an injected
+    ``decoder`` (compressed codecs aren't available in this environment)
+    and raise ``ValueError`` otherwise."""
+    if decoder is not None:
+        return decoder(payload)
+    return decode_any_image(payload)
+
+
+def decode_audio(payload: bytes, decoder: Optional[Decoder] = None):
+    """Decode an audio payload to ``(samples, sample_rate)`` — int16 PCM
+    from a RIFF/WAVE container natively; other containers via an injected
+    ``decoder``."""
+    if decoder is not None:
+        return decoder(payload)
+    return decode_wav(payload)
 
 
 def fake_decode_features(payload: bytes, dim: int = 8) -> list[float]:
@@ -116,6 +137,146 @@ def extract_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, EXTRACT_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("r_sum", T.LongType(), True),
+        T.StructField("g_sum", T.LongType(), True),
+        T.StructField("b_sum", T.LongType(), True),
+        T.StructField("weighted_sum", T.LongType(), True),
+    ]
+)
+
+
+def image_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Optional[Decoder] = None,
+) -> DataFrame:
+    """Decode image payloads (real BMP/PPM decode by default) and extract
+    exact integer statistics: dimensions, per-channel pixel sums, and a
+    position-weighted checksum ``sum(v[i] * (i+1))`` over the flattened
+    (row, col, RGB-channel) sequence.  Integer features make the decode
+    path oracle-checkable bit-for-bit, and the position weighting catches
+    row-order / channel-order / padding mistakes that order-invariant
+    sums would miss."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_image(bytes(payload), decoder).astype(np.int64)
+                h, w, _ = px.shape
+                flat = px.reshape(-1)
+                idx = np.arange(1, flat.size + 1, dtype=np.int64)
+                rows.append(
+                    (
+                        did,
+                        w,
+                        h,
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                        int((flat * idx).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_STATS_SCHEMA])
+
+    return df.select(id_col, payload_col).mapInPandas(run, IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("sample_sum", T.LongType(), True),
+        T.StructField("weighted_sum", T.LongType(), True),
+    ]
+)
+
+
+def audio_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: Optional[Decoder] = None,
+) -> DataFrame:
+    """Decode audio payloads (real WAV/PCM16 decode by default) and
+    extract exact integer statistics: sample count, rate, sample sum, and
+    the position-weighted checksum ``sum(s[i] * (i+1))``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples, rate = decode_audio(bytes(payload), decoder)
+                s = samples.astype(np.int64).reshape(-1)
+                idx = np.arange(1, s.size + 1, dtype=np.int64)
+                rows.append((did, s.size, rate, int(s.sum()), int((s * idx).sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_STATS_SCHEMA])
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+def synth_image_pixels(doc_id: int) -> np.ndarray:
+    """Deterministic fixture pixels for ``doc_id``: shape
+    ``(3 + id % 4, 4 + id % 5, 3)`` with flat value
+    ``(id*7 + i*13) % 256`` — pure integer arithmetic a SQL oracle can
+    replay with ``generate_series``."""
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    i = np.arange(w * h * 3, dtype=np.int64)
+    return ((doc_id * 7 + i * 13) % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+def synth_audio_samples(doc_id: int) -> tuple[np.ndarray, int]:
+    """Deterministic fixture samples for ``doc_id``: ``64 + id % 97``
+    int16 samples ``((id*31 + i*17) % 65536) - 32768`` at rate
+    ``8000 + (id % 3) * 4000``."""
+    n = 64 + doc_id % 97
+    i = np.arange(n, dtype=np.int64)
+    samples = (((doc_id * 31 + i * 17) % 65536) - 32768).astype(np.int16)
+    return samples, 8000 + (doc_id % 3) * 4000
+
+
+def synth_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Plant REAL container payloads deterministically per id:
+    ``bmp_payload`` (24-bit BMP of ``synth_image_pixels``) and
+    ``wav_payload`` (RIFF/WAVE PCM16 of ``synth_audio_samples``).
+
+    The payloads cross an Arrow boundary as genuine binary columns, so a
+    downstream ``image_stats``/``audio_stats`` stage exercises the full
+    encode → shuffle-able binary column → parse-and-decode path."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("bmp_payload", T.BinaryType(), True),
+            T.StructField("wav_payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf[id_col]:
+                did = int(did)
+                rows.append(
+                    (
+                        did,
+                        encode_bmp(synth_image_pixels(did)),
+                        encode_wav(*synth_audio_samples(did)),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema])
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, schema
+    )
 
 
 def sample_frames(

@@ -35,8 +35,11 @@ from cdc_data_lake_pyspark_spark.operators.dedup_text import (
     simhash_signatures,
 )
 from cdc_data_lake_pyspark_spark.operators.multimodal import (
+    audio_stats,
     extract_features,
+    image_stats,
     sample_frames,
+    synth_media_payloads,
     text_as_binary,
 )
 from cdc_data_lake_pyspark_spark.operators.similarity import (
@@ -707,3 +710,63 @@ def multimodal_frame_sample(spark, sf_dir):
         F.col("frame_offset").cast("bigint").alias("frame_offset"),
         F.md5(F.col("frame_bytes")).alias("frame_md5"),
     )
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, i, (doc_id * 7 + i * 13) % 256 AS v
+      FROM d, LATERAL unnest(generate_series(0, w * h * 3 - 1)) AS g(i)
+    )
+    SELECT doc_id,
+           CAST(MAX(w) AS BIGINT) AS width,
+           CAST(MAX(h) AS BIGINT) AS height,
+           CAST(SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+           CAST(SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
+           CAST(SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum,
+           CAST(SUM(v * (i + 1)) AS BIGINT) AS weighted_sum
+    FROM px GROUP BY doc_id
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    """REAL image decode: plant deterministic 24-bit BMP payloads per doc
+    (``synth_media_payloads``), decode them with the pure-numpy BMP parser
+    (``functions/codecs.py``), and extract exact integer pixel statistics
+    including a position-weighted checksum.  The DuckDB oracle replays the
+    pixel-generation arithmetic directly — a match proves the
+    encode → binary column → parse-and-decode path preserves every pixel,
+    in order (row order, channel order, and BMP row padding included)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return image_stats(synth_media_payloads(docs), payload_col="bmp_payload")
+
+
+@query(
+    "multimodal_audio_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 97 AS n,
+             8000 + (doc_id % 3) * 4000 AS rate
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n, rate, i,
+             ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+      FROM d, LATERAL unnest(generate_series(0, n - 1)) AS g(i)
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(MAX(rate) AS BIGINT) AS sample_rate,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(SUM(v * (i + 1)) AS BIGINT) AS weighted_sum
+    FROM s GROUP BY doc_id
+    """,
+)
+def multimodal_audio_decode(spark, sf_dir):
+    """REAL audio decode: plant deterministic RIFF/WAVE PCM16 payloads per
+    doc, chunk-walk and decode them with the pure-numpy WAV parser, and
+    extract exact integer sample statistics; the oracle replays the
+    sample-generation arithmetic directly."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return audio_stats(synth_media_payloads(docs), payload_col="wav_payload")

@@ -208,10 +208,19 @@ def test_extract_features_deterministic(spark):
     assert out[3].n_bytes == len(b"doc number 3")
 
 
-def test_decode_image_stub_raises():
-    with pytest.raises(NotImplementedError):
+def test_decode_image_dispatch():
+    # unrecognized containers raise; injected decoders take precedence
+    with pytest.raises(ValueError):
         decode_image(b"bytes")
     assert decode_image(b"bytes", decoder=lambda b: [1.0]) == [1.0]
+    # the real pure-numpy BMP path round-trips (full coverage in
+    # tests/test_codecs.py, including hand-written golden bytes)
+    import numpy as np
+
+    from cdc_data_lake_pyspark_spark.functions.codecs import encode_bmp
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert (decode_image(encode_bmp(px)) == px).all()
 
 
 def test_sample_frames_offsets(spark):
