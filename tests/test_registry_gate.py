@@ -1,6 +1,8 @@
 """The driver's correctness gate samples the first 50 registry entries;
-pin that the gated window covers every operator family (queries.py
-`_DEMOTED` rationale)."""
+pin that the gated window covers every operator family and that the
+rotation policy holds (queries.py `_DEMOTED` rationale): new/changed
+operators sit inside the window, and previously demoted entries rotate
+back in so the driver re-verifies them round over round."""
 
 from cdc_data_lake_pyspark_spark import queries as q
 
@@ -13,21 +15,21 @@ REQUIRED_VISIBLE = [
     "cdc_multi_table_apply",
     "cdc_orders_apply_dms",
     "cdc_orders_apply_sql",
-    "route_upsert",
+    "route_insert",
+    "route_delete",
     "parse_props_json",
-    "timestamp_roundtrip",
     "distinct_fanout_inventory",
-    "dedup_composite_key",
+    "dedup_latest_per_key",
     "merge_upsert_customer",
     "delete_where_exists",
     # analytics
     "agg_pricing_summary",
-    "orders_revenue_by_nation",
-    "revenue_rollup",
+    "join_customer_geo",
+    "daily_revenue_ma7",
     "pivot_segment_region",
     "segment_price_percentiles",
     "shipping_priority",
-    "purchase_attribution_window",
+    "top_customers_per_segment",
     # text / quality
     "text_stats",
     "lang_id_heuristic",
@@ -35,36 +37,45 @@ REQUIRED_VISIBLE = [
     "doc_fingerprint",
     "token_count_bpe",
     "scrub_pii_docs",
-    "doc_repetition_ratio",
     "contamination_report",
     # dedup family
     "dedup_exact_groups",
     "dedup_jaccard_prefix",
     "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "dedup_substring_windows",
     "dedup_embedding_cosine_lsh",
     "dedup_clusters",
     "dedup_keep_canonical",
     "incremental_novel_docs",
     # similarity
-    "similarity_topk_bruteforce",
     "similarity_ivf",
     "similarity_ann_lsh",
     "embedding_centroids",
     # multimodal / relational / sampling
-    "multimodal_extract",
+    "multimodal_decode",
+    "multimodal_audio_decode",
     "multimodal_frame_sample",
     "sessionize_events",
     "asof_join_orders",
     "split_assignment",
     "pack_sequences",
     "stratified_sample_docs",
+    # skew mitigation
+    "skew_salted_join",
+    "skew_salted_agg",
     # sketches / composites
-    "hll_distinct_users",
     "cms_user_counts",
     "tfidf_top_term",
     "prepare_training_corpus",
+]
+
+# Operators added or materially changed this round: the rotation policy
+# requires them INSIDE the gated window (ADVICE r4).
+CHANGED_THIS_ROUND = [
+    "dedup_substring_windows",  # reassembly pruned to affected docs (r5)
+    "multimodal_decode",  # new real BMP decode (r5)
+    "multimodal_audio_decode",  # new real WAV decode (r5)
 ]
 
 
@@ -72,6 +83,13 @@ def test_gate_window_covers_every_family():
     head = list(q.queries())[:GATE_WINDOW]
     missing = [n for n in REQUIRED_VISIBLE if n not in head]
     assert not missing, f"outside the 50-entry gate window: {missing}"
+
+
+def test_changed_operators_inside_gate_window():
+    head = list(q.queries())[:GATE_WINDOW]
+    missing = [n for n in CHANGED_THIS_ROUND if n not in head]
+    assert not missing, f"changed operators hidden from the gate: {missing}"
+    assert not set(CHANGED_THIS_ROUND) & set(q._DEMOTED)
 
 
 def test_demoted_entries_still_registered_with_oracles():
