@@ -37,6 +37,13 @@ from cdc_data_lake_pyspark_spark.pipeline import CdcPipeline
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+#: Last sf_dir any registered query loaded a table from.  Seeded oracle
+#: generators (IVF centroid replay) use it so their offline re-fit reads
+#: the SAME corpus the Spark query ran against, instead of trusting a
+#: separately-configured default (ADVICE r4).  Single-element list so
+#: phase modules share the mutation.
+LAST_SF_DIR: list[str | None] = [None]
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a driver table.
@@ -45,6 +52,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     default; read nanos as long and truncate to microseconds — exactly what
     DuckDB's parquet reader does — so both engines see identical instants.
     """
+    LAST_SF_DIR[0] = sf_dir
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -621,8 +629,26 @@ def oracle_sql() -> dict[str, str]:
     _load_phase2()
     # An oracle registered as a callable is generated on demand — used by
     # the seeded-LSH / IVF entries whose SQL pins deterministic structures
-    # (hyperplanes, centroids) as literals.
-    resolved = {n: (v() if callable(v) else v) for n, v in ORACLES.items()}
+    # (hyperplanes, centroids) as literals.  Each generator resolves
+    # INDEPENDENTLY: a failure (missing parquet dir, no duckdb, ...) omits
+    # only its own entry — the driver then falls back to the weaker
+    # rows-only check for that query instead of losing every oracle
+    # (ADVICE r4).
+    resolved: dict[str, str] = {}
+    for n, v in ORACLES.items():
+        if callable(v):
+            try:
+                resolved[n] = v()
+            except Exception as exc:  # noqa: BLE001 — isolate per-entry
+                import warnings
+
+                warnings.warn(
+                    f"oracle generator for {n!r} failed ({exc!r}); "
+                    "entry omitted — driver falls back to rows-only check",
+                    stacklevel=2,
+                )
+        else:
+            resolved[n] = v
     return _gate_ordered(resolved)
 
 

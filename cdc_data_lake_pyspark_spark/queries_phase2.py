@@ -556,18 +556,44 @@ def _topk_from_cand_sql(k: int) -> str:
     """
 
 
-@functools.lru_cache(maxsize=None)
+def _oracle_sf_dir() -> str:
+    """Data dir for seeded oracle replays, by precedence: explicit
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` override → the sf_dir the registered
+    queries last loaded a table from (``queries.LAST_SF_DIR``, so the
+    offline re-fit reads the SAME corpus the Spark query ran against) →
+    the driver's oracle scale (sf0.01)."""
+    from cdc_data_lake_pyspark_spark.queries import LAST_SF_DIR
+
+    env = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+    return env or LAST_SF_DIR[0] or "/root/testdata/sf0.01"
+
+
 def _ivf_oracle_sql() -> str:
+    return _ivf_oracle_sql_for(_oracle_sf_dir())
+
+
+@functools.lru_cache(maxsize=None)
+def _ivf_oracle_sql_for(sf_dir: str) -> str:
     """Replay the deterministic IVF quantizer offline and pin its centroids
     as literals: read the same id-ordered bounded sample the Spark op fits
     on (fit_ivf_centroids), run the identical numpy Lloyd's, and express
-    cell assignment / multi-probe / scoring in SQL.  The data dir matches
-    the driver's oracle scale (sf0.01) unless overridden."""
+    cell assignment / multi-probe / scoring in SQL.  Cached per data dir —
+    the dir is derived from the corpus the query actually ran against
+    (``_oracle_sf_dir``).
+
+    Fragility note (ADVICE r4): DuckDB sums dot products sequentially
+    while the Spark path uses BLAS float64 matmuls; a vector sitting
+    EXACTLY on a centroid-distance tie (margin below ~1e-9) could assign
+    differently even when both sides are correct.  The driver corpus has
+    no such ties (verified: min assignment margin at sf0.01 and sf0.1 is
+    orders of magnitude above float64 round-off —
+    tests/test_oracle_resolution.py::test_ivf_assignment_margins), so the
+    exact value-check is safe on this data; on adversarial corpora,
+    exclude pairs whose margin is below ~1e-9 before comparing."""
     import duckdb
 
     from cdc_data_lake_pyspark_spark.operators.similarity import fit_kmeans
 
-    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     pdf = duckdb.sql(
         f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
         "ORDER BY vec_id LIMIT 200000"
