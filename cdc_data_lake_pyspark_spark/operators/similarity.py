@@ -167,6 +167,36 @@ def suggest_lsh_planes(n_vectors: int, target_bucket_rows: int = 64) -> int:
     return max(4, math.ceil(math.log2(max(n_vectors / target_bucket_rows, 2.0))))
 
 
+def auto_lsh_params(
+    n_vectors: int,
+    min_cosine: float = 0.4,
+    target_bucket_rows: int = 64,
+    target_recall: float = 0.5,
+) -> tuple[int, int]:
+    """Auto-size ``(n_planes, n_tables)`` from the corpus count.
+
+    Planes come from the measured occupancy law (:func:`suggest_lsh_planes`:
+    occupancy — and therefore within-bucket quadratic candidate work —
+    stays ~``target_bucket_rows`` as the corpus grows).  Tables then
+    restore recall: a pair at exactly ``min_cosine`` collides per plane
+    with p = 1 − θ/π, per table with p^planes, and across T tables with
+    1 − (1 − p^planes)^T ≥ ``target_recall`` →
+    T = ⌈log(1 − recall) / log(1 − p^planes)⌉.  ``target_recall`` is the
+    floor AT the threshold angle — the hardest pair; true near-duplicates
+    sit well above ``min_cosine`` and collide with much higher
+    probability (the pinned-recall tests in test_phase2.py measure ≥0.9
+    end-to-end).  Everything is a pure function of (count, parameters),
+    so the DuckDB oracle replays the same sizing from the same corpus.
+    """
+    import math
+
+    n_planes = suggest_lsh_planes(n_vectors, target_bucket_rows)
+    p = 1.0 - math.acos(min(max(min_cosine, -1.0), 1.0)) / math.pi
+    per_table = p**n_planes
+    n_tables = max(4, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_table)))
+    return n_planes, n_tables
+
+
 def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     """Squared Euclidean distance matrix via the expanded form — O(N·k·d)
     flops through one BLAS matmul, never materializing (N, k, d)."""
@@ -410,11 +440,12 @@ def cosine_near_dup_pairs_lsh(
     vectors: DataFrame,
     threshold: float = 0.4,
     dim: int = 64,
-    n_planes: int = 6,
-    n_tables: int = 12,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Approximate embedding-cosine near-duplicate pairs — the 100 TB path.
 
@@ -428,10 +459,21 @@ def cosine_near_dup_pairs_lsh(
 
     Scale: the corpus never self-joins all-pairs — it shuffles once on
     ``(table, bucket)``; bucket sizes track near-duplicate clusters, not
-    corpus size.  Dedup across tables happens on the pair key before
-    scoring so each candidate is scored once.
+    corpus size.  When ``n_planes``/``n_tables`` are omitted they are
+    auto-sized from the corpus count via :func:`auto_lsh_params` (pass
+    ``n_vectors`` to skip the counting job), so occupancy stays pinned as
+    the corpus grows instead of exploding quadratically within buckets.
+    Dedup across tables happens on the pair key before scoring so each
+    candidate is scored once.
     """
     from pyspark.sql.pandas.functions import pandas_udf
+
+    if n_planes is None or n_tables is None:
+        if n_vectors is None:
+            n_vectors = vectors.count()
+        auto_planes, auto_tables = auto_lsh_params(n_vectors, min_cosine=threshold)
+        n_planes = n_planes if n_planes is not None else auto_planes
+        n_tables = n_tables if n_tables is not None else auto_tables
 
     planes = np.array(
         [make_hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)]
@@ -507,11 +549,13 @@ def hyperplane_lsh_top_k(
     queries: DataFrame,
     k: int = 1,
     dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vectors: int | None = None,
+    assumed_min_cosine: float = 0.5,
     query_id_col: str = "query_id",
     exclude_self: bool = False,
 ) -> DataFrame:
@@ -534,8 +578,21 @@ def hyperplane_lsh_top_k(
     vectorized UDF; only same-bucket pairs are ever materialized, so at
     100 TB the corpus never cross-joins — it shuffles once on
     ``(table, bucket)``.
+
+    When ``n_planes``/``n_tables`` are omitted they auto-size from the
+    corpus count (:func:`auto_lsh_params`, recall floor at
+    ``assumed_min_cosine``); pass ``n_vectors`` to skip the counting job.
     """
     from pyspark.sql.pandas.functions import pandas_udf
+
+    if n_planes is None or n_tables is None:
+        if n_vectors is None:
+            n_vectors = vectors.count()
+        auto_planes, auto_tables = auto_lsh_params(
+            n_vectors, min_cosine=assumed_min_cosine
+        )
+        n_planes = n_planes if n_planes is not None else auto_planes
+        n_tables = n_tables if n_tables is not None else auto_tables
 
     planes = np.array(
         [make_hyperplanes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)]

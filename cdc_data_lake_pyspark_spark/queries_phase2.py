@@ -429,14 +429,34 @@ def _cosine_lsh_pairs_oracle(
     """
 
 
-@query("dedup_embedding_cosine_lsh", oracle=lambda: _cosine_lsh_pairs_oracle())
+def _cosine_lsh_pairs_oracle_auto() -> str:
+    """Replay the auto-sized LSH: derive (n_planes, n_tables) from the
+    corpus count of the SAME data dir the query ran against, exactly as
+    ``cosine_near_dup_pairs_lsh`` does via ``auto_lsh_params``, then pin
+    the seeded hyperplanes as literals."""
+    import duckdb
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import auto_lsh_params
+
+    sf_dir = _oracle_sf_dir()
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    n_planes, n_tables = auto_lsh_params(n, min_cosine=0.4)
+    return _cosine_lsh_pairs_oracle(dim=64, n_planes=n_planes, n_tables=n_tables)
+
+
+@query("dedup_embedding_cosine_lsh", oracle=_cosine_lsh_pairs_oracle_auto)
 def dedup_embedding_cosine_lsh(spark, sf_dir):
     """Hyperplane-LSH banded near-dup pairs — the corpus-scale path: only
     same-bucket pairs are scored, every emitted pair exact-rescored (so
     output ⊆ the exact op with identical scores; recall floor asserted in
-    tests/test_phase2.py::test_cosine_lsh_pairs_subset_and_recall).  The
-    oracle replays the seeded hyperplanes as literals, so banding + rescore
-    are value-checked end-to-end in DuckDB."""
+    tests/test_phase2.py::test_cosine_lsh_pairs_subset_and_recall).
+    (n_planes, n_tables) auto-size from the corpus count
+    (``auto_lsh_params``) so bucket occupancy stays pinned as the corpus
+    grows; the oracle derives the same sizing from the same corpus and
+    replays the seeded hyperplanes as literals, so sizing + banding +
+    rescore are value-checked end-to-end in DuckDB."""
     from cdc_data_lake_pyspark_spark.operators.similarity import (
         cosine_near_dup_pairs_lsh,
     )
