@@ -124,6 +124,68 @@ def test_sql_sink_ts_guard_merge_and_delete(spark, lake):
     assert spark.table(f"{lake}.`d`.`t`").count() == 0
 
 
+def _dms_env(op, data, ts_ms, table="t"):
+    from datetime import datetime, timezone
+
+    ts = (
+        datetime.fromtimestamp(ts_ms / 1000, tz=timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S."
+        )
+        + f"{ts_ms % 1000:03d}Z"
+    )
+    return (
+        json.dumps(
+            {
+                "data": json.dumps(data),
+                "metadata": {
+                    "operation": op,
+                    "schema-name": "d",
+                    "table-name": table,
+                    "timestamp": ts,
+                    "record-type": "data",
+                },
+            }
+        ),
+    )
+
+
+def test_sql_sink_ts_guard_dms(spark, lake):
+    """The guarded-MERGE/DELETE matrix cell for cdc_format='dms' through
+    the EXECUTED SQL sink (VERDICT r4 item 8): stale cross-batch DMS
+    updates lose, stale deletes are inert, newer deletes apply — same
+    semantics as the Debezium cell above, through the DMS parser's
+    metadata.timestamp-derived guard."""
+    sink = SqlTableSink(lake)
+    pipe = CdcPipeline(config=_CFG, sink=sink, cdc_format="dms", ts_guard="_g")
+    pipe.process_batch(
+        spark.createDataFrame(
+            [_dms_env("update", {"id": 1, "v": "new"}, 100_000)], "value string"
+        )
+    )
+    # stale cross-batch update loses
+    pipe.process_batch(
+        spark.createDataFrame(
+            [_dms_env("update", {"id": 1, "v": "old"}, 50_000)], "value string"
+        )
+    )
+    rows = spark.table(f"{lake}.`d`.`t`").collect()
+    assert [(r.id, r.v) for r in rows] == [(1, "new")]
+    # stale delete is inert (DMS deletes carry the row image in data) ...
+    pipe.process_batch(
+        spark.createDataFrame(
+            [_dms_env("delete", {"id": 1, "v": "new"}, 60_000)], "value string"
+        )
+    )
+    assert spark.table(f"{lake}.`d`.`t`").count() == 1
+    # ... and a newer delete applies
+    pipe.process_batch(
+        spark.createDataFrame(
+            [_dms_env("delete", {"id": 1, "v": "new"}, 200_000)], "value string"
+        )
+    )
+    assert spark.table(f"{lake}.`d`.`t`").count() == 0
+
+
 def test_sql_sink_schema_evolution_append(spark, lake):
     """merge-schema append: a brand-new column mid-stream evolves the
     catalog table (Iceberg accept-any-schema + merge-schema shape)."""
