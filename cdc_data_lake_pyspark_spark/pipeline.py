@@ -130,7 +130,11 @@ class CdcPipeline:
                 for entry in inventory:
                     self._apply_table(entry, routed)
             else:
-                from concurrent.futures import ThreadPoolExecutor
+                from concurrent.futures import (
+                    FIRST_EXCEPTION,
+                    ThreadPoolExecutor,
+                    wait,
+                )
 
                 spark = routed.sparkSession
                 jspark = spark._jsparkSession
@@ -142,10 +146,40 @@ class CdcPipeline:
                     spark._jvm.SparkSession.setActiveSession(jspark)
                     self._apply_table(entry, routed)
 
+                # Fail-fast like the serial path, but SAFELY: on the first
+                # worker failure, cancel tables that haven't started (they
+                # must not commit after the batch is reported failed —
+                # checkpoint replay is the recovery path), let in-flight
+                # tables finish (the `with` join guarantees none are still
+                # running when the finally unpersists the batch cache),
+                # and surface any secondary failures before re-raising the
+                # first one.
                 with ThreadPoolExecutor(max_workers=workers) as pool:
-                    # list() drains the iterator, re-raising the first
-                    # worker exception (fail-fast, same as the serial path)
-                    list(pool.map(_bound, inventory))
+                    futures = {
+                        pool.submit(_bound, e): e for e in inventory
+                    }
+                    done, pending = wait(futures, return_when=FIRST_EXCEPTION)
+                    first_exc = next(
+                        (f.exception() for f in done if f.exception()), None
+                    )
+                    if first_exc is not None:
+                        for f in pending:
+                            f.cancel()
+                        done, _ = wait(futures)  # join in-flight workers
+                        for f in done:
+                            if f.cancelled():
+                                continue
+                            exc = f.exception()
+                            if exc is not None and exc is not first_exc:
+                                e = futures[f]
+                                logging.getLogger(__name__).warning(
+                                    "batch %s: table %s.%s also failed: %r",
+                                    batch_id,
+                                    e.db,
+                                    e.table,
+                                    exc,
+                                )
+                        raise first_exc
         finally:
             routed.unpersist()
 

@@ -3,6 +3,8 @@
 
 import json
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -146,6 +148,46 @@ def test_multi_table_fanout(spark):
     assert sink.read(spark, "d", "a").count() == 1
     b = {r.id: r for r in sink.read(spark, "d", "b").collect()}
     assert b[2].v == 1
+
+
+def test_parallel_apply_failure_is_contained(spark, caplog):
+    """Overlapped per-table apply, failure path (ADVICE r4): the first
+    worker failure fails the batch (fail-fast like the serial path),
+    not-yet-started tables are cancelled, in-flight tables are joined
+    before the batch cache is released, and secondary failures are
+    surfaced in the log instead of silently dropped."""
+    import logging
+
+    class FailingSink(MemoryTableSink):
+        def __init__(self, fail_tables):
+            super().__init__()
+            self.fail_tables = set(fail_tables)
+
+        def merge(self, cfg, df, ts_guard=None):
+            if cfg.table in self.fail_tables:
+                raise RuntimeError(f"boom:{cfg.table}")
+            return super().merge(cfg, df, ts_guard=ts_guard)
+
+    tables = list("abcdef")
+    cfg = [{"db": "d", "table": t, "primary_key": "id"} for t in tables]
+    batch = spark.createDataFrame(
+        [_env("u", {"id": i, "v": i}, i, table=t) for i, t in enumerate(tables)]
+    )
+
+    # one failing table: its error propagates; the run terminates cleanly
+    sink = FailingSink(["c"])
+    pipe = CdcPipeline(config=cfg, sink=sink, max_parallel_tables=3)
+    with pytest.raises(RuntimeError, match="boom:c"):
+        pipe.process_batch(batch)
+
+    # two failing tables: first failure raises, the other is LOGGED when
+    # it was already in flight (not silently dropped)
+    sink2 = FailingSink(["a", "f"])
+    pipe2 = CdcPipeline(config=cfg, sink=sink2, max_parallel_tables=6)
+    with caplog.at_level(logging.WARNING, "cdc_data_lake_pyspark_spark.pipeline"):
+        with pytest.raises(RuntimeError, match="boom:"):
+            pipe2.process_batch(batch)
+    assert any("also failed" in r.getMessage() for r in caplog.records)
 
 
 def test_empty_batch_short_circuit(spark):
