@@ -602,7 +602,9 @@ _DEMOTED: tuple[str, ...] = (
     "hll_distinct_users",  # sketch family: cms_user_counts (HLL register
     # state additionally pinned cell-for-cell in pytest)
     "timestamp_roundtrip",  # P9 conversions exercised inside cdc_orders_apply
-    "doc_repetition_ratio",  # repetition gate composed in prepare_training_corpus
+    "doc_repetition_ratio",  # repetition family: repetition_gates (r5, in-window)
+    "split_assignment",  # split stage composed in prepare_training_corpus
+    "agg_pricing_summary",  # TPC-H family: shipping_priority (+ bench headline)
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -882,6 +882,121 @@ def doc_repetition_ratio(spark, sf_dir):
     )
 
 
+@query(
+    "chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, n, i AS start
+      FROM t, LATERAL unnest(generate_series(0, greatest(n - 1, 0), 48)) AS g(i)
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS BIGINT) AS chunk_id,
+           array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text,
+           CAST(least(64, n - start) AS BIGINT) AS chunk_tokens
+    FROM s
+    """,
+)
+def chunk_documents_q(spark, sf_dir):
+    """Context-window chunking (window 64, stride 48): every token lands
+    in ≥1 chunk, consecutive chunks overlap 16 tokens, the tail chunk is
+    short — the training-sequence splitting step.  Pure narrow-map
+    expressions, no shuffle, no UDF (operators/chunking.py)."""
+    from cdc_data_lake_pyspark_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"), window=64, stride=48)
+
+
+@query(
+    "repetition_gates",
+    oracle="""
+    WITH toksrc AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w,
+             len(string_split(lower(text), ' ')) AS n
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+      FROM toksrc, LATERAL unnest(generate_series(1, n - 1)) AS t(i)
+      WHERE n >= 2
+    ), bgc AS (
+      SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+    ), bstat AS (
+      SELECT doc_id,
+             CAST(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS DOUBLE)
+               AS top_bigram_share,
+             CAST(sum(c) AS BIGINT) AS n_bigrams
+      FROM bgc GROUP BY doc_id
+    ), tg AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      FROM toksrc, LATERAL unnest(generate_series(1, n - 2)) AS t(i)
+      WHERE n >= 3
+    ), tgc AS (
+      SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g
+    ), tstat AS (
+      SELECT doc_id,
+             CAST(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(c) AS DOUBLE) AS DOUBLE) AS dup_trigram_fraction,
+             CAST(sum(c) AS BIGINT) AS n_trigrams
+      FROM tgc GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.top_bigram_share, b.n_bigrams,
+           t.dup_trigram_fraction, t.n_trigrams
+    FROM bstat b JOIN tstat t ON b.doc_id = t.doc_id
+    """,
+)
+def repetition_gates(spark, sf_dir):
+    """Gopher-style n-gram repetition gates (Rae et al. 2021 §A1.1, the
+    public filtering heuristics): per document, the most-frequent-bigram
+    share and the fraction of trigram occurrences whose trigram repeats
+    within the doc — boilerplate and degenerate repetition score high on
+    both.  Complements ``doc_repetition_ratio`` (unigram share).  Docs
+    too short for a trigram are excluded (inner join), matching the
+    oracle.  Scale: two explode → count aggregates sharing the
+    (doc, gram) partitioning, map-side combined; ratios are one double
+    division of exact integers (hash-stable)."""
+    from cdc_data_lake_pyspark_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    base = docs.select("doc_id", w.alias("_w"), F.size(w).alias("_n"))
+
+    def grams(min_n: int, size: int):
+        return (
+            base.filter(F.col("_n") >= min_n)
+            .select(
+                "doc_id",
+                "_w",
+                F.explode(
+                    F.sequence(F.lit(1), F.col("_n") - (min_n - 1))
+                ).alias("_i"),
+            )
+            .select(
+                "doc_id",
+                F.array_join(F.slice("_w", F.col("_i"), size), " ").alias("g"),
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    bstat = grams(2, 2).groupBy("doc_id").agg(
+        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+            "top_bigram_share"
+        ),
+        F.sum("c").alias("n_bigrams"),
+    )
+    tstat = grams(3, 3).groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("dup_trigram_fraction"),
+        F.sum("c").alias("n_trigrams"),
+    )
+    return bstat.join(tstat, "doc_id")
+
+
 _CMS_ROWS = "\n      UNION ALL\n      ".join(
     f"SELECT {i} AS hash_row, "
     + _hash_sql(f"'{i}|' || CAST(user_id AS VARCHAR)")

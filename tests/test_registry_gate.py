@@ -23,7 +23,6 @@ REQUIRED_VISIBLE = [
     "merge_upsert_customer",
     "delete_where_exists",
     # analytics
-    "agg_pricing_summary",
     "join_customer_geo",
     "daily_revenue_ma7",
     "pivot_segment_region",
@@ -58,8 +57,9 @@ REQUIRED_VISIBLE = [
     "multimodal_frame_sample",
     "sessionize_events",
     "asof_join_orders",
-    "split_assignment",
     "pack_sequences",
+    "chunk_documents",
+    "repetition_gates",
     "stratified_sample_docs",
     # skew mitigation
     "skew_salted_join",
@@ -76,6 +76,9 @@ CHANGED_THIS_ROUND = [
     "dedup_substring_windows",  # reassembly pruned to affected docs (r5)
     "multimodal_decode",  # new real BMP decode (r5)
     "multimodal_audio_decode",  # new real WAV decode (r5)
+    "dedup_embedding_cosine_lsh",  # auto-sized planes/tables (r5)
+    "chunk_documents",  # new context-window chunking (r5)
+    "repetition_gates",  # new Gopher-style n-gram gates (r5)
 ]
 
 
