@@ -1,0 +1,169 @@
+"""Language-model quality scoring and temperature-balanced corpus mixing.
+
+Capability additions for the §2.6 training-data-pipeline surface (no
+reference citation — these extend the reference's scope):
+
+- :func:`unigram_lm_scores` — CCNet-style quality filtering (Wenzek et al.
+  2020): score every document by its cross-entropy under a unigram language
+  model *trained on the corpus itself*.  Boilerplate and degenerate text
+  (high-frequency-token soup) scores LOW cross-entropy, rare-token noise
+  scores HIGH; both tails are what a training pipeline trims.  Public
+  pipelines use a 5-gram KenLM here; the unigram variant keeps the exact
+  same filtering contract while staying expressible as three built-in
+  aggregations, so the whole operator is value-checkable in DuckDB.
+
+- :func:`temperature_mix` — XLM-R-style temperature rebalancing (Conneau
+  et al. 2020 §3.1): resample strata (languages, sources) with rate
+  ``(n_min / n_stratum) ** (1 - alpha)`` so head strata are down-sampled
+  toward the tail without ever up-weighting.  ``alpha=1`` keeps the natural
+  distribution, ``alpha=0`` equalizes document counts.  The keep decision
+  reuses the deterministic portable-hash ticket of
+  :mod:`~cdc_data_lake_pyspark_spark.operators.sampling` — reproducible
+  across engines, runs, and partitionings.
+
+Scale (100 TB): :func:`unigram_lm_scores` is two hash aggregations sharing
+the ``(id, token)`` partitioning plus one token-keyed join against the
+vocabulary (vocabulary rows are bounded by distinct-token count, not corpus
+size; AQE broadcasts it when small).  All float math rides the exact
+integer bridge — per-token log-probs are quantized to micro-units BEFORE
+summation, so per-doc sums are order-independent exact integers and both
+engines hash identically.  :func:`temperature_mix` is one tiny per-stratum
+count aggregate broadcast back over a map-only filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.functions.text import tokens
+from cdc_data_lake_pyspark_spark.operators.relational import portable_id_hash
+from cdc_data_lake_pyspark_spark.operators.sampling import RESOLUTION
+
+#: log-probabilities are quantized to millionths of a bit (micro-log2)
+#: before aggregation so sums are exact integers in any order/engine.
+LOG_MICRO = 1_000_000
+
+
+def unigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document cross-entropy under the corpus's own unigram LM.
+
+    With corpus token counts ``c(tok)`` and total ``T``, every token's
+    log2-probability is ``log2 c - log2 T`` (no smoothing needed: scoring
+    the training corpus means every token has ``c >= 1``).  Output per
+    document:
+
+    - ``n_tokens``  — document length in whitespace tokens;
+    - ``sum_logp_micro`` — exact integer ``sum round(1e6*log2 c) -
+      n*round(1e6*log2 T)`` (total micro-log2-prob, <= 0);
+    - ``cross_entropy`` — bits/token, ``-sum_logp_micro / (1e6 * n)``.
+
+    Perplexity is ``2 ** cross_entropy``; it is left to the caller because
+    ``exp2`` is the one step whose last-ulp behavior libms may disagree on,
+    while everything up to ``cross_entropy`` is bit-identical across
+    engines (integer sums + one IEEE division).
+
+    Plan shape: explode → ``(id, tok)`` count → vocabulary count (map-side
+    combined, keyed on ``tok``) → join doc-term rows to the vocabulary →
+    per-doc sum.  The join carries ``(id, tok, m)`` rows — bounded by
+    distinct terms per doc, not token occurrences — and AQE broadcasts the
+    vocabulary side when it is small.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    doc_term = toks.groupBy(id_col, "_tok").agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    vocab = doc_term.groupBy("_tok").agg(F.sum("_m").alias("_c"))
+    totals = vocab.agg(
+        F.sum("_c").alias("_T"),
+        F.round(F.log2(F.sum("_c")) * LOG_MICRO, 0)
+        .cast("long")
+        .alias("_lt"),
+    )
+    scored = (
+        doc_term.join(
+            vocab.select(
+                "_tok",
+                F.round(F.log2("_c") * LOG_MICRO, 0).cast("long").alias("_lc"),
+            ),
+            "_tok",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_m").alias("n_tokens"),
+            F.sum(F.col("_m") * F.col("_lc")).alias("_sum_lc"),
+        )
+        .crossJoin(F.broadcast(totals.select("_lt")))
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        (F.col("_sum_lc") - F.col("n_tokens") * F.col("_lt")).alias(
+            "sum_logp_micro"
+        ),
+        (
+            (
+                F.col("n_tokens") * F.col("_lt") - F.col("_sum_lc")
+            ).cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(float(LOG_MICRO)))
+        ).alias("cross_entropy"),
+    )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic temperature-rebalanced resampling across strata.
+
+    Keep rate per stratum is ``(n_min / n_stratum) ** (1 - alpha)``: the
+    smallest stratum keeps everything, larger strata are down-sampled
+    toward it; ``alpha`` in [0, 1] interpolates natural → uniform.  Rates
+    are quantized to an integer millionth threshold, and a row is kept iff
+    ``portable_hash(stratum|id) % 1e6 < threshold`` — the same auditable
+    ticket as :func:`~.sampling.stratified_sample`, so the selected set is
+    a pure function of the data.
+
+    Returns the kept rows as ``(id, stratum, threshold)``; ``threshold``
+    is the stratum's keep rate in millionths (exposed so the selection is
+    self-describing and hash-checkable).
+
+    Scale: one #strata-row count aggregate, broadcast joined back; the
+    filter itself is map-only.  The ``pow`` feeding the threshold is one
+    double op on exact integer inputs, rounded to an integer — last-ulp
+    libm divergence cannot move the threshold except exactly on a .5
+    micro-boundary (measure-zero; same contract as the LSH oracles).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    counts = docs.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    thresholds = counts.crossJoin(F.broadcast(n_min)).select(
+        strata_col,
+        F.round(
+            F.pow(
+                F.col("_n_min").cast("double") / F.col("_n").cast("double"),
+                F.lit(1.0 - alpha),
+            )
+            * RESOLUTION,
+            0,
+        )
+        .cast("long")
+        .alias("threshold"),
+    )
+    ticket = F.pmod(
+        portable_id_hash(F.concat_ws("|", F.col(strata_col), F.col(id_col))),
+        F.lit(RESOLUTION),
+    )
+    return (
+        docs.select(id_col, strata_col)
+        .join(F.broadcast(thresholds), strata_col)
+        .filter(ticket < F.col("threshold"))
+        .select(id_col, strata_col, "threshold")
+    )

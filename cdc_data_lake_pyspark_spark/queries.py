@@ -605,6 +605,12 @@ _DEMOTED: tuple[str, ...] = (
     "doc_repetition_ratio",  # repetition family: repetition_gates (r5, in-window)
     "split_assignment",  # split stage composed in prepare_training_corpus
     "agg_pricing_summary",  # TPC-H family: shipping_priority (+ bench headline)
+    # --- demoted mid-r5 to make window room for the NEW lm_cross_entropy
+    # --- + corpus_mix_temperature entries (policy: new ops sit in-window)
+    "parse_props_json",  # P4 family: the fused infer+parse runs inside the
+    # in-window cdc_orders_apply flagship; driver-verified green r1–r4
+    "delete_where_exists",  # J2 family: cdc_orders_apply_sql (in-window)
+    # executes the same DELETE through the SQL sink; driver-green r1–r4
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint
@@ -660,3 +666,4 @@ def _load_phase2() -> None:
     import cdc_data_lake_pyspark_spark.queries_phase2  # noqa: F401
     import cdc_data_lake_pyspark_spark.queries_phase3  # noqa: F401
     import cdc_data_lake_pyspark_spark.queries_phase4  # noqa: F401
+    import cdc_data_lake_pyspark_spark.queries_phase5  # noqa: F401

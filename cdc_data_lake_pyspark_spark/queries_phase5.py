@@ -1,0 +1,96 @@
+"""Phase-5 inventory: LM-quality scoring and temperature-balanced mixing.
+
+Training-data-pipeline additions (§2.6 surface; no reference citation —
+beyond the reference's scope): CCNet-style unigram-LM cross-entropy
+scoring and XLM-R-style temperature resampling, both fully
+DuckDB-oracle-checkable (exact integer micro-log2 bridge / integer hash
+thresholds).
+"""
+
+from __future__ import annotations
+
+from cdc_data_lake_pyspark_spark.queries import _t, query
+from cdc_data_lake_pyspark_spark.queries_phase4 import _hash_sql
+
+_TICKET_SQL = _hash_sql("lang || '|' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "lm_cross_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), dt AS (
+      SELECT doc_id, tok, count(*) AS m FROM toks GROUP BY doc_id, tok
+    ), vocab AS (
+      SELECT tok, CAST(sum(m) AS BIGINT) AS c,
+             CAST(round(1e6 * log2(CAST(sum(m) AS DOUBLE))) AS BIGINT) AS lc
+      FROM dt GROUP BY tok
+    ), tot AS (
+      SELECT CAST(round(1e6 * log2(CAST(sum(c) AS DOUBLE))) AS BIGINT) AS lt
+      FROM vocab
+    ), per AS (
+      SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_tokens,
+             CAST(sum(d.m * v.lc) AS BIGINT) AS sum_lc
+      FROM dt d JOIN vocab v USING (tok)
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(sum_lc - n_tokens * (SELECT lt FROM tot) AS BIGINT)
+             AS sum_logp_micro,
+           CAST(CAST(n_tokens * (SELECT lt FROM tot) - sum_lc AS DOUBLE)
+                / (CAST(n_tokens AS DOUBLE) * 1e6) AS DOUBLE)
+             AS cross_entropy
+    FROM per
+    """,
+)
+def lm_cross_entropy(spark, sf_dir):
+    """CCNet-style LM quality score (Wenzek et al. 2020): per-doc
+    cross-entropy under the corpus's own unigram LM — low = boilerplate /
+    high-frequency soup, high = rare-token noise; a training pipeline
+    trims both tails.  Per-token log2-probs are quantized to exact
+    micro-bit integers BEFORE summation so both engines' per-doc sums are
+    bit-identical; cross_entropy is one IEEE division of those integers
+    (operators/lm_quality.py — two shared-key hash aggregations plus one
+    bounded vocabulary join; AQE broadcasts the vocab side)."""
+    from cdc_data_lake_pyspark_spark.operators.lm_quality import (
+        unigram_lm_scores,
+    )
+
+    return unigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_mix_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), th AS (
+      SELECT lang,
+             CAST(round(1e6 * pow(CAST((SELECT min(n) FROM counts) AS DOUBLE)
+                                  / CAST(n AS DOUBLE), 0.7)) AS BIGINT)
+               AS threshold
+      FROM counts
+    )
+    SELECT d.doc_id, d.lang, t.threshold
+    FROM documents d JOIN th t USING (lang)
+    WHERE {_TICKET_SQL} % 1000000 < t.threshold
+    """,
+)
+def corpus_mix_temperature(spark, sf_dir):
+    """XLM-R-style temperature rebalancing (Conneau et al. 2020 §3.1,
+    alpha=0.3): each language keeps ``(n_min/n_lang)**0.7`` of its docs —
+    the smallest language keeps all, head languages are down-sampled
+    toward it.  Unlike ``stratified_sample_docs`` (fixed caller-given
+    rates) the rates here are DERIVED from the corpus in one tiny
+    broadcast aggregate; the keep decision is the same portable-hash
+    ticket, so the selected set is reproducible across engines and
+    partitionings (operators/lm_quality.py)."""
+    from cdc_data_lake_pyspark_spark.operators.lm_quality import (
+        temperature_mix,
+    )
+
+    return temperature_mix(
+        _t(spark, sf_dir, "documents"), alpha=0.3, strata_col="lang"
+    )

@@ -1,0 +1,109 @@
+"""Unigram-LM scoring and temperature mixing (operators/lm_quality.py):
+cross-entropy agrees with a pure-Python model, boilerplate scores lower
+than rare-token text, the temperature law hits its alpha=0/1 endpoints,
+and selections are partitioning-invariant.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from cdc_data_lake_pyspark_spark.operators.lm_quality import (
+    temperature_mix,
+    unigram_lm_scores,
+)
+
+DOCS = [
+    (0, "the the the the", "en"),
+    (1, "the cat sat on the mat", "en"),
+    (2, "quantum chromodynamics lattice regularization", "de"),
+    (3, "the a the a the a", "en"),
+    (4, "cat mat sat", "fr"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text", "lang"])
+
+
+def _python_model():
+    toks = {i: t.lower().split(" ") for i, t, _ in DOCS}
+    counts: dict[str, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            counts[t] = counts.get(t, 0) + 1
+    total = sum(counts.values())
+    lt = round(1e6 * math.log2(total))
+    lc = {t: round(1e6 * math.log2(c)) for t, c in counts.items()}
+    out = {}
+    for i, ts in toks.items():
+        sum_lc = sum(lc[t] for t in ts)
+        n = len(ts)
+        out[i] = (n, sum_lc - n * lt, (n * lt - sum_lc) / (n * 1e6))
+    return out
+
+
+def test_cross_entropy_matches_pure_python(docs):
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_logp_micro"], r["cross_entropy"])
+        for r in unigram_lm_scores(docs).collect()
+    }
+    want = _python_model()
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == want[i][1]
+        assert got[i][2] == pytest.approx(want[i][2], abs=1e-12)
+
+
+def test_boilerplate_scores_below_rare_text(docs):
+    ce = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in unigram_lm_scores(docs).collect()
+    }
+    # doc 0 is all-'the' (most frequent token) → lowest cross-entropy;
+    # doc 2 is four singleton tokens → highest.
+    assert ce[0] == min(ce.values())
+    assert ce[2] == max(ce.values())
+    assert all(v >= 0 for v in ce.values())
+
+
+def test_temperature_endpoints(docs):
+    # alpha=1: natural distribution — every stratum's threshold is 1e6,
+    # so every row is kept.
+    kept = temperature_mix(docs, alpha=1.0).collect()
+    assert len(kept) == len(DOCS)
+    assert {r["threshold"] for r in kept} == {1_000_000}
+
+    # alpha=0: thresholds equal n_min/n exactly (uniform target); the
+    # smallest strata (1 doc) keep everything.
+    th = {
+        r["lang"]: r["threshold"]
+        for r in temperature_mix(docs, alpha=0.0)
+        .select("lang", "threshold")
+        .distinct()
+        .collect()
+    }
+    # en has 3 docs, de/fr one each (n_min=1)
+    assert th.get("de") == 1_000_000
+    assert th.get("fr") == 1_000_000
+    if "en" in th:  # visible only if some en doc survived its 1/3 ticket
+        assert th["en"] == round(1e6 / 3)
+
+
+def test_temperature_mix_partitioning_invariant(docs):
+    a = sorted(
+        r["doc_id"] for r in temperature_mix(docs.repartition(7), 0.3).collect()
+    )
+    b = sorted(
+        r["doc_id"] for r in temperature_mix(docs.coalesce(1), 0.3).collect()
+    )
+    assert a == b
+
+
+def test_alpha_validation(docs):
+    with pytest.raises(ValueError):
+        temperature_mix(docs, alpha=1.5)

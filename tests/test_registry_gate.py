@@ -17,11 +17,12 @@ REQUIRED_VISIBLE = [
     "cdc_orders_apply_sql",
     "route_insert",
     "route_delete",
-    "parse_props_json",
+    # parse_props_json / delete_where_exists demoted mid-r5 (window room
+    # for the new lm_cross_entropy + corpus_mix_temperature): P4 runs
+    # inside cdc_orders_apply, J2's DELETE executes in cdc_orders_apply_sql
     "distinct_fanout_inventory",
     "dedup_latest_per_key",
     "merge_upsert_customer",
-    "delete_where_exists",
     # analytics
     "join_customer_geo",
     "daily_revenue_ma7",
@@ -61,6 +62,8 @@ REQUIRED_VISIBLE = [
     "chunk_documents",
     "repetition_gates",
     "stratified_sample_docs",
+    "lm_cross_entropy",
+    "corpus_mix_temperature",
     # skew mitigation
     "skew_salted_join",
     "skew_salted_agg",
@@ -79,6 +82,8 @@ CHANGED_THIS_ROUND = [
     "dedup_embedding_cosine_lsh",  # auto-sized planes/tables (r5)
     "chunk_documents",  # new context-window chunking (r5)
     "repetition_gates",  # new Gopher-style n-gram gates (r5)
+    "lm_cross_entropy",  # new unigram-LM quality scoring (r5)
+    "corpus_mix_temperature",  # new temperature rebalancing (r5)
 ]
 
 
