@@ -108,6 +108,88 @@ def cms_sketch(
     )
 
 
+def bloom_positions(
+    value, depth: int = 4, m_bits: int = 8192
+) -> "F.Column":
+    """The ``depth`` bit positions a value sets in a portable Bloom
+    filter: ``portable_hash(i|value) % m_bits`` per hash row ``i`` — the
+    same row-salting scheme as :func:`cms_sketch`, so any engine computes
+    the identical positions."""
+    return F.array(
+        *[
+            F.pmod(
+                portable_id_hash(F.concat_ws("|", F.lit(i), value)),
+                F.lit(m_bits),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def bloom_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    m_bits: int = 8192,
+) -> DataFrame:
+    """Portable Bloom-filter state in sparse form: the DISTINCT
+    ``(hash_row, bit)`` cells set by ``value_col`` — at most
+    ``min(depth × n, depth × m_bits)`` rows, bounded by the filter size
+    regardless of corpus size.  Membership: a probe value is *possibly
+    present* iff all ``depth`` of its positions exist in the state;
+    *definitely absent* otherwise (false-positive rate ≈
+    ``(1 − e^(−depth·n/m_bits))^depth``, no false negatives).  Filters
+    from different engines / partitions / days merge by set-union of
+    cells — the incremental-ingestion index artifact.
+
+    Like the HLL and CMS state, every cell is exact integer arithmetic
+    over the portable md5 hash, so DuckDB reproduces the sketch
+    bit-for-bit.  One posexplode + a map-side-combined distinct.
+    """
+    return (
+        df.select(
+            F.posexplode(
+                bloom_positions(F.col(value_col), depth, m_bits)
+            ).alias("hash_row", "bit")
+        )
+        .groupBy("hash_row", "bit")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("hash_row", "bit")
+    )
+
+
+def bloom_probe(
+    state: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    id_cols: Sequence[str],
+    depth: int = 4,
+    m_bits: int = 8192,
+) -> DataFrame:
+    """Probe a Bloom state: per probe row, how many of its ``depth``
+    positions are set (``n_hits``) and the membership verdict
+    (``maybe_seen = n_hits == depth``).  The join carries
+    ``(id, hash_row, bit)`` rows against the bounded state — AQE
+    broadcasts the state when it fits; at extreme scale it is an
+    ordinary shuffled join on the cell key, never a corpus rescan."""
+    ex = probes.select(
+        *id_cols,
+        F.posexplode(bloom_positions(F.col(value_col), depth, m_bits)).alias(
+            "hash_row", "bit"
+        ),
+    )
+    hit = ex.join(
+        state.withColumn("_set", F.lit(1)), ["hash_row", "bit"], "left"
+    )
+    return hit.groupBy(*id_cols).agg(
+        F.sum(F.coalesce(F.col("_set"), F.lit(0))).alias("n_hits")
+    ).select(
+        *id_cols,
+        "n_hits",
+        (F.col("n_hits") == depth).alias("maybe_seen"),
+    )
+
+
 def cms_estimate(state, value: str, depth: int = 4, width: int = 256) -> int:
     """Decode a point estimate from collected sketch rows (pytest helper).
 

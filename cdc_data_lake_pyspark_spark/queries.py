@@ -611,6 +611,9 @@ _DEMOTED: tuple[str, ...] = (
     # in-window cdc_orders_apply flagship; driver-verified green r1–r4
     "delete_where_exists",  # J2 family: cdc_orders_apply_sql (in-window)
     # executes the same DELETE through the SQL sink; driver-green r1–r4
+    "merge_upsert_customer",  # J1 family: cdc_orders_apply_sql executes
+    # the same MERGE through the SQL sink; driver-green r1–r4 (demoted
+    # mid-r5 for the NEW bloom_novel_docs window slot)
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

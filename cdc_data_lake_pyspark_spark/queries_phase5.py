@@ -9,10 +9,24 @@ thresholds).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from cdc_data_lake_pyspark_spark.queries import _t, query
 from cdc_data_lake_pyspark_spark.queries_phase4 import _hash_sql
 
 _TICKET_SQL = _hash_sql("lang || '|' || CAST(doc_id AS VARCHAR)")
+
+_BLOOM_M = 8192
+
+
+def _bloom_rows_sql(src: str, cols: str) -> str:
+    """UNION ALL of the 4 row-salted bloom positions of column ``fp``."""
+    return "\n      UNION ALL ".join(
+        f"SELECT {cols}{i} AS hash_row, "
+        + _hash_sql(f"'{i}|' || fp")
+        + f" % {_BLOOM_M} AS bit FROM {src}"
+        for i in range(4)
+    )
 
 
 @query(
@@ -93,4 +107,56 @@ def corpus_mix_temperature(spark, sf_dir):
 
     return temperature_mix(
         _t(spark, sf_dir, "documents"), alpha=0.3, strata_col="lang"
+    )
+
+
+@query(
+    "bloom_novel_docs",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents
+      WHERE doc_id < 250
+    ), cells AS (
+      SELECT DISTINCT hash_row, bit FROM (
+        {_bloom_rows_sql("corpus", "")}
+      )
+    ), batch AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+      WHERE doc_id >= 250
+    ), probe AS (
+      {_bloom_rows_sql("batch", "doc_id, ")}
+    )
+    SELECT p.doc_id, CAST(count(c.bit) AS BIGINT) AS n_hits,
+           count(c.bit) = 4 AS maybe_seen
+    FROM probe p LEFT JOIN cells c
+      ON p.hash_row = c.hash_row AND p.bit = c.bit
+    GROUP BY p.doc_id
+    """,
+)
+def bloom_novel_docs(spark, sf_dir):
+    """Approximate incremental-ingestion novelty gate: the scale path of
+    ``incremental_novel_docs``.  The ingested corpus (doc_id < 250) is
+    compressed into a portable Bloom filter over its text fingerprints —
+    at most ``4 x 8192`` cells, CONSTANT size regardless of corpus size,
+    merged across days/engines by set-union — and today's batch
+    (doc_id >= 250) probes it: ``maybe_seen = false`` is a guaranteed
+    novel document (no false negatives), ``true`` is deduped with a small
+    false-positive rate instead of carrying the full fingerprint index.
+    Every cell is exact integer arithmetic over the portable md5 hash, so
+    DuckDB reproduces the filter AND the verdicts bit-for-bit
+    (functions/sketch.py::bloom_sketch / bloom_probe)."""
+    from cdc_data_lake_pyspark_spark.functions.sketch import (
+        bloom_probe,
+        bloom_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    corpus = docs.filter(F.col("doc_id") < 250).select(fp.alias("fp"))
+    batch = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", fp.alias("fp")
+    )
+    state = bloom_sketch(corpus, "fp", depth=4, m_bits=_BLOOM_M)
+    return bloom_probe(
+        state, batch, "fp", ["doc_id"], depth=4, m_bits=_BLOOM_M
     )

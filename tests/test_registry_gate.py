@@ -17,12 +17,13 @@ REQUIRED_VISIBLE = [
     "cdc_orders_apply_sql",
     "route_insert",
     "route_delete",
-    # parse_props_json / delete_where_exists demoted mid-r5 (window room
-    # for the new lm_cross_entropy + corpus_mix_temperature): P4 runs
-    # inside cdc_orders_apply, J2's DELETE executes in cdc_orders_apply_sql
+    # parse_props_json / delete_where_exists / merge_upsert_customer
+    # demoted mid-r5 (window room for the new lm_cross_entropy,
+    # corpus_mix_temperature and bloom_novel_docs): P4 runs inside
+    # cdc_orders_apply; J1's MERGE and J2's DELETE execute in
+    # cdc_orders_apply_sql
     "distinct_fanout_inventory",
     "dedup_latest_per_key",
-    "merge_upsert_customer",
     # analytics
     "join_customer_geo",
     "daily_revenue_ma7",
@@ -64,6 +65,7 @@ REQUIRED_VISIBLE = [
     "stratified_sample_docs",
     "lm_cross_entropy",
     "corpus_mix_temperature",
+    "bloom_novel_docs",
     # skew mitigation
     "skew_salted_join",
     "skew_salted_agg",
@@ -84,6 +86,7 @@ CHANGED_THIS_ROUND = [
     "repetition_gates",  # new Gopher-style n-gram gates (r5)
     "lm_cross_entropy",  # new unigram-LM quality scoring (r5)
     "corpus_mix_temperature",  # new temperature rebalancing (r5)
+    "bloom_novel_docs",  # new portable Bloom novelty gate (r5)
 ]
 
 

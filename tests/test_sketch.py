@@ -93,3 +93,48 @@ def test_cms_merges_by_cell_sum(spark):
         .collect()
     }
     assert whole == merged
+
+
+def test_bloom_no_false_negatives_and_absent_detection(spark):
+    from cdc_data_lake_pyspark_spark.functions.sketch import (
+        bloom_probe,
+        bloom_sketch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(200)], "v string"
+    )
+    state = bloom_sketch(corpus, "v")
+    # every corpus member must probe as maybe_seen (no false negatives)
+    members = corpus.withColumnRenamed("v", "fp").withColumn(
+        "id", F.col("fp")
+    )
+    got = bloom_probe(state, members, "fp", ["id"]).collect()
+    assert len(got) == 200
+    assert all(r["maybe_seen"] and r["n_hits"] == 4 for r in got)
+    # with 200*4 cells in 8192 bits, unseen values are overwhelmingly
+    # detected absent; assert the planted novels all miss >=1 position
+    novels = spark.createDataFrame(
+        [(f"novel-{i}", f"novel-{i}") for i in range(50)], "id string, fp string"
+    )
+    nv = bloom_probe(state, novels, "fp", ["id"]).collect()
+    assert sum(1 for r in nv if not r["maybe_seen"]) >= 48
+
+
+def test_bloom_merges_by_cell_union(spark):
+    from cdc_data_lake_pyspark_spark.functions.sketch import bloom_sketch
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(80)], "v string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(60)], "v string")
+    whole = {
+        (r["hash_row"], r["bit"])
+        for r in bloom_sketch(a.unionAll(b), "v").collect()
+    }
+    merged = {
+        (r["hash_row"], r["bit"])
+        for r in bloom_sketch(a, "v")
+        .unionAll(bloom_sketch(b, "v"))
+        .distinct()
+        .collect()
+    }
+    assert whole == merged
