@@ -215,3 +215,60 @@ def hll_estimate(m: int, v_empty: int, sum_pow: int, p: int = 8) -> float:
     if estimate <= 2.5 * m and v_empty > 0:
         return m * math.log(m / v_empty)
     return estimate
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    width: float = 25_000.0,
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram state: ``(*group_cols, bucket, n)`` with
+    ``bucket = clamp(floor(value / width), 0, n_buckets-1)`` — the
+    mergeable approximate-quantile sketch (merge = cell-wise SUM, like
+    CMS).  Decode with :func:`histogram_quantile`; the estimate's error
+    is bounded by one bucket width, traded off against state size
+    (``groups × n_buckets`` rows from any corpus size).
+
+    Where exact per-group percentiles (`relational.quantile_buckets`,
+    `segment_price_percentiles`) need a full sort per group, this is one
+    map-side-combined aggregation — the 100 TB path.  Bucketing is a
+    single IEEE divide + floor on each side, so DuckDB reproduces the
+    state exactly.
+    """
+    bucket = (
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.floor(F.col(value_col) / F.lit(float(width))),
+                F.lit(n_buckets - 1),
+            ),
+        )
+    ).cast("int")
+    return (
+        df.select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantile(
+    cells: dict[int, int], q: float, width: float = 25_000.0
+) -> float:
+    """Decode a quantile estimate from one group's collected histogram
+    cells (``{bucket: n}``) by linear interpolation inside the target
+    bucket (pytest/driver helper; the sketch itself stays distributed)."""
+    total = sum(cells.values())
+    if total == 0:
+        raise ValueError("empty histogram")
+    rank = q * total
+    cum = 0.0
+    for b in sorted(cells):
+        n = cells[b]
+        if cum + n >= rank:
+            frac = 0.0 if n == 0 else (rank - cum) / n
+            return (b + frac) * width
+        cum += n
+    top = max(cells)
+    return (top + 1) * width

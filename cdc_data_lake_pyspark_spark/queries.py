@@ -614,6 +614,10 @@ _DEMOTED: tuple[str, ...] = (
     "merge_upsert_customer",  # J1 family: cdc_orders_apply_sql executes
     # the same MERGE through the SQL sink; driver-green r1–r4 (demoted
     # mid-r5 for the NEW bloom_novel_docs window slot)
+    "cms_user_counts",  # sketch family: bloom_novel_docs +
+    # price_quantile_sketch (both NEW r5, in-window); CMS state further
+    # pinned cell-for-cell in pytest; driver-green r4 (demoted mid-r5
+    # for the NEW price_quantile_sketch window slot)
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

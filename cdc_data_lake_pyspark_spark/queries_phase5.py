@@ -160,3 +160,32 @@ def bloom_novel_docs(spark, sf_dir):
     return bloom_probe(
         state, batch, "fp", ["doc_id"], depth=4, m_bits=_BLOOM_M
     )
+
+
+@query(
+    "price_quantile_sketch",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(greatest(0, least(CAST(floor(o_totalprice / 25000.0)
+                                       AS BIGINT), 19)) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority, bucket
+    """,
+)
+def price_quantile_sketch(spark, sf_dir):
+    """Mergeable approximate quantiles: fixed-width histogram state of
+    order value per priority (20 x 25k buckets).  Where exact per-group
+    percentiles (``segment_price_percentiles``) sort every group, this is
+    ONE map-side-combined aggregation producing ``groups x 20`` rows from
+    any corpus size; estimates interpolate inside a bucket (error <= one
+    bucket width) and states from different engines/partitions merge by
+    cell-wise sum (functions/sketch.py::histogram_sketch)."""
+    from cdc_data_lake_pyspark_spark.functions.sketch import histogram_sketch
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return histogram_sketch(
+        orders, "o_totalprice", ["o_orderpriority"], width=25_000.0,
+        n_buckets=20,
+    )

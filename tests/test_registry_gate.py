@@ -69,8 +69,9 @@ REQUIRED_VISIBLE = [
     # skew mitigation
     "skew_salted_join",
     "skew_salted_agg",
-    # sketches / composites
-    "cms_user_counts",
+    # sketches / composites (cms_user_counts demoted mid-r5: family
+    # covered by the new in-window bloom_novel_docs + price_quantile_sketch)
+    "price_quantile_sketch",
     "tfidf_top_term",
     "prepare_training_corpus",
 ]
@@ -87,6 +88,7 @@ CHANGED_THIS_ROUND = [
     "lm_cross_entropy",  # new unigram-LM quality scoring (r5)
     "corpus_mix_temperature",  # new temperature rebalancing (r5)
     "bloom_novel_docs",  # new portable Bloom novelty gate (r5)
+    "price_quantile_sketch",  # new mergeable histogram quantiles (r5)
 ]
 
 

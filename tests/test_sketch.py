@@ -138,3 +138,45 @@ def test_bloom_merges_by_cell_union(spark):
         .collect()
     }
     assert whole == merged
+
+
+def test_histogram_quantile_error_bounded_by_bucket_width(spark):
+    from cdc_data_lake_pyspark_spark.functions.sketch import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+
+    vals = [float(7 * i % 1000) for i in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    cells = {
+        r["bucket"]: r["n"]
+        for r in histogram_sketch(df, "v", width=50.0, n_buckets=20).collect()
+    }
+    import statistics
+
+    for q in (0.1, 0.5, 0.9):
+        exact = statistics.quantiles(vals, n=100)[int(q * 100) - 1]
+        est = histogram_quantile(cells, q, width=50.0)
+        assert abs(est - exact) <= 50.0 + 1e-9
+
+
+def test_histogram_merges_by_cell_sum(spark):
+    from pyspark.sql import functions as F2
+
+    from cdc_data_lake_pyspark_spark.functions.sketch import histogram_sketch
+
+    a = spark.createDataFrame([(float(i % 400),) for i in range(300)], "v double")
+    b = spark.createDataFrame([(float(i % 900),) for i in range(500)], "v double")
+    whole = {
+        (r["bucket"], r["n"])
+        for r in histogram_sketch(a.unionAll(b), "v", width=50.0).collect()
+    }
+    merged = {
+        (r["bucket"], r["n"])
+        for r in histogram_sketch(a, "v", width=50.0)
+        .unionAll(histogram_sketch(b, "v", width=50.0))
+        .groupBy("bucket")
+        .agg(F2.sum("n").alias("n"))
+        .collect()
+    }
+    assert whole == merged
