@@ -236,13 +236,79 @@ def measure_substring(spark, sf_dir: str, replicas: int) -> dict:
     return out
 
 
+def measure_textpipe(spark, sf_dir: str, replicas: int) -> dict:
+    """Measure the r5 text-pipeline additions at 1x and ~Nx: unigram-LM
+    scoring (shuffle should scale ~linearly with token volume) and the
+    Bloom novelty probe (the state side stays CONSTANT — only the probe
+    side's explode grows), validating SCALE.md §4's claims."""
+    from cdc_data_lake_pyspark_spark.functions.sketch import (
+        bloom_probe,
+        bloom_sketch,
+    )
+    from cdc_data_lake_pyspark_spark.operators.lm_quality import (
+        unigram_lm_scores,
+    )
+
+    p = f"{WORK_DIR}/documents_x{replicas}.parquet"
+    if not os.path.exists(p):
+        derived_documents(spark, sf_dir, replicas).write.mode(
+            "overwrite"
+        ).parquet(p)
+
+    out = {}
+    for label, docs in (
+        (
+            "1x",
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            ),
+        ),
+        (f"{replicas}x", spark.read.parquet(p).select("doc_id", "text")),
+    ):
+        docs = docs.cache()
+        n = docs.count()
+        fp = F.md5(F.lower(F.trim(F.col("text"))))
+        # even ids are "the ingested corpus", odd ids "today's batch" —
+        # halves scale together so the probe side grows while the Bloom
+        # state stays capped at depth x m_bits cells
+        corpus = docs.filter(F.col("doc_id") % 2 == 0).select(fp.alias("fp"))
+        batch = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", fp.alias("fp")
+        )
+        row = {"n_docs": n, "ops": {}}
+        for op, build in (
+            ("lm_scores", lambda: unigram_lm_scores(docs)),
+            (
+                "bloom_probe",
+                lambda: bloom_probe(
+                    bloom_sketch(corpus, "fp"), batch, "fp", ["doc_id"]
+                ),
+            ),
+        ):
+            r0, w0 = shuffle_totals(spark)
+            t0 = time.time()
+            out_rows = build().count()
+            elapsed = round(time.time() - t0, 2)
+            r1, w1 = shuffle_totals(spark)
+            row["ops"][op] = {
+                "sec": elapsed,
+                "out_rows": out_rows,
+                "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+            }
+            print("textpipe", label, op, row["ops"][op], flush=True)
+        docs.unpersist()
+        out[label] = row
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--out", default="SCALE_MEASURED.json")
     ap.add_argument(
         "--only",
-        choices=["family", "substring"],
+        choices=["family", "substring", "textpipe"],
         default=None,
         help="measure one section and merge into an existing --out file",
     )
@@ -262,8 +328,10 @@ def main():
         if prior.get("sf_dir") == SF_DIR and prior.get("replicas") == args.replicas:
             results = prior
 
-    if args.only == "substring":
-        results["substring_dedup"] = measure_substring(spark, SF_DIR, args.replicas)
+    if args.only in ("substring", "textpipe"):
+        key = "substring_dedup" if args.only == "substring" else "textpipe"
+        fn = measure_substring if args.only == "substring" else measure_textpipe
+        results[key] = fn(spark, SF_DIR, args.replicas)
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
         print(json.dumps({"written": args.out}))
