@@ -21,6 +21,15 @@ rescanned; the index grows by appending novel fingerprints (union, not
 rebuild).  At 100 TB-of-corpus scale, store the index partitioned/
 bucketed by a fingerprint prefix so the per-batch anti-join co-locates
 without a full-index shuffle, and compact small batch files periodically.
+
+Optional Bloom pre-filter (``bloom_dir``): the gate also maintains a
+portable Bloom filter over ingested fingerprints (bounded at
+``depth x m_bits`` cells however large the corpus).  Each batch probes it
+first — misses are GUARANTEED novel and skip the exact anti-join; only
+the maybe-seen sliver (already-ingested fps + false positives) pays the
+index join, which also removes the false positives, so results are
+EXACTLY the plain path's.  On a mostly-novel crawl this turns the
+per-batch index join from O(batch) into O(repeats).
 """
 
 from __future__ import annotations
@@ -37,6 +46,13 @@ INDEX_SCHEMA = T.StructType(
         T.StructField("fp", T.StringType(), False),
         T.StructField("doc_id", T.LongType(), True),
         T.StructField("batch_id", T.LongType(), True),
+    ]
+)
+
+BLOOM_SCHEMA = T.StructType(
+    [
+        T.StructField("hash_row", T.IntegerType(), False),
+        T.StructField("bit", T.LongType(), False),
     ]
 )
 
@@ -64,11 +80,17 @@ class StreamingNoveltyGate:
         id_col: str = "doc_id",
         text_col: str = "text",
         normalize: bool = True,
+        bloom_dir: Optional[str] = None,
+        bloom_depth: int = 4,
+        bloom_m_bits: int = 1 << 20,
     ) -> None:
         self.index_dir = index_dir
         self.id_col = id_col
         self.text_col = text_col
         self.normalize = normalize
+        self.bloom_dir = bloom_dir
+        self.bloom_depth = bloom_depth
+        self.bloom_m_bits = bloom_m_bits
 
     def index(self, spark: SparkSession) -> DataFrame:
         """Current index (empty-typed frame before the first batch)."""
@@ -82,6 +104,17 @@ class StreamingNoveltyGate:
         keeper doc id and the batch that first saw it."""
         return self.index(spark)
 
+    def bloom_cells(self, spark: SparkSession) -> DataFrame:
+        """Current Bloom state (distinct cells; appends may duplicate)."""
+        try:
+            return (
+                spark.read.schema(BLOOM_SCHEMA)
+                .parquet(self.bloom_dir)
+                .distinct()
+            )
+        except Exception:
+            return spark.createDataFrame([], BLOOM_SCHEMA)
+
     def process_batch(self, batch_df: DataFrame, batch_id: int = -1) -> None:
         spark = batch_df.sparkSession
         fp = document_fingerprint(self.text_col, self.normalize)
@@ -93,9 +126,55 @@ class StreamingNoveltyGate:
             .groupBy("fp")
             .agg(F.min("doc_id").alias("doc_id"))
         )
-        novel = firsts.join(
-            self.index(spark).select("fp"), "fp", "left_anti"
-        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        if self.bloom_dir is None:
+            novel = firsts.join(self.index(spark).select("fp"), "fp", "left_anti")
+        else:
+            # Bloom pre-filter: a fingerprint MISSING from the filter is
+            # guaranteed novel (no false negatives) and skips the exact
+            # anti-join entirely; only the maybe-seen remainder — previously
+            # ingested fps plus the small false-positive slice — pays the
+            # index join.  On a mostly-novel crawl the expensive join's
+            # probe side shrinks to a sliver while results stay EXACTLY
+            # equal to the plain path (pinned in test_streaming_novelty).
+            from cdc_data_lake_pyspark_spark.functions.sketch import (
+                bloom_probe,
+                bloom_sketch,
+            )
+
+            probed = bloom_probe(
+                self.bloom_cells(spark),
+                firsts,
+                "fp",
+                ["fp", "doc_id"],
+                depth=self.bloom_depth,
+                m_bits=self.bloom_m_bits,
+            ).persist()
+            try:
+                misses = probed.filter(~F.col("maybe_seen")).select(
+                    "fp", "doc_id"
+                )
+                maybe = probed.filter(F.col("maybe_seen")).select(
+                    "fp", "doc_id"
+                )
+                confirmed = maybe.join(
+                    self.index(spark).select("fp"), "fp", "left_anti"
+                )
+                novel = misses.unionByName(confirmed).localCheckpoint()
+            finally:
+                probed.unpersist()
+            # Cells are written BEFORE the index: if the batch dies between
+            # the writes, the replay sees fps in the filter but not the
+            # index — maybe_seen → exact anti-join recovers them — whereas
+            # the reverse order would re-append index rows for fps whose
+            # cells were lost.  Duplicate cell rows from replays are folded
+            # by the distinct() in bloom_cells().
+            bloom_sketch(
+                novel.select("fp"),
+                "fp",
+                depth=self.bloom_depth,
+                m_bits=self.bloom_m_bits,
+            ).write.mode("append").parquet(self.bloom_dir)
+        novel = novel.withColumn("batch_id", F.lit(batch_id).cast("long"))
         # Append commits atomically (FileOutputCommitter); a replayed batch
         # re-derives `novel` as empty because its fps are now present.
         novel.write.mode("append").parquet(self.index_dir)
