@@ -618,6 +618,9 @@ _DEMOTED: tuple[str, ...] = (
     # price_quantile_sketch (both NEW r5, in-window); CMS state further
     # pinned cell-for-cell in pytest; driver-green r4 (demoted mid-r5
     # for the NEW price_quantile_sketch window slot)
+    "text_stats",  # text-stat family: quality_score + token_count_bpe +
+    # lang_id_heuristic all in-window; driver-green r1–r4 (demoted
+    # mid-r5 for the NEW lm_bigram_cross_entropy window slot)
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

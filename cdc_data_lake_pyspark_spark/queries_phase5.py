@@ -189,3 +189,56 @@ def price_quantile_sketch(spark, sf_dir):
         orders, "o_totalprice", ["o_orderpriority"], width=25_000.0,
         n_buckets=20,
     )
+
+
+@query(
+    "lm_bigram_cross_entropy",
+    oracle="""
+    WITH toksrc AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w,
+             len(string_split(lower(text), ' ')) AS n
+      FROM documents
+    ), vsize AS (
+      SELECT count(DISTINCT tok) AS V FROM (
+        SELECT unnest(w) AS tok FROM toksrc
+      )
+    ), bg AS (
+      SELECT doc_id, w[i] AS a, array_to_string(w[i:i+1], ' ') AS g
+      FROM toksrc, LATERAL unnest(generate_series(1, n - 1)) AS t(i)
+      WHERE n >= 2
+    ), dbg AS (
+      SELECT doc_id, a, g, count(*) AS m FROM bg GROUP BY doc_id, a, g
+    ), bgv AS (
+      SELECT a, g, CAST(sum(m) AS BIGINT) AS c2,
+             CAST(round(1e6 * log2(CAST(sum(m) + 1 AS DOUBLE))) AS BIGINT)
+               AS l2
+      FROM dbg GROUP BY a, g
+    ), pv AS (
+      SELECT a,
+             CAST(round(1e6 * log2(CAST(sum(c2) + (SELECT V FROM vsize)
+                                        AS DOUBLE))) AS BIGINT) AS l1
+      FROM bgv GROUP BY a
+    )
+    SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_bigrams,
+           CAST(sum(d.m * (b.l2 - p.l1)) AS BIGINT) AS sum_logp_micro,
+           CAST(CAST(-sum(d.m * (b.l2 - p.l1)) AS DOUBLE)
+                / (CAST(sum(d.m) AS DOUBLE) * 1e6) AS DOUBLE)
+             AS cross_entropy
+    FROM dbg d JOIN bgv b ON d.g = b.g AND d.a = b.a
+               JOIN pv p ON d.a = p.a
+    GROUP BY d.doc_id
+    """,
+)
+def lm_bigram_cross_entropy(spark, sf_dir):
+    """Add-one bigram LM quality score — the n-gram step toward CCNet's
+    KenLM: per-doc cross-entropy in bits/bigram under bigram counts
+    trained on the corpus itself, with per-vocabulary-entry log-probs
+    quantized to exact micro-bit integers so both engines' weighted sums
+    are bit-identical (operators/lm_quality.py::bigram_lm_scores; the
+    bigram and prefix vocabularies are the only join sides, each bounded
+    by distinct-n-gram count, AQE-broadcast when small)."""
+    from cdc_data_lake_pyspark_spark.operators.lm_quality import (
+        bigram_lm_scores,
+    )
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))

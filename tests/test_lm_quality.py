@@ -107,3 +107,59 @@ def test_temperature_mix_partitioning_invariant(docs):
 def test_alpha_validation(docs):
     with pytest.raises(ValueError):
         temperature_mix(docs, alpha=1.5)
+
+
+def _python_bigram_model():
+    toks = {i: t.lower().split(" ") for i, t, _ in DOCS}
+    vocab = {t for ts in toks.values() for t in ts}
+    c2: dict[tuple[str, str], int] = {}
+    for ts in toks.values():
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    for (a, _), n in c2.items():
+        c1[a] = c1.get(a, 0) + n
+    V = len(vocab)
+    l2 = {k: round(1e6 * math.log2(n + 1)) for k, n in c2.items()}
+    l1 = {a: round(1e6 * math.log2(n + V)) for a, n in c1.items()}
+    out = {}
+    for i, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        s = sum(l2[(a, b)] - l1[a] for a, b in zip(ts, ts[1:]))
+        n = len(ts) - 1
+        out[i] = (n, s, -s / (n * 1e6))
+    return out
+
+
+def test_bigram_cross_entropy_matches_pure_python(docs):
+    from cdc_data_lake_pyspark_spark.operators.lm_quality import (
+        bigram_lm_scores,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["sum_logp_micro"], r["cross_entropy"])
+        for r in bigram_lm_scores(docs).collect()
+    }
+    want = _python_bigram_model()
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i][0] == want[i][0]
+        assert got[i][1] == want[i][1]
+        assert got[i][2] == pytest.approx(want[i][2], abs=1e-12)
+
+
+def test_bigram_repetition_scores_below_novel_sequences(docs):
+    from cdc_data_lake_pyspark_spark.operators.lm_quality import (
+        bigram_lm_scores,
+    )
+
+    ce = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in bigram_lm_scores(docs).collect()
+    }
+    # the repetitive docs (0: "the the...", 3: "the a the a...") repeat
+    # the corpus's frequent bigrams and must score below both the
+    # natural-language doc 1 and the rare-singleton doc 2
+    assert max(ce[0], ce[3]) < min(ce[1], ce[2])
+    assert min(ce.values()) in (ce[0], ce[3])

@@ -31,8 +31,8 @@ REQUIRED_VISIBLE = [
     "segment_price_percentiles",
     "shipping_priority",
     "top_customers_per_segment",
-    # text / quality
-    "text_stats",
+    # text / quality (text_stats demoted mid-r5 for lm_bigram_cross_entropy;
+    # family covered by quality_score + token_count_bpe + lang_id_heuristic)
     "lang_id_heuristic",
     "quality_score",
     "doc_fingerprint",
@@ -64,6 +64,7 @@ REQUIRED_VISIBLE = [
     "repetition_gates",
     "stratified_sample_docs",
     "lm_cross_entropy",
+    "lm_bigram_cross_entropy",
     "corpus_mix_temperature",
     "bloom_novel_docs",
     # skew mitigation
@@ -89,6 +90,7 @@ CHANGED_THIS_ROUND = [
     "corpus_mix_temperature",  # new temperature rebalancing (r5)
     "bloom_novel_docs",  # new portable Bloom novelty gate (r5)
     "price_quantile_sketch",  # new mergeable histogram quantiles (r5)
+    "lm_bigram_cross_entropy",  # new add-one bigram LM scoring (r5)
 ]
 
 
