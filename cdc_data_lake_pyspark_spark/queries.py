@@ -621,6 +621,10 @@ _DEMOTED: tuple[str, ...] = (
     "text_stats",  # text-stat family: quality_score + token_count_bpe +
     # lang_id_heuristic all in-window; driver-green r1–r4 (demoted
     # mid-r5 for the NEW lm_bigram_cross_entropy window slot)
+    "pivot_segment_region",  # analytics family: daily_revenue_ma7 +
+    # segment_price_percentiles + shipping_priority in-window;
+    # driver-green r2–r4 (demoted mid-r5 for the NEW
+    # prepare_training_corpus_v2 window slot)
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

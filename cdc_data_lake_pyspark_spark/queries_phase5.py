@@ -242,3 +242,112 @@ def lm_bigram_cross_entropy(spark, sf_dir):
     )
 
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "prepare_training_corpus_v2",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), dt AS (
+      SELECT doc_id, tok, count(*) AS m FROM toks GROUP BY doc_id, tok
+    ), vocab AS (
+      SELECT tok, CAST(sum(m) AS BIGINT) AS c,
+             CAST(round(1e6 * log2(CAST(sum(m) AS DOUBLE))) AS BIGINT) AS lc
+      FROM dt GROUP BY tok
+    ), tot AS (
+      SELECT CAST(round(1e6 * log2(CAST(sum(c) AS DOUBLE))) AS BIGINT) AS lt
+      FROM vocab
+    ), ce AS (
+      SELECT d.doc_id,
+             CAST(CAST(sum(d.m) * (SELECT lt FROM tot) - sum(d.m * v.lc)
+                       AS DOUBLE)
+                  / (CAST(sum(d.m) AS DOUBLE) * 1e6) AS DOUBLE) AS h
+      FROM dt d JOIN vocab v USING (tok) GROUP BY d.doc_id
+    ), dec AS (
+      SELECT doc_id, ntile(10) OVER (ORDER BY h, doc_id) AS d FROM ce
+    ), gated AS (
+      SELECT doc.doc_id, doc.lang, doc.text
+      FROM documents doc JOIN dec ON doc.doc_id = dec.doc_id
+      WHERE dec.d BETWEEN 2 AND 9
+    ), keepers AS (
+      SELECT min(doc_id) AS keeper FROM gated GROUP BY md5(lower(trim(text)))
+    ), base AS (
+      SELECT g.doc_id, g.lang FROM gated g
+      JOIN keepers k ON g.doc_id = k.keeper
+    ), counts AS (
+      SELECT lang, count(*) AS n FROM base GROUP BY lang
+    ), th AS (
+      SELECT lang,
+             CAST(round(1e6 * pow(CAST((SELECT min(n) FROM counts) AS DOUBLE)
+                                  / CAST(n AS DOUBLE), 0.7)) AS BIGINT)
+               AS threshold
+      FROM counts
+    ), mixed AS (
+      SELECT b.doc_id, b.lang
+      FROM base b JOIN th t USING (lang)
+      WHERE {_TICKET_SQL} % 1000000 < t.threshold
+    )
+    SELECT doc_id, lang,
+           CASE WHEN {_hash_sql("CAST(doc_id AS VARCHAR)")} % 100 < 80
+                  THEN 'train'
+                WHEN {_hash_sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM mixed
+    """,
+)
+def prepare_training_corpus_v2(spark, sf_dir):
+    """The r5 data-prep composition: unigram-LM cross-entropy decile gate
+    (drop decile 1 — boilerplate — and decile 10 — rare-token noise, the
+    CCNet head/tail trim) → exact-dedup keeper selection → XLM-R
+    temperature rebalancing across languages (rates derived from the
+    POST-gate corpus) → deterministic 80/10/10 split.  Complements
+    ``prepare_training_corpus`` (quality gate → near-dup clustering →
+    decontamination): between them every §2.6 stage family appears inside
+    a verified composition.  The decile cut is the one global sort
+    (documented cost of exact quantiles, `relational.quantile_buckets`);
+    at 100 TB swap it for a `histogram_sketch` threshold — every other
+    stage is aggregation/broadcast/map-only."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import exact_dedup
+    from cdc_data_lake_pyspark_spark.operators.lm_quality import (
+        temperature_mix,
+        unigram_lm_scores,
+    )
+    from cdc_data_lake_pyspark_spark.operators.relational import (
+        hash_split,
+        quantile_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    deciles = quantile_buckets(
+        unigram_lm_scores(docs).select("doc_id", "cross_entropy"),
+        "cross_entropy",
+        n_buckets=10,
+    )
+    # gated feeds both the keeper aggregation and the keeper join, and
+    # base feeds both the mix-rate aggregation and the mix filter — stage
+    # each once (lazy local checkpoint, the dedup_text staging pattern)
+    # so the LM + decile subtree is computed exactly once, not once per
+    # consumer.
+    gated = (
+        docs.join(
+            deciles.filter(F.col("bucket").between(2, 9)).select("doc_id"),
+            "doc_id",
+        )
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=False)
+    )
+    keepers = exact_dedup(gated).select("keeper_id")
+    base = (
+        gated.join(
+            F.broadcast(keepers), gated["doc_id"] == keepers["keeper_id"]
+        )
+        .select("doc_id", "lang")
+        .localCheckpoint(eager=False)
+    )
+    mixed = temperature_mix(base, alpha=0.3, strata_col="lang").select(
+        "doc_id", "lang"
+    )
+    return hash_split(mixed, id_col="doc_id").select("doc_id", "lang", "split")

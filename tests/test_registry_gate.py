@@ -27,7 +27,9 @@ REQUIRED_VISIBLE = [
     # analytics
     "join_customer_geo",
     "daily_revenue_ma7",
-    "pivot_segment_region",
+    # pivot_segment_region demoted mid-r5 for prepare_training_corpus_v2;
+    # family covered by daily_revenue_ma7 + segment_price_percentiles +
+    # shipping_priority
     "segment_price_percentiles",
     "shipping_priority",
     "top_customers_per_segment",
@@ -75,6 +77,7 @@ REQUIRED_VISIBLE = [
     "price_quantile_sketch",
     "tfidf_top_term",
     "prepare_training_corpus",
+    "prepare_training_corpus_v2",
 ]
 
 # Operators added or materially changed this round: the rotation policy
@@ -91,6 +94,7 @@ CHANGED_THIS_ROUND = [
     "bloom_novel_docs",  # new portable Bloom novelty gate (r5)
     "price_quantile_sketch",  # new mergeable histogram quantiles (r5)
     "lm_bigram_cross_entropy",  # new add-one bigram LM scoring (r5)
+    "prepare_training_corpus_v2",  # new r5-stage composition (r5)
 ]
 
 
