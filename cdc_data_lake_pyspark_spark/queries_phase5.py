@@ -1,10 +1,14 @@
-"""Phase-5 inventory: LM-quality scoring and temperature-balanced mixing.
+"""Phase-5 inventory: LM-quality scoring, temperature-balanced mixing,
+Bloom novelty gating, histogram quantile sketching, and the composite
+that chains them.
 
 Training-data-pipeline additions (§2.6 surface; no reference citation —
-beyond the reference's scope): CCNet-style unigram-LM cross-entropy
-scoring and XLM-R-style temperature resampling, both fully
-DuckDB-oracle-checkable (exact integer micro-log2 bridge / integer hash
-thresholds).
+beyond the reference's scope): CCNet-style unigram and add-one-bigram
+cross-entropy scoring, XLM-R-style temperature resampling, the portable
+Bloom-filter novelty gate, mergeable fixed-width histogram quantiles,
+and ``prepare_training_corpus_v2`` composing the new stages into one
+DAG.  All fully DuckDB-oracle-checkable (exact integer micro-log2
+bridge / integer hash thresholds / sparse sketch cells).
 """
 
 from __future__ import annotations
