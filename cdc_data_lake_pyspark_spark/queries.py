@@ -625,6 +625,10 @@ _DEMOTED: tuple[str, ...] = (
     # segment_price_percentiles + shipping_priority in-window;
     # driver-green r2–r4 (demoted mid-r5 for the NEW
     # prepare_training_corpus_v2 window slot)
+    "multimodal_frame_sample",  # multimodal family: multimodal_decode +
+    # multimodal_audio_decode in-window (both exercise the same binary
+    # plumbing plus REAL codecs); driver-green r2–r4 (demoted mid-r5
+    # for the NEW embedding_quantize window slot)
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

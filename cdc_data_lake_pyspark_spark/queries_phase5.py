@@ -355,3 +355,37 @@ def prepare_training_corpus_v2(spark, sf_dir):
         "doc_id", "lang"
     )
     return hash_split(mixed, id_col="doc_id").select("doc_id", "lang", "split")
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS ma
+      FROM d
+    )
+    SELECT vec_id,
+           CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+           CAST(round(unnest(v) * 127.0
+                      / (CASE WHEN ma = 0.0 THEN 1.0 ELSE ma END))
+                AS INT) AS q,
+           CAST(ma / 127.0 AS DOUBLE) AS scale
+    FROM m
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding corpus —
+    4x memory/shuffle reduction for ANN at scale, emitted posexploded so
+    the oracle hash-compares every code and every dequantization scale
+    (operators/similarity.py::quantize_embeddings_int8; map-only, no
+    shuffle, no UDF)."""
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    return quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))

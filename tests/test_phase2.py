@@ -245,3 +245,32 @@ def test_suggest_lsh_planes_pins_bucket_occupancy():
     assert suggest_lsh_planes(10) == 4
     planes = [suggest_lsh_planes(n) for n in (10**3, 10**5, 10**7, 10**9)]
     assert planes == sorted(planes)
+
+
+def test_int8_quantization_roundtrip_and_zero_vectors(spark):
+    import math
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    rows = [
+        (0, [1.0, -2.0, 0.5]),
+        (1, [0.0, 0.0, 0.0]),
+        (2, [127.0, -127.0, 63.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = quantize_embeddings_int8(df).collect()
+    got = {(r["vec_id"], r["dim"]): (r["q"], r["scale"]) for r in out}
+    # codes bounded, max-abs component hits ±127 exactly
+    assert all(-127 <= q <= 127 for q, _ in got.values())
+    assert got[(0, 1)][0] == -127
+    assert got[(2, 0)][0] == 127
+    # zero vector → zero codes, zero scale (no NaNs)
+    assert [got[(1, d)][0] for d in range(3)] == [0, 0, 0]
+    assert got[(1, 0)][1] == 0.0
+    # dequantization error bounded by scale/2 per component
+    for (vid, dim), (q, scale) in got.items():
+        x = rows[vid][1][dim]
+        assert math.isfinite(scale)
+        assert abs(q * scale - x) <= scale / 2 + 1e-12

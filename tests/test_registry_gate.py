@@ -55,10 +55,12 @@ REQUIRED_VISIBLE = [
     "similarity_ivf",
     "similarity_ann_lsh",
     "embedding_centroids",
+    "embedding_quantize",
     # multimodal / relational / sampling
     "multimodal_decode",
     "multimodal_audio_decode",
-    "multimodal_frame_sample",
+    # multimodal_frame_sample demoted mid-r5 for embedding_quantize; its
+    # binary plumbing is covered by the two real-codec entries above
     "sessionize_events",
     "asof_join_orders",
     "pack_sequences",
@@ -95,6 +97,7 @@ CHANGED_THIS_ROUND = [
     "price_quantile_sketch",  # new mergeable histogram quantiles (r5)
     "lm_bigram_cross_entropy",  # new add-one bigram LM scoring (r5)
     "prepare_training_corpus_v2",  # new r5-stage composition (r5)
+    "embedding_quantize",  # new int8 quantization (r5)
 ]
 
 
