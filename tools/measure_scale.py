@@ -246,6 +246,7 @@ def measure_textpipe(spark, sf_dir: str, replicas: int) -> dict:
         bloom_sketch,
     )
     from cdc_data_lake_pyspark_spark.operators.lm_quality import (
+        bigram_lm_scores,
         unigram_lm_scores,
     )
 
@@ -278,6 +279,7 @@ def measure_textpipe(spark, sf_dir: str, replicas: int) -> dict:
         row = {"n_docs": n, "ops": {}}
         for op, build in (
             ("lm_scores", lambda: unigram_lm_scores(docs)),
+            ("lm_bigram_scores", lambda: bigram_lm_scores(docs)),
             (
                 "bloom_probe",
                 lambda: bloom_probe(
