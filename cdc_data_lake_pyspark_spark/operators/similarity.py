@@ -676,3 +676,73 @@ def quantize_embeddings_int8(
         ).alias("dim", "q"),
         (max_abs / F.lit(127.0)).alias("scale"),
     )
+
+
+def fit_pq_codebooks(
+    vectors: DataFrame,
+    m_sub: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_fit_rows: int = 200_000,
+) -> np.ndarray:
+    """Fit product-quantization codebooks (Jégou et al. 2011): split the
+    vector into ``m_sub`` contiguous subvectors and run the deterministic
+    Lloyd's fit (:func:`fit_kmeans`, seed offset per subspace) on each —
+    the same bounded id-ordered driver-side sample contract as
+    :func:`fit_ivf_centroids`, so the codebooks are a pure function of
+    the data and the SQL oracle can replay them as literals.
+
+    Returns an ``(m_sub, k, d/m_sub)`` array."""
+    pdf = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_fit_rows)
+        .toPandas()
+    )
+    X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    d = X.shape[1]
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    ds = d // m_sub
+    return np.stack(
+        [
+            fit_kmeans(X[:, j * ds : (j + 1) * ds], k, seed=seed + j)
+            for j in range(m_sub)
+        ]
+    )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes: ``(id, sub, code)`` — each subvector's
+    nearest codebook centroid (numpy argmin, first-index ties; the oracle
+    replays the identical argmin as ``ORDER BY d, i``).  With
+    ``m_sub=8, k=16`` a 64-dim float64 vector compresses 128x to 8
+    4-bit codes; asymmetric distances then need only the ``m_sub × k``
+    query-to-centroid table per query.  One Arrow-batched matmul per
+    subspace over the corpus — map-only, no shuffle; the codebook rides
+    the UDF closure exactly like the IVF centroids."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    m_sub, _, ds = codebooks.shape
+
+    @pandas_udf("array<int>")
+    def _codes(col: pd.Series) -> pd.Series:
+        V = np.vstack(col.to_numpy()).astype(np.float64)
+        out = np.empty((len(V), m_sub), dtype=np.int32)
+        for j in range(m_sub):
+            out[:, j] = _sq_dists(
+                V[:, j * ds : (j + 1) * ds], codebooks[j]
+            ).argmin(axis=1)
+        return pd.Series(list(out))
+
+    return vectors.select(
+        F.col(id_col),
+        F.posexplode(_codes(F.col(vec_col))).alias("sub", "code"),
+    )

@@ -629,6 +629,11 @@ _DEMOTED: tuple[str, ...] = (
     # multimodal_audio_decode in-window (both exercise the same binary
     # plumbing plus REAL codecs); driver-green r2–r4 (demoted mid-r5
     # for the NEW embedding_quantize window slot)
+    "dedup_exact_groups",  # exact-dedup family: the digest groupBy runs
+    # inside BOTH in-window composites (prepare_training_corpus,
+    # prepare_training_corpus_v2) and incremental_novel_docs;
+    # driver-green r2–r4 (demoted mid-r5 for the NEW embedding_pq_codes
+    # window slot)
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

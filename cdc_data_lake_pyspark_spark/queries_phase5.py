@@ -389,3 +389,82 @@ def embedding_quantize(spark, sf_dir):
     )
 
     return quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
+
+
+def _pq_oracle_sql() -> str:
+    from cdc_data_lake_pyspark_spark.queries_phase2 import _oracle_sf_dir
+
+    return _pq_oracle_sql_for(_oracle_sf_dir())
+
+
+def _pq_oracle_sql_for(sf_dir: str) -> str:
+    """Replay the deterministic PQ fit offline (same bounded id-ordered
+    sample, same seeded Lloyd's per subspace as fit_pq_codebooks) and pin
+    the 8 x 16 codebook centroids as SQL literals; code assignment is the
+    identical argmin spelled as ORDER BY d ASC, i ASC.  Same margin
+    caveat as the IVF oracle (queries_phase2._ivf_oracle_sql_for):
+    BLAS-vs-sequential float sums could flip an EXACT distance tie;
+    min assignment margins on the driver corpus are pinned well above
+    float64 round-off in tests/test_pq.py."""
+    import duckdb
+    import numpy as np
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import fit_kmeans
+    from cdc_data_lake_pyspark_spark.queries_phase2 import _double_array_sql
+
+    pdf = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id LIMIT 200000"
+    ).df()
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ds = X.shape[1] // 8
+    cent_values = ",\n    ".join(
+        f"({j}, {i}, {_double_array_sql(c)})"
+        for j in range(8)
+        for i, c in enumerate(
+            fit_kmeans(X[:, j * ds : (j + 1) * ds], 16, seed=42 + j)
+        )
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), sv AS (
+      SELECT vec_id, s.j AS sub, v[s.j * {ds} + 1 : s.j * {ds} + {ds}] AS x
+      FROM e, LATERAL unnest(generate_series(0, 7)) AS s(j)
+    ), cent(sub, i, c) AS (
+      VALUES {cent_values}
+    ), d AS (
+      SELECT sv.vec_id, sv.sub, cent.i,
+             list_dot_product(sv.x, sv.x) - 2 * list_dot_product(sv.x, cent.c)
+               + list_dot_product(cent.c, cent.c) AS d
+      FROM sv JOIN cent ON sv.sub = cent.sub
+    )
+    SELECT vec_id, CAST(sub AS INT) AS sub, CAST(i AS INT) AS code
+    FROM (
+      SELECT vec_id, sub, i,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY d ASC, i ASC) AS rn
+      FROM d
+    ) WHERE rn = 1
+    """
+
+
+@query("embedding_pq_codes", oracle=_pq_oracle_sql)
+def embedding_pq_codes(spark, sf_dir):
+    """Product quantization (Jégou et al. 2011) of the embedding corpus:
+    8 subvectors x 16 centroids — 128x compression (eight 4-bit codes
+    per 64-dim float64 vector), the standard memory layout for
+    billion-scale ANN.  The codebooks come from the same deterministic
+    bounded-sample Lloyd's fit as the IVF quantizer, so the offline
+    oracle replays the fit and pins the centroids as literals; every
+    (vector, subspace) code is value-checked
+    (operators/similarity.py::fit_pq_codebooks / pq_encode)."""
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        fit_pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(emb, m_sub=8, k=16, seed=42)
+    return pq_encode(emb, books)

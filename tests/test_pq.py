@@ -1,0 +1,84 @@
+"""Product quantization (operators/similarity.py::fit_pq_codebooks /
+pq_encode): code shape, reconstruction quality versus a mismatched
+codebook, determinism across partitionings, and the oracle's float-tie
+margin safety on the driver corpus."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from cdc_data_lake_pyspark_spark.operators.similarity import (
+    _sq_dists,
+    fit_pq_codebooks,
+    pq_encode,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata absent")
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_pq_codes_shape_and_determinism(emb):
+    books = fit_pq_codebooks(emb, m_sub=8, k=16, seed=42)
+    assert books.shape == (8, 16, 8)
+    a = sorted(
+        (r["vec_id"], r["sub"], r["code"])
+        for r in pq_encode(emb.repartition(7), books).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["sub"], r["code"])
+        for r in pq_encode(emb.coalesce(1), books).collect()
+    )
+    assert a == b
+    n = emb.count()
+    assert len(a) == n * 8
+    assert all(0 <= c < 16 for _, _, c in a)
+
+
+def test_pq_reconstruction_beats_wrong_codebook(emb):
+    pdf = emb.orderBy("vec_id").toPandas()
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    books = fit_pq_codebooks(emb, m_sub=8, k=16, seed=42)
+    codes = {
+        (r["vec_id"], r["sub"]): r["code"]
+        for r in pq_encode(emb, books).collect()
+    }
+    ids = pdf["vec_id"].to_numpy()
+    recon = np.empty_like(X)
+    for row, vid in enumerate(ids):
+        for j in range(8):
+            recon[row, j * 8 : (j + 1) * 8] = books[j][codes[(vid, j)]]
+    err = ((X - recon) ** 2).sum()
+    # shifted codebook assignment (code+1 mod k) must reconstruct worse
+    worse = np.empty_like(X)
+    for row, vid in enumerate(ids):
+        for j in range(8):
+            worse[row, j * 8 : (j + 1) * 8] = books[j][
+                (codes[(vid, j)] + 1) % 16
+            ]
+    assert err < ((X - worse) ** 2).sum() * 0.9
+
+
+def test_pq_assignment_margins_clear_float_roundoff(emb):
+    """The oracle's exact value-check is safe only while no (vector,
+    subspace) sits on a centroid-distance tie: pin the minimum margin on
+    the driver corpus far above float64 round-off (the IVF margins
+    contract, applied to PQ)."""
+    pdf = emb.toPandas()
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    books = fit_pq_codebooks(emb, m_sub=8, k=16, seed=42)
+    min_margin = np.inf
+    for j in range(8):
+        d = np.sort(_sq_dists(X[:, j * 8 : (j + 1) * 8], books[j]), axis=1)
+        min_margin = min(min_margin, float((d[:, 1] - d[:, 0]).min()))
+    assert min_margin > 1e-9

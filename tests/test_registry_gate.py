@@ -41,8 +41,9 @@ REQUIRED_VISIBLE = [
     "token_count_bpe",
     "scrub_pii_docs",
     "contamination_report",
-    # dedup family
-    "dedup_exact_groups",
+    # dedup family (dedup_exact_groups demoted mid-r5 for
+    # embedding_pq_codes: the digest groupBy runs inside both in-window
+    # composites and incremental_novel_docs)
     "dedup_jaccard_prefix",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -56,6 +57,7 @@ REQUIRED_VISIBLE = [
     "similarity_ann_lsh",
     "embedding_centroids",
     "embedding_quantize",
+    "embedding_pq_codes",
     # multimodal / relational / sampling
     "multimodal_decode",
     "multimodal_audio_decode",
@@ -98,6 +100,7 @@ CHANGED_THIS_ROUND = [
     "lm_bigram_cross_entropy",  # new add-one bigram LM scoring (r5)
     "prepare_training_corpus_v2",  # new r5-stage composition (r5)
     "embedding_quantize",  # new int8 quantization (r5)
+    "embedding_pq_codes",  # new product quantization (r5)
 ]
 
 
