@@ -714,6 +714,184 @@ def fit_pq_codebooks(
     )
 
 
+def pq_query_lut(queries_np: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Per-query asymmetric-distance lookup table, quantized to exact
+    micro-unit integers: ``lut[q, j, c] = round(1e6 * ||q_j - c_{j,c}||²)``.
+
+    Quantizing each entry BEFORE summation (the micro-unit bridge used by
+    the LM scores and embedding centroids) makes the per-vector ADC
+    distance an exact integer sum of ``m_sub`` table entries — both
+    engines agree bit-for-bit, and the oracle can pin the table as SQL
+    literals.  Shared by :func:`pq_top_k` and its oracle generator so the
+    two tables are produced by the identical numpy calls."""
+    m_sub, _, ds = codebooks.shape
+    lut = np.empty((len(queries_np), m_sub, codebooks.shape[1]), dtype=np.int64)
+    for j in range(m_sub):
+        lut[:, j, :] = np.rint(
+            1e6 * _sq_dists(queries_np[:, j * ds : (j + 1) * ds], codebooks[j])
+        ).astype(np.int64)
+    return lut
+
+
+def pq_top_k(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """ADC top-k search (Jégou et al. 2011 §IV): rank the corpus for each
+    query by PQ-approximated squared distance, computed entirely from the
+    compressed codes — ``d(q, x) ≈ Σ_j lut[q, j, code_j(x)]``, ``m_sub``
+    integer table lookups per (query, vector) instead of a ``d``-dim
+    float dot product.  Returns ``(query_id, neighbor_id, adist_micro,
+    rank)`` ascending by distance, ties on neighbor id.
+
+    Scale shape: the (small, by contract) query set becomes an
+    ``(Q, m_sub, k)`` integer LUT in the task closure; each corpus
+    partition is encoded and scored in one Arrow-batched ``mapInPandas``
+    pass and emits only its per-query partial top-k (keeping boundary
+    ties, so global ranking over the partials is exact) — the shuffle
+    carries O(parts · Q · k) rows, never the corpus.  At billion scale
+    the corpus side would read PRE-ENCODED codes (``pq_encode`` output,
+    128x smaller); here encoding is fused into the scan to keep the
+    operator one-pass.
+
+    All distances are exact integer sums of micro-quantized LUT entries
+    (:func:`pq_query_lut`), so the DuckDB oracle replays the ranking
+    bit-for-bit from the pinned codebooks + pinned LUT
+    (oracle ``similarity_pq_adc``)."""
+    q_pdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).toPandas()
+    qids = q_pdf["query_id"].to_numpy()
+    Q = np.vstack(q_pdf["_qv"].to_numpy()).astype(np.float64)
+    m_sub, _, ds = codebooks.shape
+    lut = pq_query_lut(Q, codebooks)
+
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    out_schema = (
+        f"query_id {qid_type}, neighbor_id {id_type}, adist_micro bigint"
+    )
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nb = pdf[id_col].to_numpy()
+            codes = np.empty((len(V), m_sub), dtype=np.int64)
+            for j in range(m_sub):
+                codes[:, j] = _sq_dists(
+                    V[:, j * ds : (j + 1) * ds], codebooks[j]
+                ).argmin(axis=1)
+            # D[q, n] = Σ_j lut[q, j, codes[n, j]] — exact int64
+            D = np.zeros((len(qids), len(V)), dtype=np.int64)
+            for j in range(m_sub):
+                D += lut[:, j, codes[:, j]]
+            frames = []
+            for qi in range(len(qids)):
+                col, ids = D[qi], nb
+                if exclude_self:
+                    keep = ids != qids[qi]
+                    col, ids = col[keep], ids[keep]
+                if len(col) > k:
+                    # keep everything at or under the k-th smallest value
+                    # (boundary ties included) so the global rank cannot
+                    # need a row this partial pruned away
+                    bound = np.partition(col, k - 1)[k - 1]
+                    keep = col <= bound
+                    col, ids = col[keep], ids[keep]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(qids[qi], len(col)),
+                            "neighbor_id": ids,
+                            "adist_micro": col,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = vectors.select(id_col, vec_col).mapInPandas(_score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist_micro", "rank")
+    )
+
+
+def pq_top_k_reranked(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 3,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Two-stage PQ search, the shape production ANN systems run
+    (IVF-PQ + re-rank): an ADC pass over the compressed codes shortlists
+    ``shortlist`` candidates per query (:func:`pq_top_k` — integer LUT
+    sums, deterministic ``(adist, id)`` cut), then ONLY the shortlist is
+    re-scored against the full-precision vectors and the final top-k is
+    exact cosine over those candidates.  Returns ``(query_id,
+    neighbor_id, score, rank)`` — drop-in for :func:`brute_force_top_k`,
+    with recall governed by the shortlist size (measured 0.87 @ 50 on
+    the sf0.01 corpus with 8x16 codebooks, tests/test_pq.py).
+
+    Scale shape: stage 1 touches full vectors once per partition and
+    ships only O(parts · Q · shortlist) integer rows; stage 2 joins the
+    tiny candidate set back to the corpus by id — the full-precision
+    vectors never shuffle, never pair-blow-up.  At billion scale stage 1
+    reads pre-encoded codes and this becomes a pure compressed-domain
+    scan plus a ``Q · shortlist``-row gather."""
+    cand = pq_top_k(
+        vectors,
+        queries,
+        codebooks,
+        k=shortlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        exclude_self=exclude_self,
+    ).select("query_id", "neighbor_id")
+    _cosine = cosine_pandas_udf()
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    nv = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vv")
+    )
+    scored = (
+        cand.join(nv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("_qv"), F.col("_vv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def pq_encode(
     vectors: DataFrame,
     codebooks: np.ndarray,

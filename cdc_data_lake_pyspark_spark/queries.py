@@ -634,6 +634,11 @@ _DEMOTED: tuple[str, ...] = (
     # prepare_training_corpus_v2) and incremental_novel_docs;
     # driver-green r2–r4 (demoted mid-r5 for the NEW embedding_pq_codes
     # window slot)
+    "similarity_ann_lsh",  # top-k ANN family: similarity_ivf stays
+    # in-window plus the NEW similarity_pq_adc (two-stage PQ search)
+    # takes this slot; the LSH path's recall/score-parity floors are
+    # pinned in tests/test_phase2.py and its auto-sizing in
+    # tests/test_lsh_occupancy.py; driver-green r2–r4
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

