@@ -642,6 +642,124 @@ def hyperplane_lsh_top_k(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocks_per_cell: int = 4,
+    max_fit_rows: int = 200_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    the embedding corpus with the deterministic k-means quantizer and
+    pruning near-duplicates WITHIN each cluster only — the published
+    recipe for corpus-scale semantic dedup, turning the O(N²) all-pairs
+    problem into C independent O((N/C)²) cell problems.
+
+    Returns one row per vector: ``(id, cell, kept)``.  The drop rule is
+    the repo's deterministic min-id convention: a vector is dropped iff
+    some SAME-CELL vector with a smaller id scores ``>= threshold``
+    against it (the paper keeps one exemplar per ε-ball; min-id makes the
+    choice reproducible and oracle-replayable — the paper's
+    keep-least-central variant changes which exemplar survives, not the
+    mechanics).  Cross-cell near-duplicates are intentionally out of
+    scope (the paper's approximation); recall vs the exact pair set is
+    measured in tests/test_phase2.py.
+
+    Scale shape: the centroid fit is the bounded driver-side IVF contract
+    (:func:`fit_ivf_centroids`); assignment is one Arrow matmul over the
+    corpus; within-cell scoring reuses the block-matrix machinery of
+    :func:`cosine_near_dup_pairs` keyed on ``(cell, block)`` — cells
+    score independently and in parallel, each block-pair task one BLAS
+    matmul, and only dropped ids cross back over Arrow.  At 100 TB the
+    cell is the partition key, exactly the IVF layout."""
+    centers = fit_ivf_centroids(
+        vectors,
+        n_clusters,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_fit_rows=max_fit_rows,
+    )
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _assign(col: pd.Series) -> pd.Series:
+        V = np.vstack(col.to_numpy()).astype(np.float64)
+        return pd.Series(_sq_dists(V, centers).argmin(axis=1).astype(np.int32))
+
+    assigned = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _assign(F.col(vec_col)).alias("cell"),
+    ).localCheckpoint(eager=False)
+
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    packed = (
+        assigned.select(
+            "cell",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(blocks_per_cell)).alias(
+                "_blk"
+            ),
+            F.struct(
+                F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+            ).alias("_r"),
+        )
+        .groupBy("cell", "_blk")
+        .agg(F.collect_list("_r").alias("_rows"))
+    )
+    a = packed.select(
+        "cell", F.col("_blk").alias("_ba"), F.col("_rows").alias("_rows_a")
+    )
+    b = packed.select(
+        "cell", F.col("_blk").alias("_bb"), F.col("_rows").alias("_rows_b")
+    )
+    block_pairs = a.join(b, ["cell"]).filter(F.col("_ba") <= F.col("_bb"))
+    block_pairs = block_pairs.repartition(
+        vectors.sparkSession.sparkContext.defaultParallelism
+    )
+
+    def _unpack(rows):
+        ids = np.asarray([r["id"] for r in rows])
+        M = np.vstack([r["v"] for r in rows]).astype(np.float64)
+        return ids, M
+
+    def _dropped(batches):
+        for pdf in batches:
+            for rows_a, rows_b, same in zip(
+                pdf["_rows_a"], pdf["_rows_b"], pdf["_ba"] == pdf["_bb"]
+            ):
+                A_ids, A = _unpack(rows_a)
+                B_ids, B = (A_ids, A) if same else _unpack(rows_b)
+                parts = [_exact_rescored_pairs(A_ids, A, B_ids, B, threshold)]
+                if not same:
+                    parts.append(
+                        _exact_rescored_pairs(B_ids, B, A_ids, A, threshold)
+                    )
+                parts = [p for p in parts if p is not None and len(p)]
+                if parts:
+                    yield pd.concat(parts, ignore_index=True)[["b_id"]].rename(
+                        columns={"b_id": "dropped_id"}
+                    )
+
+    dropped = (
+        block_pairs.mapInPandas(_dropped, f"dropped_id {id_type}")
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, assigned[id_col] == dropped["dropped_id"], "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.col("dropped_id").isNull().alias("kept"),
+        )
+    )
+
+
 def quantize_embeddings_int8(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -639,6 +639,11 @@ _DEMOTED: tuple[str, ...] = (
     # takes this slot; the LSH path's recall/score-parity floors are
     # pinned in tests/test_phase2.py and its auto-sizing in
     # tests/test_lsh_occupancy.py; driver-green r2–r4
+    "tfidf_top_term",  # document-frequency family: the in-window LM
+    # entries (lm_cross_entropy, lm_bigram_cross_entropy) exercise the
+    # same tf/df aggregations + bounded vocabulary joins; demoted
+    # mid-r5 for the NEW dedup_semantic_clusters window slot;
+    # driver-green r2–r4
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -531,6 +531,91 @@ def _pq_adc_oracle_sql_for(sf_dir: str) -> str:
     """
 
 
+def _semantic_dedup_oracle_sql() -> str:
+    from cdc_data_lake_pyspark_spark.queries_phase2 import _oracle_sf_dir
+
+    return _semantic_dedup_oracle_sql_for(_oracle_sf_dir())
+
+
+def _semantic_dedup_oracle_sql_for(sf_dir: str) -> str:
+    """Replay the deterministic k-means fit (the IVF centroid contract)
+    and SemDeDup's within-cell min-id drop rule in SQL: centroids pinned
+    as literals, cell assignment the argmin spelled ``ORDER BY d, i``,
+    within-cell pairs scored with DuckDB's sequential
+    ``list_dot_product`` cosine.  Same float-tie margin caveats as the
+    IVF oracle (assignment) and the cosine-pair oracles (threshold
+    boundary); margins on the driver corpus are pinned in
+    tests/test_oracle_resolution.py / test_phase2.py."""
+    import duckdb
+    import numpy as np
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import fit_kmeans
+    from cdc_data_lake_pyspark_spark.queries_phase2 import _double_array_sql
+
+    pdf = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id LIMIT 200000"
+    ).df()
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    centers = fit_kmeans(X, 16, seed=42)
+    cent_values = ",\n    ".join(
+        f"({i}, {_double_array_sql(c)})" for i, c in enumerate(centers)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cent(i, c) AS (
+      VALUES {cent_values}
+    ), vd AS (
+      SELECT e.vec_id, cent.i,
+             list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cent.c)
+               + list_dot_product(cent.c, cent.c) AS d
+      FROM e CROSS JOIN cent
+    ), cells AS (
+      SELECT vec_id, i AS cell FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, i ASC) AS rn
+        FROM vd
+      ) WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT c2.vec_id AS b
+      FROM cells c1 JOIN cells c2
+        ON c1.cell = c2.cell AND c1.vec_id < c2.vec_id
+      JOIN e ea ON ea.vec_id = c1.vec_id
+      JOIN e eb ON eb.vec_id = c2.vec_id
+      WHERE list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v))
+             * sqrt(list_dot_product(eb.v, eb.v))) >= 0.4
+    )
+    SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+           c.vec_id NOT IN (SELECT b FROM dropped) AS kept
+    FROM cells c
+    """
+
+
+@query("dedup_semantic_clusters", oracle=_semantic_dedup_oracle_sql)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embedding corpus: cluster
+    with the deterministic k-means quantizer (16 cells, the IVF fit
+    contract), then drop every vector with a smaller-id same-cell
+    neighbor at cosine >= 0.4 — semantic deduplication that scopes the
+    quadratic pair problem to independent cells instead of the full
+    corpus (the exact all-pairs path is ``dedup_embedding_cosine``; the
+    banded approximate path is ``dedup_embedding_cosine_lsh``).  Emits
+    every vector with its cell and kept verdict so the oracle
+    value-checks assignment AND pruning
+    (operators/similarity.py::semantic_dedup)."""
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_clusters=16
+    )
+
+
 @query("similarity_pq_adc", oracle=_pq_adc_oracle_sql)
 def similarity_pq_adc(spark, sf_dir):
     """Two-stage PQ search (Jégou et al. 2011 §IV + the standard re-rank)

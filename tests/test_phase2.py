@@ -274,3 +274,43 @@ def test_int8_quantization_roundtrip_and_zero_vectors(spark):
         x = rows[vid][1][dim]
         assert math.isfinite(scale)
         assert abs(q * scale - x) <= scale / 2 + 1e-12
+
+
+def test_semantic_dedup_subset_and_invariance(spark):
+    """SemDeDup (semantic_dedup): every dropped id must have a smaller-id
+    neighbor at >= threshold in the EXACT all-pairs set (within-cell
+    pruning can only find a subset of exact pairs — precision 1), the
+    verdicts must be partition-invariant, and at least one planted
+    near-duplicate must actually be dropped on the driver corpus."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    out = semantic_dedup(emb, threshold=0.4, n_clusters=16)
+    rows = {r["vec_id"]: (r["cell"], r["kept"]) for r in out.collect()}
+    assert len(rows) == emb.count()
+    dropped = {i for i, (_, kept) in rows.items() if not kept}
+    assert dropped, "no planted near-duplicate was pruned"
+    exact_higher = {
+        r["b_id"]
+        for r in cosine_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert dropped <= exact_higher
+    rows2 = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in semantic_dedup(
+            emb.repartition(11), threshold=0.4, n_clusters=16
+        ).collect()
+    }
+    assert rows == rows2

@@ -81,7 +81,9 @@ REQUIRED_VISIBLE = [
     # sketches / composites (cms_user_counts demoted mid-r5: family
     # covered by the new in-window bloom_novel_docs + price_quantile_sketch)
     "price_quantile_sketch",
-    "tfidf_top_term",
+    # tfidf_top_term demoted mid-r5 for dedup_semantic_clusters; its
+    # tf/df-aggregation family is covered by the in-window LM entries
+    "dedup_semantic_clusters",
     "prepare_training_corpus",
     "prepare_training_corpus_v2",
 ]
@@ -104,6 +106,7 @@ CHANGED_THIS_ROUND = [
     "embedding_quantize",  # new int8 quantization (r5)
     "embedding_pq_codes",  # new product quantization (r5)
     "similarity_pq_adc",  # new two-stage ADC + re-rank search (r5)
+    "dedup_semantic_clusters",  # new SemDeDup cluster-scoped prune (r5)
 ]
 
 
