@@ -54,6 +54,15 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(bpe_tokens(text))
 
 
+def normalize_text(text: Column) -> Column:
+    """RefinedWeb/FineWeb-style aggressive normalization for fuzzy-exact
+    dedup (Penedo et al. 2023): lowercase, collapse every run of
+    non-alphanumeric characters to a single space, trim — so documents
+    differing only in case, punctuation, or whitespace share one
+    fingerprint.  Character-class-only regex (Java ≡ RE2), map-only."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
 #: Rolling-hash parameters: base 257, modulus 2^31 − 1 (Mersenne prime).
 #: acc stays < 2^31, so acc*257 + codepoint never overflows int64 — the
 #: arithmetic is exact and portable across engines.

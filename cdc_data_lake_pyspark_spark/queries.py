@@ -644,6 +644,10 @@ _DEMOTED: tuple[str, ...] = (
     # same tf/df aggregations + bounded vocabulary joins; demoted
     # mid-r5 for the NEW dedup_semantic_clusters window slot;
     # driver-green r2–r4
+    "doc_fingerprint",  # minhash-fingerprint family: dedup_minhash_lsh
+    # (in-window) drives the same minhash machinery end-to-end; demoted
+    # mid-r5 for the NEW dedup_exact_normalized window slot;
+    # driver-green r1–r4
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -531,6 +531,36 @@ def _pq_adc_oracle_sql_for(sf_dir: str) -> str:
     """
 
 
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+             AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY fingerprint
+    """,
+)
+def dedup_exact_normalized(spark, sf_dir):
+    """Fuzzy-exact dedup (RefinedWeb, Penedo et al. 2023): exact-hash
+    groups over AGGRESSIVELY normalized text — lowercase, every
+    non-alphanumeric run collapsed to one space — so trivial formatting
+    variants (case, punctuation, whitespace) collapse into one group
+    where plain ``dedup_exact_groups`` keeps them distinct.  Same
+    32-byte-digest shuffle as the plain path; the md5 fingerprint doubles
+    as a value check that both engines' regex normalization agrees
+    byte-for-byte (functions/text.py::normalize_text +
+    operators/dedup_text.py::exact_dedup)."""
+    from cdc_data_lake_pyspark_spark.functions.text import normalize_text
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("text")
+    )
+    return exact_dedup(docs, normalize=False)
+
+
 def _semantic_dedup_oracle_sql() -> str:
     from cdc_data_lake_pyspark_spark.queries_phase2 import _oracle_sf_dir
 

@@ -37,13 +37,15 @@ REQUIRED_VISIBLE = [
     # family covered by quality_score + token_count_bpe + lang_id_heuristic)
     "lang_id_heuristic",
     "quality_score",
-    "doc_fingerprint",
+    # doc_fingerprint demoted mid-r5 for dedup_exact_normalized; its
+    # minhash machinery is driven end-to-end by dedup_minhash_lsh
     "token_count_bpe",
     "scrub_pii_docs",
     "contamination_report",
     # dedup family (dedup_exact_groups demoted mid-r5 for
     # embedding_pq_codes: the digest groupBy runs inside both in-window
     # composites and incremental_novel_docs)
+    "dedup_exact_normalized",
     "dedup_jaccard_prefix",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -107,6 +109,7 @@ CHANGED_THIS_ROUND = [
     "embedding_pq_codes",  # new product quantization (r5)
     "similarity_pq_adc",  # new two-stage ADC + re-rank search (r5)
     "dedup_semantic_clusters",  # new SemDeDup cluster-scoped prune (r5)
+    "dedup_exact_normalized",  # new RefinedWeb fuzzy-exact dedup (r5)
 ]
 
 

@@ -83,3 +83,33 @@ def test_substring_window_dedup_semantics(spark):
     assert out[3].clean_text == "p q r" and out[3].n_dropped == 0
     assert out[4].clean_text == "" and out[4].n_dropped == 4
     assert out[2].n_tokens == 7
+
+
+def test_normalize_text_collapses_formatting_variants(spark):
+    """normalize_text (RefinedWeb fuzzy-exact normalization): case,
+    punctuation and whitespace variants of the same content collapse to
+    one fingerprint group; genuinely different content does not."""
+    from pyspark.sql import functions as F
+
+    from cdc_data_lake_pyspark_spark.functions.text import normalize_text
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import exact_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO—world…"),
+            (4, "hello worlds"),
+            (5, ""),
+            (6, "  ,,, "),
+        ],
+        "doc_id long, text string",
+    )
+    norm = docs.select("doc_id", normalize_text(F.col("text")).alias("text"))
+    got = {
+        r["keeper_id"]: r["n_docs"]
+        for r in exact_dedup(norm, normalize=False).collect()
+    }
+    assert got[1] == 3  # docs 1-3 collapse
+    assert got[4] == 1
+    assert got[5] == 2  # empty and punctuation-only both normalize to ""
