@@ -642,6 +642,200 @@ def hyperplane_lsh_top_k(
     )
 
 
+def fit_ivf_pq(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    m_sub: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_fit_rows: int = 200_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fit the IVF-PQ index structures (Jégou et al. 2011 §V — FAISS
+    ``IndexIVFPQ``): the coarse quantizer on the bounded id-ordered
+    driver sample, then product-quantization codebooks on the RESIDUALS
+    ``x − centroid(x)`` of that same sample — residual energy is far
+    smaller than vector energy, so the same code budget quantizes much
+    more finely than plain PQ.  Returns ``(centers (C, d), codebooks
+    (m_sub, k, d/m_sub))``; both are pure deterministic functions of the
+    data, replayable by the SQL oracle."""
+    pdf = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_fit_rows)
+        .toPandas()
+    )
+    X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    centers = fit_kmeans(X, n_clusters, seed=seed)
+    R = X - centers[_sq_dists(X, centers).argmin(axis=1)]
+    d = X.shape[1]
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    ds = d // m_sub
+    books = np.stack(
+        [
+            fit_kmeans(R[:, j * ds : (j + 1) * ds], k, seed=seed + j)
+            for j in range(m_sub)
+        ]
+    )
+    return centers, books
+
+
+def ivf_pq_query_lut(
+    queries_np: np.ndarray, centers: np.ndarray, codebooks: np.ndarray
+) -> np.ndarray:
+    """Per-(query, cell) asymmetric-distance table over residual
+    codebooks, micro-quantized: ``lut[q, cell, j, c] = round(1e6 *
+    ||(q − center_cell)_j − books[j][c]||²)``.  The residual subtraction
+    is exact float64 arithmetic; quantizing each entry before summation
+    makes every ADC distance an exact integer sum (the
+    :func:`pq_query_lut` contract, extended by the cell axis).  Shared
+    by :func:`ivf_pq_top_k` and its oracle generator."""
+    n_q = len(queries_np)
+    n_cells = len(centers)
+    m_sub, n_codes, ds = codebooks.shape
+    lut = np.empty((n_q, n_cells, m_sub, n_codes), dtype=np.int64)
+    for cell in range(n_cells):
+        QR = queries_np - centers[cell]
+        for j in range(m_sub):
+            lut[:, cell, j, :] = np.rint(
+                1e6 * _sq_dists(QR[:, j * ds : (j + 1) * ds], codebooks[j])
+            ).astype(np.int64)
+    return lut
+
+
+def ivf_pq_top_k(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    n_codes: int = 16,
+    shortlist: int = 50,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+    max_fit_rows: int = 200_000,
+) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011 §V; the FAISS ``IndexIVFPQ``
+    layout): coarse-quantize the corpus into cells, PQ-encode each
+    vector's RESIDUAL, and answer queries by probing ``n_probe`` cells —
+    ADC-ranking only those cells' codes with the per-(query, cell)
+    residual LUT — then exact-cosine re-rank the shortlist.  This is the
+    canonical billion-scale configuration: per-query work is
+    ``n_probe/n_clusters`` of the corpus read at 128x compression plus a
+    ``Q·shortlist`` full-precision gather.
+
+    Returns ``(query_id, neighbor_id, score, rank)`` — drop-in with the
+    exact op; recall governed by ``n_probe`` and ``shortlist``.
+
+    Scale shape: one corpus pass assigns cells and encodes residual
+    codes (Arrow matmuls, map-only); candidates come from a broadcast
+    join on the cell id, so the corpus shuffles ONCE on its cell key —
+    the IVF partition layout — and only ``(query, id, adist)`` integer
+    rows reach the shortlist window.  All ADC distances are exact
+    integer sums of micro-quantized LUT entries
+    (:func:`ivf_pq_query_lut`), so the oracle replays ranking
+    bit-for-bit from pinned centroids, codebooks, probes, and LUT
+    (oracle ``similarity_ivf_pq``)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    centers, books = fit_ivf_pq(
+        vectors,
+        n_clusters=n_clusters,
+        m_sub=m_sub,
+        k=n_codes,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_fit_rows=max_fit_rows,
+    )
+    ds = books.shape[2]
+
+    q_pdf = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).toPandas()
+    qids = q_pdf["query_id"].to_numpy()
+    Q = np.vstack(q_pdf["_qv"].to_numpy()).astype(np.float64)
+    lut = ivf_pq_query_lut(Q, centers, books)
+    probe_cells = np.argsort(_sq_dists(Q, centers), axis=1, kind="stable")[
+        :, :n_probe
+    ]
+    qindex = {qid: i for i, qid in enumerate(qids.tolist())}
+
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+
+    def _encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cell = _sq_dists(V, centers).argmin(axis=1)
+            R = V - centers[cell]
+            codes = np.empty((len(V), m_sub), dtype=np.int32)
+            for j in range(m_sub):
+                codes[:, j] = _sq_dists(
+                    R[:, j * ds : (j + 1) * ds], books[j]
+                ).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "_cell": cell.astype(np.int32),
+                    "_codes": list(codes),
+                }
+            )
+
+    encoded = vectors.select(id_col, vec_col).mapInPandas(
+        _encode, f"neighbor_id {id_type}, _cell int, _codes array<int>"
+    )
+
+    probes = vectors.sparkSession.createDataFrame(
+        [
+            (qid, int(cell))
+            for qid, cells in zip(qids.tolist(), probe_cells)
+            for cell in cells
+        ],
+        f"query_id {qid_type}, _cell int",
+    )
+
+    @pandas_udf("long")
+    def _adist(qid: pd.Series, cell: pd.Series, codes: pd.Series) -> pd.Series:
+        qi = qid.map(qindex).to_numpy()
+        ci = cell.to_numpy()
+        C = np.vstack(codes.to_numpy())
+        s = np.zeros(len(qi), dtype=np.int64)
+        for j in range(m_sub):
+            s += lut[qi, ci, j, C[:, j]]
+        return pd.Series(s)
+
+    cand = encoded.join(F.broadcast(probes), "_cell")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = cand.select(
+        "query_id",
+        "neighbor_id",
+        _adist(F.col("query_id"), F.col("_cell"), F.col("_codes")).alias(
+            "_adist"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlisted = (
+        cand.withColumn("_srn", F.row_number().over(w))
+        .filter(F.col("_srn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(
+        shortlisted, vectors, queries, k, id_col, vec_col, query_id_col
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     threshold: float = 0.4,
@@ -984,6 +1178,25 @@ def pq_top_k_reranked(
         query_id_col=query_id_col,
         exclude_self=exclude_self,
     ).select("query_id", "neighbor_id")
+    return _exact_rerank(
+        cand, vectors, queries, k, id_col, vec_col, query_id_col
+    )
+
+
+def _exact_rerank(
+    cand: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Full-precision cosine top-k over a shortlist: join the (tiny)
+    ``(query_id, neighbor_id)`` candidate set back to the corpus by id,
+    broadcast the query vectors, score with the strict-sequential fold,
+    rank descending with the id tiebreak.  The corpus vectors never
+    shuffle — only the shortlist gathers them."""
     _cosine = cosine_pandas_udf()
     qv = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")

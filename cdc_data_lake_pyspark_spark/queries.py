@@ -648,6 +648,10 @@ _DEMOTED: tuple[str, ...] = (
     # (in-window) drives the same minhash machinery end-to-end; demoted
     # mid-r5 for the NEW dedup_exact_normalized window slot;
     # driver-green r1–r4
+    "stratified_sample_docs",  # sampling family: corpus_mix_temperature
+    # (in-window) applies the same portable-hash ticket filter with
+    # DERIVED per-stratum rates; demoted mid-r5 for the NEW
+    # similarity_ivf_pq window slot; driver-green r2–r4
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -646,6 +646,181 @@ def dedup_semantic_clusters(spark, sf_dir):
     )
 
 
+def _ivf_pq_oracle_sql() -> str:
+    from cdc_data_lake_pyspark_spark.queries_phase2 import _oracle_sf_dir
+
+    return _ivf_pq_oracle_sql_for(_oracle_sf_dir())
+
+
+def _ivf_pq_oracle_sql_for(sf_dir: str) -> str:
+    """Full IVF-PQ replay: re-run the offline fit (coarse centroids +
+    RESIDUAL codebooks from the same bounded id-ordered sample) and pin
+    centroids, residual codebooks, and the per-(query, probed-cell)
+    micro-integer LUT as literals — the LUT from the very same
+    ``ivf_pq_query_lut`` numpy call the Spark operator closes over.
+    Cell assignment, residual code argmin, and probe selection are
+    replayed in SQL (``ORDER BY d, i`` ≡ stable argsort/argmin); ADC
+    distances are exact integer sums, and the re-rank is the shared
+    cosine top-k tail.  Float-tie margins for assignment/probing pinned
+    in tests/test_pq.py / test_oracle_resolution.py."""
+    import duckdb
+    import numpy as np
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        _sq_dists,
+        fit_kmeans,
+        ivf_pq_query_lut,
+    )
+    from cdc_data_lake_pyspark_spark.queries_phase2 import (
+        _double_array_sql,
+        _topk_from_cand_sql,
+    )
+
+    pdf = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id LIMIT 200000"
+    ).df()
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    dim = X.shape[1]
+    ds = dim // 8
+    centers = fit_kmeans(X, 16, seed=42)
+    R = X - centers[_sq_dists(X, centers).argmin(axis=1)]
+    books = np.stack(
+        [
+            fit_kmeans(R[:, j * ds : (j + 1) * ds], 16, seed=42 + j)
+            for j in range(8)
+        ]
+    )
+    q_pdf = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id % 50 = 0 ORDER BY vec_id"
+    ).df()
+    qids = q_pdf["vec_id"].to_numpy()
+    Q = np.vstack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+    lut = ivf_pq_query_lut(Q, centers, books)
+    probe_cells = np.argsort(_sq_dists(Q, centers), axis=1, kind="stable")[
+        :, :4
+    ]
+    cent_values = ",\n    ".join(
+        f"({i}, {_double_array_sql(c)})" for i, c in enumerate(centers)
+    )
+    rcent_values = ",\n    ".join(
+        f"({j}, {i}, {_double_array_sql(c)})"
+        for j in range(8)
+        for i, c in enumerate(books[j])
+    )
+    lut_values = ",\n    ".join(
+        f"({int(qids[qi])}, {int(cell)}, {j}, {c}, {int(lut[qi, cell, j, c])})"
+        for qi in range(len(qids))
+        for cell in probe_cells[qi]
+        for j in range(8)
+        for c in range(16)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cent(i, c) AS (
+      VALUES {cent_values}
+    ), vd AS (
+      SELECT e.vec_id, cent.i,
+             list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cent.c)
+               + list_dot_product(cent.c, cent.c) AS d
+      FROM e CROSS JOIN cent
+    ), cells AS (
+      SELECT vec_id, i AS cell FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, i ASC) AS rn
+        FROM vd
+      ) WHERE rn = 1
+    ), res AS (
+      SELECT e.vec_id, cl.cell,
+             list_transform(generate_series(1, {dim}),
+                            i -> e.v[i] - ct.c[i]) AS r
+      FROM e JOIN cells cl ON cl.vec_id = e.vec_id
+             JOIN cent ct ON ct.i = cl.cell
+    ), rsv AS (
+      SELECT vec_id, s.j AS sub, r[s.j * {ds} + 1 : s.j * {ds} + {ds}] AS x
+      FROM res, LATERAL unnest(generate_series(0, 7)) AS s(j)
+    ), rcent(sub, i, c) AS (
+      VALUES {rcent_values}
+    ), rd AS (
+      SELECT rsv.vec_id, rsv.sub, rcent.i,
+             list_dot_product(rsv.x, rsv.x)
+               - 2 * list_dot_product(rsv.x, rcent.c)
+               + list_dot_product(rcent.c, rcent.c) AS d
+      FROM rsv JOIN rcent ON rsv.sub = rcent.sub
+    ), rcodes AS (
+      SELECT vec_id, sub, i AS code FROM (
+        SELECT vec_id, sub, i,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d ASC, i ASC) AS rn
+        FROM rd
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, i AS cell FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, i ASC) AS rn
+        FROM vd WHERE vec_id % 50 = 0
+      ) WHERE rn <= 4
+    ), lut(query_id, cell, sub, code, dm) AS (
+      VALUES {lut_values}
+    ), adist AS (
+      SELECT p.query_id, cl.vec_id AS neighbor_id,
+             CAST(sum(l.dm) AS BIGINT) AS ad
+      FROM probes p
+      JOIN cells cl ON cl.cell = p.cell
+      JOIN rcodes rc ON rc.vec_id = cl.vec_id
+      JOIN lut l ON l.query_id = p.query_id AND l.cell = p.cell
+                AND l.sub = rc.sub AND l.code = rc.code
+      WHERE cl.vec_id <> p.query_id
+      GROUP BY p.query_id, cl.vec_id
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY ad ASC, neighbor_id ASC) AS srn
+        FROM adist
+      ) WHERE srn <= 50
+    ),{_topk_from_cand_sql(3)}
+    """
+
+
+@query("similarity_ivf_pq", oracle=_ivf_pq_oracle_sql)
+def similarity_ivf_pq(spark, sf_dir):
+    """IVF-PQ ANN (Jégou et al. 2011 §V; the FAISS IndexIVFPQ layout)
+    for the standard query subset: coarse-quantize into 16 cells,
+    PQ-encode each vector's RESIDUAL (8 x 4-bit codes), probe the 4
+    nearest cells per query, ADC-rank only those cells' codes with the
+    per-(query, cell) residual LUT, exact-cosine re-rank the
+    50-candidate shortlist.  Per-query work is n_probe/n_clusters of
+    the corpus at 128x compression — THE billion-scale serving shape;
+    the corpus shuffles once on its cell key (the IVF partition layout).
+    The oracle replays fit, assignment, residual codes, probing, ADC,
+    and re-rank with centroids/codebooks/LUT pinned as literals; recall
+    vs exact is asserted in tests/test_pq.py
+    (operators/similarity.py::ivf_pq_top_k)."""
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        ivf_pq_top_k,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_top_k(
+        emb,
+        queries_df,
+        k=3,
+        n_clusters=16,
+        n_probe=4,
+        shortlist=50,
+        exclude_self=True,
+    )
+
+
 @query("similarity_pq_adc", oracle=_pq_adc_oracle_sql)
 def similarity_pq_adc(spark, sf_dir):
     """Two-stage PQ search (Jégou et al. 2011 §IV + the standard re-rank)

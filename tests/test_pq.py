@@ -147,3 +147,51 @@ def test_pq_reranked_recall_vs_exact(emb):
         exact_top3
     )
     assert recall >= 0.7, recall
+
+
+def test_ivf_pq_recall_and_residual_margins(emb):
+    """IVF-PQ (ivf_pq_top_k): the composed index must (a) recover most
+    of the exact cosine top-3 (residual coding quantizes finer than
+    plain PQ, and the 4-of-16 probe bounds the miss), (b) emit EXACT
+    cosine scores for every returned pair (re-rank contract), and (c)
+    have residual-code assignment margins far above float64 round-off so
+    the oracle's argmin replay is safe (the IVF/PQ margins contract)."""
+    from pyspark.sql import functions as F
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        brute_force_top_k,
+        fit_ivf_pq,
+        ivf_pq_top_k,
+    )
+
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact_rows = brute_force_top_k(
+        emb, queries, k=3, exclude_self=True
+    ).collect()
+    exact_scores = {
+        (r["query_id"], r["neighbor_id"]): r["score"] for r in exact_rows
+    }
+    got = ivf_pq_top_k(
+        emb, queries, k=3, n_probe=4, shortlist=50, exclude_self=True
+    ).collect()
+    assert len(got) == 10 * 3
+    for r in got:
+        pair = (r["query_id"], r["neighbor_id"])
+        if pair in exact_scores:
+            assert r["score"] == exact_scores[pair]
+    recall = len(
+        set(exact_scores) & {(r["query_id"], r["neighbor_id"]) for r in got}
+    ) / len(exact_scores)
+    assert recall >= 0.5, recall
+
+    centers, books = fit_ivf_pq(emb)
+    pdf = emb.toPandas()
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    R = X - centers[_sq_dists(X, centers).argmin(axis=1)]
+    min_margin = np.inf
+    for j in range(8):
+        d = np.sort(_sq_dists(R[:, j * 8 : (j + 1) * 8], books[j]), axis=1)
+        min_margin = min(min_margin, float((d[:, 1] - d[:, 0]).min()))
+    assert min_margin > 1e-9

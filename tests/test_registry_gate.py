@@ -59,6 +59,7 @@ REQUIRED_VISIBLE = [
     # tests/test_phase2.py + tests/test_lsh_occupancy.py)
     "similarity_ivf",
     "similarity_pq_adc",
+    "similarity_ivf_pq",
     "embedding_centroids",
     "embedding_quantize",
     "embedding_pq_codes",
@@ -72,7 +73,8 @@ REQUIRED_VISIBLE = [
     "pack_sequences",
     "chunk_documents",
     "repetition_gates",
-    "stratified_sample_docs",
+    # stratified_sample_docs demoted mid-r5 for similarity_ivf_pq; its
+    # portable-hash ticket family is covered by corpus_mix_temperature
     "lm_cross_entropy",
     "lm_bigram_cross_entropy",
     "corpus_mix_temperature",
@@ -110,6 +112,7 @@ CHANGED_THIS_ROUND = [
     "similarity_pq_adc",  # new two-stage ADC + re-rank search (r5)
     "dedup_semantic_clusters",  # new SemDeDup cluster-scoped prune (r5)
     "dedup_exact_normalized",  # new RefinedWeb fuzzy-exact dedup (r5)
+    "similarity_ivf_pq",  # new IVF-PQ residual-coded ANN (r5)
 ]
 
 
