@@ -115,12 +115,24 @@ def family(docs, emb):
         minhash_near_duplicates,
         simhash_near_duplicate_pairs,
     )
+    from pyspark.sql import functions as F
+
     from cdc_data_lake_pyspark_spark.operators.similarity import (
         cosine_near_dup_pairs,
         cosine_near_dup_pairs_lsh,
+        fit_pq_codebooks,
+        ivf_pq_top_k,
+        pq_top_k_reranked,
+        semantic_dedup,
     )
 
     pairs = lambda: minhash_near_duplicates(docs)
+
+    def _queries():
+        return emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
     return {
         "dedup_exact": lambda: exact_dedup(docs),
         "jaccard_prefix": lambda: jaccard_similar_pairs_prefix(docs, threshold=0.8),
@@ -129,6 +141,21 @@ def family(docs, emb):
         "cosine_exact": lambda: cosine_near_dup_pairs(emb, threshold=0.4),
         "cosine_lsh": lambda: cosine_near_dup_pairs_lsh(emb, threshold=0.4, dim=64),
         "dup_clusters": lambda: dedup_keep_canonical(docs, pairs()),
+        # r5: fit cost is part of each op (bounded driver sample contract)
+        "semantic_dedup": lambda: semantic_dedup(
+            emb, threshold=0.4, n_clusters=16
+        ),
+        "pq_adc_rerank": lambda: pq_top_k_reranked(
+            emb,
+            _queries(),
+            fit_pq_codebooks(emb, m_sub=8, k=16, seed=42),
+            k=3,
+            shortlist=50,
+            exclude_self=True,
+        ),
+        "ivf_pq": lambda: ivf_pq_top_k(
+            emb, _queries(), k=3, n_probe=4, shortlist=50, exclude_self=True
+        ),
     }
 
 
