@@ -652,6 +652,11 @@ _DEMOTED: tuple[str, ...] = (
     # (in-window) applies the same portable-hash ticket filter with
     # DERIVED per-stratum rates; demoted mid-r5 for the NEW
     # similarity_ivf_pq window slot; driver-green r2–r4
+    "dedup_keep_canonical",  # cluster-canonical family: dedup_clusters
+    # (in-window) drives the same connected components, and the
+    # keeper-selection anti-join runs inside the in-window
+    # prepare_training_corpus composite; demoted mid-r5 for the NEW
+    # unpivot_part_metrics window slot; driver-green r2–r4
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

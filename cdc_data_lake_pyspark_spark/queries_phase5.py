@@ -561,6 +561,34 @@ def dedup_exact_normalized(spark, sf_dir):
     return exact_dedup(docs, normalize=False)
 
 
+@query(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS metric,
+           CAST(p_retailprice AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+    """,
+)
+def unpivot_part_metrics(spark, sf_dir):
+    """UNPIVOT (melt): wide part metrics into tidy (key, metric, value)
+    rows — the inverse of ``pivot_segment_region`` and the standard
+    wide-to-long reshape for metric stores and per-feature aggregation.
+    Spark's native ``DataFrame.unpivot`` plans an Expand (one scan, N
+    output rows per input, zero shuffle) — map-only at any scale; the
+    oracle replays it as the equivalent UNION ALL."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double"),
+            F.col("p_size").cast("double"),
+        )
+        .unpivot(["p_partkey"], ["p_retailprice", "p_size"], "metric", "value")
+    )
+
+
 def _semantic_dedup_oracle_sql() -> str:
     from cdc_data_lake_pyspark_spark.queries_phase2 import _oracle_sf_dir
 

@@ -52,7 +52,8 @@ REQUIRED_VISIBLE = [
     "dedup_substring_windows",
     "dedup_embedding_cosine_lsh",
     "dedup_clusters",
-    "dedup_keep_canonical",
+    # dedup_keep_canonical demoted mid-r5 for unpivot_part_metrics; its
+    # components + keeper anti-join run inside prepare_training_corpus
     "incremental_novel_docs",
     # similarity (similarity_ann_lsh demoted mid-r5 for the new
     # similarity_pq_adc; LSH recall/score-parity floors stay pinned in
@@ -70,6 +71,7 @@ REQUIRED_VISIBLE = [
     # binary plumbing is covered by the two real-codec entries above
     "sessionize_events",
     "asof_join_orders",
+    "unpivot_part_metrics",
     "pack_sequences",
     "chunk_documents",
     "repetition_gates",
@@ -113,6 +115,7 @@ CHANGED_THIS_ROUND = [
     "dedup_semantic_clusters",  # new SemDeDup cluster-scoped prune (r5)
     "dedup_exact_normalized",  # new RefinedWeb fuzzy-exact dedup (r5)
     "similarity_ivf_pq",  # new IVF-PQ residual-coded ANN (r5)
+    "unpivot_part_metrics",  # new UNPIVOT/melt reshape (r5)
 ]
 
 
