@@ -14,6 +14,12 @@ is the write-side half of predicate pushdown.
   tight for two-column workloads (the classic Z-order layout Delta's
   OPTIMIZE ZORDER applies; here it's an explicit column any writer can
   sort by).  Pure JVM bit arithmetic — no UDF.
+* :func:`write_bucketed` — hash-bucketed tables: two tables bucketed by
+  the same key into the same bucket count join WITHOUT a shuffle (and,
+  sorted, without a sort) — the pre-paid join.  At 100 TB this is THE
+  lever for a fact table joined repeatedly on one key: the shuffle is
+  paid once at write time, then every join/aggregation on the bucket
+  key is exchange-free.
 """
 
 from __future__ import annotations
@@ -67,3 +73,29 @@ def write_partitioned(
             *[F.col(c) for c in list(partition_cols) + list(sort_cols)]
         )
     out.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a hash-bucketed (optionally bucket-sorted) managed
+    table.
+
+    Joins and aggregations keyed on ``bucket_col`` between tables that
+    share the bucket count then plan with NO Exchange — Catalyst proves
+    the child output partitioning already satisfies the join
+    distribution — and with ``sort=True`` the sort-merge join's sorts
+    disappear too (pinned by ``tests/test_layout.py``, which asserts the
+    exchange-free plan against the shuffling plan the same join gets on
+    plain parquet).  Bucket counts must match across join sides; pick a
+    count divisible by the cluster's parallelism and keep it stable
+    across daily writes so co-location persists."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)

@@ -68,3 +68,56 @@ def test_write_partitioned_roundtrip_content(spark, tmp_path):
     assert sorted((r["id"], r["src"]) for r in back.collect()) == sorted(
         (r["id"], r["src"]) for r in df.collect()
     )
+
+
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
+    """write_bucketed: two tables bucketed by the same key into the same
+    bucket count must JOIN WITHOUT any Exchange (the shuffle was paid at
+    write time), while the identical join over plain parquet plans one
+    Exchange per side.  Results must be identical either way."""
+    from cdc_data_lake_pyspark_spark.operators.layout import write_bucketed
+
+    facts = spark.createDataFrame(
+        [(i % 40, i, i * 2.0) for i in range(400)],
+        "k long, id long, v double",
+    )
+    dims = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(40)], "k long, name string"
+    )
+    write_bucketed(facts, "bkt_facts", "k", n_buckets=8)
+    write_bucketed(dims, "bkt_dims", "k", n_buckets=8)
+    try:
+        joined = (
+            spark.table("bkt_facts")
+            .join(spark.table("bkt_dims"), "k")
+            .groupBy("name")
+            .count()
+        )
+        # force the sort-merge path so the plan contrast is about
+        # bucketing, not broadcast selection
+        with_hint = (
+            spark.table("bkt_facts")
+            .join(spark.table("bkt_dims").hint("merge"), "k")
+        )
+        plan = with_hint._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+
+        p_facts = str(tmp_path / "facts")
+        p_dims = str(tmp_path / "dims")
+        facts.write.parquet(p_facts)
+        dims.write.parquet(p_dims)
+        plain = spark.read.parquet(p_facts).join(
+            spark.read.parquet(p_dims).hint("merge"), "k"
+        )
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plain_plan
+
+        got = {(r["name"], r["count"]) for r in joined.collect()}
+        want = {
+            (r["name"], r["count"])
+            for r in facts.join(dims, "k").groupBy("name").count().collect()
+        }
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_facts")
+        spark.sql("DROP TABLE IF EXISTS bkt_dims")
