@@ -657,6 +657,15 @@ _DEMOTED: tuple[str, ...] = (
     # keeper-selection anti-join runs inside the in-window
     # prepare_training_corpus composite; demoted mid-r5 for the NEW
     # unpivot_part_metrics window slot; driver-green r2–r4
+    "contamination_report",  # decontamination family: the identical
+    # shingle-overlap stage runs inside the in-window
+    # prepare_training_corpus composite; demoted mid-r5 for the NEW
+    # funnel_conversion window slot; driver-green r2–r4
+    "incremental_novel_docs",  # fingerprint-index family:
+    # bloom_novel_docs (in-window, NEW r5) is its approximate scale
+    # path over the same fingerprints, and the exact anti-join runs in
+    # the streaming novelty soak tests; demoted mid-r5 for the NEW
+    # cohort_retention window slot; driver-green r4
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -589,6 +589,138 @@ def unpivot_part_metrics(spark, sf_dir):
     )
 
 
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+           CAST(1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END
+                AS INT) AS stage
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered-funnel analysis (view → click → purchase): per user, the
+    earliest view, the first click strictly AFTER that view, and the
+    first purchase strictly AFTER that click — the standard sequential
+    event-pattern query behind conversion dashboards.  Three
+    stage-filtered per-user aggregations, each join side shrinking
+    (stage N joins only stage N−1 completers); every aggregation shares
+    the user_id partitioning, so at scale the event stream shuffles once
+    per stage on the same key and AQE broadcasts the completer sets when
+    small.  ``stage`` counts completed steps."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            ).alias("stage"),
+        )
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id, su.cohort_week,
+             CAST(floor((epoch(date_trunc('week', e.ts))
+                         - epoch(su.cohort_week)) / 604800) AS INT)
+               AS week_offset
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE date_trunc('week', e.ts) >= su.cohort_week
+    )
+    SELECT cohort_week, week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM act GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by signup week, counted distinct
+    in each subsequent activity week — the retention-curve aggregation.
+    One per-user signup aggregate (broadcast back over the stream), then
+    one distinct-count keyed on (cohort, offset); week truncation and
+    the offset arithmetic are exact integer math on aligned week starts,
+    so both engines agree bit-for-bit.  At 100 TB the signup side is
+    #users rows and the event stream shuffles once on user_id."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    act = (
+        ev.join(su, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("_aw"),
+        )
+        .filter(F.col("_aw") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                (
+                    F.unix_timestamp("_aw")
+                    - F.unix_timestamp("cohort_week")
+                )
+                / F.lit(604800)
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
 def _semantic_dedup_oracle_sql() -> str:
     from cdc_data_lake_pyspark_spark.queries_phase2 import _oracle_sf_dir
 

@@ -41,7 +41,9 @@ REQUIRED_VISIBLE = [
     # minhash machinery is driven end-to-end by dedup_minhash_lsh
     "token_count_bpe",
     "scrub_pii_docs",
-    "contamination_report",
+    # contamination_report demoted mid-r5 for funnel_conversion; the
+    # shingle-overlap decontamination stage runs inside
+    # prepare_training_corpus
     # dedup family (dedup_exact_groups demoted mid-r5 for
     # embedding_pq_codes: the digest groupBy runs inside both in-window
     # composites and incremental_novel_docs)
@@ -54,7 +56,8 @@ REQUIRED_VISIBLE = [
     "dedup_clusters",
     # dedup_keep_canonical demoted mid-r5 for unpivot_part_metrics; its
     # components + keeper anti-join run inside prepare_training_corpus
-    "incremental_novel_docs",
+    # incremental_novel_docs demoted mid-r5 for cohort_retention;
+    # bloom_novel_docs is its in-window approximate scale path
     # similarity (similarity_ann_lsh demoted mid-r5 for the new
     # similarity_pq_adc; LSH recall/score-parity floors stay pinned in
     # tests/test_phase2.py + tests/test_lsh_occupancy.py)
@@ -72,6 +75,8 @@ REQUIRED_VISIBLE = [
     "sessionize_events",
     "asof_join_orders",
     "unpivot_part_metrics",
+    "funnel_conversion",
+    "cohort_retention",
     "pack_sequences",
     "chunk_documents",
     "repetition_gates",
@@ -116,6 +121,8 @@ CHANGED_THIS_ROUND = [
     "dedup_exact_normalized",  # new RefinedWeb fuzzy-exact dedup (r5)
     "similarity_ivf_pq",  # new IVF-PQ residual-coded ANN (r5)
     "unpivot_part_metrics",  # new UNPIVOT/melt reshape (r5)
+    "funnel_conversion",  # new ordered-funnel analysis (r5)
+    "cohort_retention",  # new cohort retention curves (r5)
 ]
 
 
