@@ -161,3 +161,57 @@ def quantile_buckets(
         F.col(value_col).asc(), F.col(id_col).asc()
     )
     return df.withColumn("bucket", F.ntile(n_buckets).over(w))
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_cols: Sequence[str] = (),
+    route_col: Optional[str] = None,
+    delete_value: str = "delete",
+) -> DataFrame:
+    """Materialize a slowly-changing-dimension Type-2 history table from
+    a changelog: every change row becomes a versioned validity interval
+    ``[valid_from, valid_to)`` per key, with ``valid_to`` the next
+    change's timestamp (NULL while the image is still current) and
+    ``is_current`` flagging the open interval.
+
+    This is the CDC-lakehouse pattern the last-image MERGE path
+    (``apply.py``) deliberately discards: instead of keeping only the
+    newest row per key, the full change history stays queryable
+    ("what did this row look like on date X" = ``valid_from <= X <
+    valid_to``).
+
+    With ``route_col``, rows whose route equals ``delete_value`` act as
+    interval CLOSERS: they bound the previous version's ``valid_to`` but
+    emit no version of their own — after a delete the key simply has no
+    current row (and a later re-insert starts a new open interval).
+    Version numbers count surviving (non-delete) images in change order.
+
+    One window over ``(key, ts, tiebreaks)`` — a single shuffle on the
+    key, the partitioning every CDC table already has; at 100 TB this
+    runs per key-partition with no cross-key traffic.  Deterministic
+    given a unique tiebreak (pass the change sequence / event id).
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    out = changes.withColumn("valid_to", F.lead(ts_col).over(w))
+    if route_col is not None:
+        out = (
+            out.withColumn(
+                "version",
+                F.sum(
+                    F.when(F.col(route_col) == delete_value, 0).otherwise(1)
+                ).over(w),
+            )
+            .filter(F.col(route_col) != delete_value)
+            .drop(route_col)
+        )
+    else:
+        out = out.withColumn("version", F.row_number().over(w))
+    return (
+        out.withColumn("valid_from", F.col(ts_col))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumn("version", F.col("version").cast("int"))
+    )

@@ -666,6 +666,12 @@ _DEMOTED: tuple[str, ...] = (
     # path over the same fingerprints, and the exact anti-join runs in
     # the streaming novelty soak tests; demoted mid-r5 for the NEW
     # cohort_retention window slot; driver-green r4
+    "embedding_centroids",  # per-component embedding-aggregation
+    # family: embedding_quantize (in-window, NEW r5) posexplodes the
+    # same component arithmetic, and the centroid fits themselves are
+    # value-checked by the similarity_ivf / similarity_ivf_pq pinned
+    # replays; demoted mid-r5 for the NEW scd2_user_history window
+    # slot; driver-green r3–r4
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

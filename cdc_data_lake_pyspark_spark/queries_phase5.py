@@ -662,6 +662,51 @@ def funnel_conversion(spark, sf_dir):
 
 
 @query(
+    "scd2_user_history",
+    oracle="""
+    SELECT user_id, event_id, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts ASC, event_id ASC) AS valid_to,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS INT)
+             AS version,
+           (lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts ASC, event_id ASC)) IS NULL
+             AS is_current
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def scd2_user_history(spark, sf_dir):
+    """SCD Type-2 history materialization from a changelog: every change
+    becomes a versioned validity interval [valid_from, valid_to) per
+    key, is_current flags the open one — the lakehouse pattern that
+    keeps "what did this row look like on date X" queryable where the
+    last-image MERGE path keeps only the newest image.  One window over
+    (key, ts, tiebreak) = one shuffle on the key the CDC table already
+    has; delete-route closer semantics are covered in
+    tests/test_relational.py (operators/relational.py::scd2_history)."""
+    from cdc_data_lake_pyspark_spark.operators.relational import scd2_history
+
+    changes = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "value", "ts")
+    )
+    return scd2_history(
+        changes, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    ).select(
+        "user_id",
+        "event_id",
+        "value",
+        "valid_from",
+        "valid_to",
+        "version",
+        "is_current",
+    )
+
+
+@query(
     "cohort_retention",
     oracle="""
     WITH su AS (

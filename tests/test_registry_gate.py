@@ -64,7 +64,9 @@ REQUIRED_VISIBLE = [
     "similarity_ivf",
     "similarity_pq_adc",
     "similarity_ivf_pq",
-    "embedding_centroids",
+    # embedding_centroids demoted mid-r5 for scd2_user_history; its
+    # per-component arithmetic family is covered by embedding_quantize
+    # and the pinned-centroid IVF/IVF-PQ replays
     "embedding_quantize",
     "embedding_pq_codes",
     # multimodal / relational / sampling
@@ -77,6 +79,7 @@ REQUIRED_VISIBLE = [
     "unpivot_part_metrics",
     "funnel_conversion",
     "cohort_retention",
+    "scd2_user_history",
     "pack_sequences",
     "chunk_documents",
     "repetition_gates",
@@ -123,6 +126,7 @@ CHANGED_THIS_ROUND = [
     "unpivot_part_metrics",  # new UNPIVOT/melt reshape (r5)
     "funnel_conversion",  # new ordered-funnel analysis (r5)
     "cohort_retention",  # new cohort retention curves (r5)
+    "scd2_user_history",  # new SCD Type-2 history materialization (r5)
 ]
 
 

@@ -80,3 +80,43 @@ def test_quantile_buckets_sizes(spark):
         by_bucket.setdefault(r.bucket, []).append(r.v)
     for b in range(1, 10):
         assert max(by_bucket[b]) <= min(by_bucket[b + 1]) + 1e-9
+
+
+def test_scd2_history_intervals_and_delete_closers(spark):
+    """scd2_history: versions chain with half-open validity intervals
+    per key; a delete-route row closes the prior version's interval but
+    emits no version of its own, and a later re-insert starts a fresh
+    open interval."""
+    from cdc_data_lake_pyspark_spark.operators.relational import scd2_history
+
+    rows = [
+        # key 1: insert -> update -> delete -> re-insert
+        (1, 10, "I", "insert"),
+        (1, 20, "U", "update"),
+        (1, 30, None, "delete"),
+        (1, 40, "R", "insert"),
+        # key 2: single current image
+        (2, 15, "X", "insert"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, payload string, route string")
+    got = {
+        (r["k"], r["ts"]): (r["valid_to"], r["version"], r["is_current"])
+        for r in scd2_history(
+            df, ["k"], "ts", tiebreak_cols=[], route_col="route"
+        ).collect()
+    }
+    assert got == {
+        (1, 10): (20, 1, False),
+        (1, 20): (30, 2, False),   # closed by the delete at ts=30
+        (1, 40): (None, 3, True),  # re-insert opens a new interval
+        (2, 15): (None, 1, True),
+    }
+    # no delete rows survive
+    assert (1, 30) not in got
+
+    # without a route column: plain versioned history
+    plain = scd2_history(
+        df.drop("route"), ["k"], "ts", tiebreak_cols=[]
+    ).collect()
+    assert sum(r["is_current"] for r in plain) == 2  # one open row per key
+    assert max(r["version"] for r in plain if r["k"] == 1) == 4
