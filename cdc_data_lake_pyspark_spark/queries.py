@@ -672,6 +672,11 @@ _DEMOTED: tuple[str, ...] = (
     # value-checked by the similarity_ivf / similarity_ivf_pq pinned
     # replays; demoted mid-r5 for the NEW scd2_user_history window
     # slot; driver-green r3–r4
+    "token_count_bpe",  # token-counting family: bpe_learned_tokenize
+    # (in-window, NEW r5) counts tokens under the LEARNED tokenizer —
+    # a strict superset of the fixed-regex count mechanics — with
+    # quality_score + lang_id_heuristic covering the remaining text
+    # stats in-window; demoted mid-r5 for its slot; driver-green r2–r4
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -661,6 +661,76 @@ def funnel_conversion(spark, sf_dir):
     )
 
 
+def _bpe_oracle_sql() -> str:
+    from cdc_data_lake_pyspark_spark.queries_phase2 import _oracle_sf_dir
+
+    return _bpe_oracle_sql_for(_oracle_sf_dir())
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_oracle_sql_for(sf_dir: str) -> str:
+    """Re-learn the BPE merges offline (identical pure-Python core on
+    the identical id-ordered sample) and replay tokenization in SQL:
+    the same char-spacing regex and the same literal replace chain —
+    left-to-right non-overlapping replace is common to both engines, so
+    every per-document token count matches exactly."""
+    import duckdb
+
+    from cdc_data_lake_pyspark_spark.operators.tokenizer import (
+        learn_bpe_merges_from_texts,
+    )
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet' "
+            "ORDER BY doc_id LIMIT 200000"
+        ).fetchall()
+    ]
+    merges = learn_bpe_merges_from_texts(texts, 24)
+    chain = r"trim(regexp_replace(w, '(.)', '\1 ', 'g'))"
+    for a, b in merges:
+        chain = f"replace({chain}, {_sql_str(a + ' ' + b)}, {_sql_str(a + b)})"
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), w -> w <> '')
+               AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(coalesce(list_sum(list_transform(
+                  words, w -> len(string_split({chain}, ' ')))), 0)
+                AS BIGINT) AS n_tokens
+    FROM d
+    """
+
+
+@query("bpe_learned_tokenize", oracle=_bpe_oracle_sql)
+def bpe_learned_tokenize(spark, sf_dir):
+    """Tokenizer induction (Sennrich et al. 2016): learn 24 BPE merges
+    from the corpus itself (bounded id-ordered driver fit — the IVF
+    quantizer contract applied to vocabulary learning), then tokenize
+    every document with the learned merges as a pure column expression:
+    char-space regex + a literal replace chain inside a higher-order
+    transform — whole-stage codegen, NO UDF, zero shuffle.  Emits per-doc
+    word and learned-token counts; the oracle re-learns the identical
+    merges offline and replays the identical replace chain in SQL
+    (operators/tokenizer.py)."""
+    from cdc_data_lake_pyspark_spark.operators.tokenizer import (
+        bpe_token_counts,
+        learn_bpe_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=24)
+    return bpe_token_counts(docs, merges)
+
+
 @query(
     "scd2_user_history",
     oracle="""

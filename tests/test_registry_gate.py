@@ -39,7 +39,9 @@ REQUIRED_VISIBLE = [
     "quality_score",
     # doc_fingerprint demoted mid-r5 for dedup_exact_normalized; its
     # minhash machinery is driven end-to-end by dedup_minhash_lsh
-    "token_count_bpe",
+    # token_count_bpe demoted mid-r5 for bpe_learned_tokenize (the
+    # learned-tokenizer count supersedes the fixed-regex count)
+    "bpe_learned_tokenize",
     "scrub_pii_docs",
     # contamination_report demoted mid-r5 for funnel_conversion; the
     # shingle-overlap decontamination stage runs inside
@@ -127,6 +129,7 @@ CHANGED_THIS_ROUND = [
     "funnel_conversion",  # new ordered-funnel analysis (r5)
     "cohort_retention",  # new cohort retention curves (r5)
     "scd2_user_history",  # new SCD Type-2 history materialization (r5)
+    "bpe_learned_tokenize",  # new BPE tokenizer induction (r5)
 ]
 
 
