@@ -677,6 +677,12 @@ _DEMOTED: tuple[str, ...] = (
     # a strict superset of the fixed-regex count mechanics — with
     # quality_score + lang_id_heuristic covering the remaining text
     # stats in-window; demoted mid-r5 for its slot; driver-green r2–r4
+    "segment_price_percentiles",  # percentile family:
+    # price_quantile_sketch (in-window, NEW r5) covers quantile
+    # aggregation and the exact rank-selection mechanics
+    # (relational.quantile_buckets) run inside the in-window
+    # prepare_training_corpus_v2 decile gate; demoted mid-r5 for the
+    # NEW data_quality_report window slot; driver-green r2–r4
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

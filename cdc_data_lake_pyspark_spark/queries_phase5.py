@@ -661,6 +661,55 @@ def funnel_conversion(spark, sf_dir):
     )
 
 
+@query(
+    "data_quality_report",
+    oracle="""
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+    SELECT 'null_props' AS check,
+           CAST(count(*) FILTER (props IS NULL) AS BIGINT) AS violations,
+           (SELECT total FROM t) AS total
+    FROM events
+    UNION ALL
+    SELECT 'value_min_1',
+           CAST(count(*) FILTER (value < 1) AS BIGINT),
+           (SELECT total FROM t)
+    FROM events
+    UNION ALL
+    SELECT 'dup_event_id',
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT),
+           (SELECT total FROM t)
+    FROM events
+    UNION ALL
+    SELECT 'orphan_user_id',
+           CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT),
+           (SELECT total FROM t)
+    FROM events e
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON e.user_id = c.c_custkey
+    """,
+)
+def data_quality_report(spark, sf_dir):
+    """Declarative data-quality validation (the Deequ/Great-Expectations
+    pattern): not-null, range, duplicate-key, and referential checks
+    over the event stream, all row-level expectations folded into ONE
+    aggregate pass plus one anti-join for the foreign key — the
+    quarantine gate a CDC pipeline runs ahead of the apply
+    (operators/quality.py::dq_report)."""
+    from cdc_data_lake_pyspark_spark.operators.quality import dq_report
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer")
+    return dq_report(
+        events,
+        checks=[
+            ("null_props", F.col("props").isNull()),
+            ("value_min_1", F.col("value") < 1),
+        ],
+        unique_cols=["event_id"],
+        fk=("orphan_user_id", "user_id", customer, "c_custkey"),
+    )
+
+
 def _bpe_oracle_sql() -> str:
     from cdc_data_lake_pyspark_spark.queries_phase2 import _oracle_sf_dir
 

@@ -30,7 +30,9 @@ REQUIRED_VISIBLE = [
     # pivot_segment_region demoted mid-r5 for prepare_training_corpus_v2;
     # family covered by daily_revenue_ma7 + segment_price_percentiles +
     # shipping_priority
-    "segment_price_percentiles",
+    # segment_price_percentiles demoted mid-r5 for data_quality_report;
+    # quantile family covered by price_quantile_sketch + the decile gate
+    # inside prepare_training_corpus_v2
     "shipping_priority",
     "top_customers_per_segment",
     # text / quality (text_stats demoted mid-r5 for lm_bigram_cross_entropy;
@@ -82,6 +84,7 @@ REQUIRED_VISIBLE = [
     "funnel_conversion",
     "cohort_retention",
     "scd2_user_history",
+    "data_quality_report",
     "pack_sequences",
     "chunk_documents",
     "repetition_gates",
@@ -130,6 +133,7 @@ CHANGED_THIS_ROUND = [
     "cohort_retention",  # new cohort retention curves (r5)
     "scd2_user_history",  # new SCD Type-2 history materialization (r5)
     "bpe_learned_tokenize",  # new BPE tokenizer induction (r5)
+    "data_quality_report",  # new declarative DQ validation (r5)
 ]
 
 

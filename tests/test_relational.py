@@ -120,3 +120,40 @@ def test_scd2_history_intervals_and_delete_closers(spark):
     ).collect()
     assert sum(r["is_current"] for r in plain) == 2  # one open row per key
     assert max(r["version"] for r in plain if r["k"] == 1) == 4
+
+
+def test_dq_report_counts_planted_violations(spark):
+    """dq_report: nulls, range breaks, duplicate keys and FK orphans are
+    each counted from planted bad rows; clean checks report zero."""
+    from pyspark.sql import functions as F
+
+    from cdc_data_lake_pyspark_spark.operators.quality import dq_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5.0, 10),
+            (2, None, 0.5, 10),   # null name, below range
+            (2, "c", -1.0, 99),   # duplicate id, below range, orphan fk
+            (4, "d", 3.0, 20),
+        ],
+        "id long, name string, v double, fkey long",
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "k long")
+    got = {
+        r["check"]: (r["violations"], r["total"])
+        for r in dq_report(
+            df,
+            checks=[
+                ("null_name", F.col("name").isNull()),
+                ("v_min_1", F.col("v") < 1),
+            ],
+            unique_cols=["id"],
+            fk=("orphan_fkey", "fkey", dim, "k"),
+        ).collect()
+    }
+    assert got == {
+        "null_name": (1, 4),
+        "v_min_1": (2, 4),
+        "dup_id": (1, 4),
+        "orphan_fkey": (1, 4),
+    }
