@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "_salt"
@@ -81,3 +81,35 @@ def salted_count_by_key(
     salted = with_salt(df, n_salts)
     partial = salted.groupBy(*keys, SALT_COL).agg(F.count(F.lit(1)).alias("_c"))
     return partial.groupBy(*keys).agg(F.sum("_c").alias("n"))
+
+
+def key_skew_report(
+    df: DataFrame, keys: Sequence[str], top_n: int = 10
+) -> DataFrame:
+    """Skew diagnostics: the ``top_n`` heaviest keys with their row
+    counts and share of the table — the measurement that decides whether
+    a join needs :func:`salted_join` (rule of thumb: a key above a few
+    percent of the table, or above one executor's memory, is hot).
+
+    One aggregation on the key (map-side combined) + one broadcast of
+    the single-row total; the per-key frame is #distinct-keys rows, so
+    the top-N window is cheap at any corpus size.  ``share`` is one IEEE
+    divide of exact counts — reproducible across engines.
+    """
+    keys = list(keys)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = df.agg(F.count(F.lit(1)).alias("_t"))
+    w = Window.orderBy(F.col("n").desc(), *[F.col(k).asc() for k in keys])
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n",
+            (F.col("n").cast("double") / F.col("_t").cast("double")).alias(
+                "share"
+            ),
+            "rank",
+        )
+    )

@@ -683,6 +683,10 @@ _DEMOTED: tuple[str, ...] = (
     # (relational.quantile_buckets) run inside the in-window
     # prepare_training_corpus_v2 decile gate; demoted mid-r5 for the
     # NEW data_quality_report window slot; driver-green r2–r4
+    "skew_salted_agg",  # skew family: skew_salted_join stays in-window
+    # (both rotated in this round) and the salted-agg ≡ plain-agg
+    # equality is pinned in tests/test_skew.py; demoted mid-r5 for the
+    # NEW key_skew_report window slot; driver-green via local r4 check
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -662,6 +662,35 @@ def funnel_conversion(spark, sf_dir):
 
 
 @query(
+    "key_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ), t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+    SELECT user_id, n,
+           CAST(n AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)
+             AS share,
+           rank
+    FROM (
+      SELECT user_id, n,
+             row_number() OVER (ORDER BY n DESC, user_id ASC) AS rank
+      FROM counts
+    ) WHERE rank <= 10
+    """,
+)
+def key_skew_report(spark, sf_dir):
+    """Skew diagnostics: the 10 heaviest event keys with counts and
+    table share — the measurement that decides when a join needs the
+    salting utilities (operators/skew.py::key_skew_report; one map-side
+    combined aggregation + a broadcast single-row total, the top-N
+    window runs over #distinct-keys rows)."""
+    from cdc_data_lake_pyspark_spark.operators.skew import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "events"), ["user_id"], top_n=10)
+
+
+@query(
     "data_quality_report",
     oracle="""
     WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)

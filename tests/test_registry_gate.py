@@ -94,9 +94,10 @@ REQUIRED_VISIBLE = [
     "lm_bigram_cross_entropy",
     "corpus_mix_temperature",
     "bloom_novel_docs",
-    # skew mitigation
+    # skew mitigation (skew_salted_agg demoted mid-r5 for
+    # key_skew_report; its ≡-plain-agg equality is pinned in pytest)
     "skew_salted_join",
-    "skew_salted_agg",
+    "key_skew_report",
     # sketches / composites (cms_user_counts demoted mid-r5: family
     # covered by the new in-window bloom_novel_docs + price_quantile_sketch)
     "price_quantile_sketch",
@@ -134,6 +135,7 @@ CHANGED_THIS_ROUND = [
     "scd2_user_history",  # new SCD Type-2 history materialization (r5)
     "bpe_learned_tokenize",  # new BPE tokenizer induction (r5)
     "data_quality_report",  # new declarative DQ validation (r5)
+    "key_skew_report",  # new skew diagnostics (r5)
 ]
 
 

@@ -82,3 +82,19 @@ def test_simhash_banding_finds_all_close_pairs(spark, sf_dir):
     }
     assert got == brute
     assert brute  # fixture contains close pairs
+
+
+def test_key_skew_report_finds_planted_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from cdc_data_lake_pyspark_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame(
+        [(99, i) for i in range(80)] + [(k, 0) for k in range(20)],
+        "k long, x long",
+    )
+    got = key_skew_report(df, ["k"], top_n=3).collect()
+    assert got[0]["k"] == 99 and got[0]["rank"] == 1
+    assert got[0]["n"] == 80 and abs(got[0]["share"] - 0.8) < 1e-12
+    # ties on n=1 break on key ascending
+    assert [r["k"] for r in got[1:]] == [0, 1]
