@@ -247,3 +247,99 @@ def bigram_lm_scores(
             / (F.col("n_bigrams").cast("double") * F.lit(float(LOG_MICRO)))
         ).alias("cross_entropy"),
     )
+
+
+def importance_weights(
+    docs: DataFrame,
+    is_target,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights for targeted data selection (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by the log-likelihood ratio of a
+    target-domain unigram LM over the raw-corpus unigram LM,
+
+        weight(d) = sum_w  m_d(w) * [ log p_target(w) - log p_raw(w) ]
+
+    with add-one smoothing over the shared raw vocabulary (size ``V``) so
+    tokens unseen in the target stay finite.  Sampling ``w > threshold``
+    (or Gumbel top-k on the weights) shifts the corpus toward the target
+    domain; ``is_target`` is any boolean Column marking the in-domain
+    exemplar docs (a trusted high-quality slice).
+
+    Exact-integer portability contract as :func:`unigram_lm_scores`:
+    every per-token log2 term quantizes to micro-bits BEFORE the weighted
+    sums, so ``logratio_micro`` is an order-independent integer and the
+    DuckDB oracle reproduces it bit-for-bit.  ``avg_logratio`` is
+    bits/token (one IEEE division).
+
+    Plan shape: one explode pass builds ``(doc, tok, m)``; the raw
+    vocabulary is one more combine, the target vocabulary a filtered
+    aggregation of the SAME doc-term rows (no second scan of the text);
+    doc-terms join the merged per-token log table (AQE-broadcast when the
+    vocabulary is small) and reduce per doc.  Everything is keyed on the
+    token — bounded by vocabulary size, not corpus size.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        is_target.alias("_tgt"),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+    )
+    doc_term = toks.groupBy(id_col, "_tok").agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.max("_tgt").alias("_is_tgt"),
+    )
+    vocab = doc_term.groupBy("_tok").agg(
+        F.sum("_m").alias("_cr"),
+        F.sum(F.when(F.col("_is_tgt"), F.col("_m")).otherwise(0)).alias(
+            "_ct"
+        ),
+    )
+    totals = vocab.agg(
+        F.sum("_cr").alias("_Tr"),
+        F.sum("_ct").alias("_Tt"),
+        F.count(F.lit(1)).alias("_V"),
+    ).select(
+        F.round(F.log2(F.col("_Tr") + F.col("_V")) * LOG_MICRO, 0)
+        .cast("long")
+        .alias("_ltr"),
+        F.round(F.log2(F.col("_Tt") + F.col("_V")) * LOG_MICRO, 0)
+        .cast("long")
+        .alias("_ltt"),
+    )
+    logs = vocab.select(
+        "_tok",
+        F.round(F.log2(F.col("_cr") + 1) * LOG_MICRO, 0)
+        .cast("long")
+        .alias("_lcr"),
+        F.round(F.log2(F.col("_ct") + 1) * LOG_MICRO, 0)
+        .cast("long")
+        .alias("_lct"),
+    )
+    scored = (
+        doc_term.join(logs, "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_m").alias("n_tokens"),
+            F.sum(F.col("_m") * (F.col("_lct") - F.col("_lcr"))).alias(
+                "_sum_num"
+            ),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        (
+            F.col("_sum_num")
+            - F.col("n_tokens") * (F.col("_ltt") - F.col("_ltr"))
+        ).alias("logratio_micro"),
+        (
+            (
+                F.col("_sum_num")
+                - F.col("n_tokens") * (F.col("_ltt") - F.col("_ltr"))
+            ).cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(float(LOG_MICRO)))
+        ).alias("avg_logratio"),
+    )

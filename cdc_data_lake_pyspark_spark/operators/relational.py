@@ -163,6 +163,136 @@ def quantile_buckets(
     return df.withColumn("bucket", F.ntile(n_buckets).over(w))
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+) -> DataFrame:
+    """Interval / range join: pair each left row with every right row of
+    the same key whose timestamp falls in the half-open window
+    ``[left_ts + lower_s, left_ts + upper_s)`` (seconds).
+
+    Spark plans a key-equi join with a residual time predicate as a sort
+    merge join on the key alone — fine — but a PURE range join (or a hot
+    key) degenerates to comparing every in-key pair.  The scale path used
+    here is the standard bucketed rewrite: with bucket width
+    ``w = upper_s - lower_s``, a left row's window overlaps at most two
+    width-``w`` epoch buckets and a right row lives in exactly one, so
+
+      left  → explode to its (<= 2) covering bucket ids
+      right → single bucket id
+      equi-join on (key, bucket) → exact residual filter
+
+    turns the non-equi join into a plain hash/sort-merge equi join whose
+    candidate set is bounded by per-(key, bucket) density, not per-key
+    density.  No pair can match in two buckets (the right row has one
+    bucket), so no dedup pass is needed.  One shuffle per side on
+    (key, bucket); AQE handles residual skew.
+
+    Column names of ``left`` and ``right`` must be disjoint.
+    """
+    if upper_s <= lower_s:
+        raise ValueError("upper_s must exceed lower_s")
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"overlapping column names: {sorted(overlap)}")
+    # Microsecond arithmetic throughout: the residual filter must compare
+    # full-precision instants (second-floored comparisons silently widen
+    # the window for sub-second timestamps), and with bucket width equal
+    # to the exact half-open window length every left window covers at
+    # most two buckets.
+    w = (upper_s - lower_s) * 1_000_000
+    l_us = F.unix_micros(F.col(left_ts).cast("timestamp"))
+    r_us = F.unix_micros(F.col(right_ts).cast("timestamp"))
+    lo = l_us + F.lit(lower_s * 1_000_000)
+    hi = l_us + F.lit(upper_s * 1_000_000)
+    lhs = left.select(
+        "*",
+        lo.alias("_lo"),
+        hi.alias("_hi"),
+        F.explode(
+            F.sequence(F.floor(lo / w), F.floor((hi - 1) / w))
+        ).alias("_bkt"),
+    )
+    rhs = right.select(
+        "*", r_us.alias("_rs"), F.floor(r_us / w).alias("_bkt")
+    )
+    cond = (
+        (lhs[left_key] == rhs[right_key])
+        & (lhs["_bkt"] == rhs["_bkt"])
+        & (rhs["_rs"] >= lhs["_lo"])
+        & (rhs["_rs"] < lhs["_hi"])
+    )
+    return lhs.join(rhs, cond).select(*left.columns, *right.columns)
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Hypertable-style time-bucket rollup with gap filling and LOCF
+    (TimescaleDB's ``time_bucket_gapfill`` + ``locf`` shape): aggregate
+    ``value_col`` per (``group_cols``, truncated ``ts_col``) bucket, then
+    densify every group onto the corpus-wide bucket spine so downstream
+    window math (moving averages, deltas) never silently skips empty
+    buckets.
+
+    Output per (group, bucket): ``n_rows`` (0 for generated gap rows),
+    ``total`` (NULL in gaps), ``total_locf`` (last non-null total carried
+    forward within the group), ``filled`` flag.
+
+    Plan shape at scale: the ONLY pass over the fact table is the first
+    map-side-combined aggregation; everything after operates on
+    #groups x #buckets rows.  The spine comes from a single-row min/max
+    aggregate, ``sequence()``-exploded and cross-joined to the distinct
+    group keys (both tiny, broadcast); the LOCF window partitions by
+    group over the dense per-group series.
+    """
+    gcols = list(group_cols)
+    trunc_unit = bucket.split()[-1].rstrip("s")  # "1 day" -> "day"
+    b = F.date_trunc(trunc_unit, F.col(ts_col).cast("timestamp"))
+    agg = df.groupBy(*gcols, b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total"),
+    )
+    bounds = agg.agg(
+        F.min("bucket").alias("_min"), F.max("bucket").alias("_max")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("_min", "_max", F.expr(f"INTERVAL {bucket}"))
+        ).alias("bucket")
+    )
+    groups = agg.select(*gcols).distinct() if gcols else None
+    dense = (
+        groups.crossJoin(F.broadcast(spine)) if groups is not None else spine
+    )
+    out = dense.join(agg, [*gcols, "bucket"], "left")
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return out.select(
+        *gcols,
+        "bucket",
+        F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+        "total",
+        F.last("total", ignorenulls=True).over(w).alias("total_locf"),
+        F.col("n_rows").isNull().alias("filled"),
+    )
+
+
 def scd2_history(
     changes: DataFrame,
     key_cols: Sequence[str],

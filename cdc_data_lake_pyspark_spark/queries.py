@@ -687,6 +687,20 @@ _DEMOTED: tuple[str, ...] = (
     # (both rotated in this round) and the salted-agg ≡ plain-agg
     # equality is pinned in tests/test_skew.py; demoted mid-r5 for the
     # NEW key_skew_report window slot; driver-green via local r4 check
+    "asof_join_orders",  # temporal-join family: the NEW in-window
+    # range_join_view_purchase covers the bucketed temporal-join
+    # machinery; the as-of union-and-window composition stays pinned
+    # against a brute-force oracle in tests/test_relational.py; demoted
+    # late-r5 for the new entry's window slot; driver-green r2–r4
+    "daily_revenue_ma7",  # time-bucketed-agg family: the NEW in-window
+    # daily_gapfill_locf runs the same day-truncated aggregation PLUS
+    # spine densification and the LOCF window; the MA7 frame mechanics
+    # stay oracle-checked in the tail; demoted late-r5 for the new
+    # entry's window slot; driver-green r1–r4
+    "lang_id_heuristic",  # text-scoring family: quality_score stays
+    # in-window and the NEW dsir_importance_weights adds the
+    # data-selection scorer over the same token pipeline; demoted
+    # late-r5 for the new entry's window slot; driver-green r2–r4
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint
@@ -743,3 +757,4 @@ def _load_phase2() -> None:
     import cdc_data_lake_pyspark_spark.queries_phase3  # noqa: F401
     import cdc_data_lake_pyspark_spark.queries_phase4  # noqa: F401
     import cdc_data_lake_pyspark_spark.queries_phase5  # noqa: F401
+    import cdc_data_lake_pyspark_spark.queries_phase6  # noqa: F401

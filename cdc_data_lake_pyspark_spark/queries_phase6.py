@@ -1,0 +1,188 @@
+"""Phase-6 inventory: bucketed range join, hypertable gap-fill rollup,
+and DSIR importance weighting.
+
+Training-data / time-series additions beyond the reference's scope
+(§2.6 surface): the two temporal operators the prompt calls out that
+Spark lacks natively (range join without a nested-loop degenerate;
+TimescaleDB-style ``time_bucket_gapfill`` + LOCF), plus importance
+resampling weights for targeted data selection (Xie et al. 2023).  All
+three are exact-oracle-checkable: the range join is an inner equi+
+residual join, the gapfill sums decimals, and the DSIR weights use the
+micro-log2 integer bridge shared with the LM scorers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.queries import _t, query
+
+_HOUR_S = 3600
+
+
+@query(
+    "range_join_view_purchase",
+    oracle="""
+    SELECT v.view_id, v.view_user, v.view_ts,
+           p.purchase_id, p.purchase_ts, p.purchase_value
+    FROM (SELECT event_id AS view_id, user_id AS view_user, ts AS view_ts
+          FROM events WHERE event_type = 'view') v
+    JOIN (SELECT event_id AS purchase_id, user_id AS purchase_user,
+                 ts AS purchase_ts, value AS purchase_value
+          FROM events WHERE event_type = 'purchase') p
+      ON p.purchase_user = v.view_user
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts < v.view_ts + INTERVAL 1 HOUR
+    """,
+)
+def range_join_view_purchase(spark, sf_dir):
+    """Range (interval) join: every purchase a user makes within one hour
+    after each of their page views — the temporal-window attribution
+    shape Spark would otherwise plan as a key-equi join with a residual
+    time predicate (degenerating to all in-key pairs on hot keys).
+    ``relational.range_join`` rewrites it as a bucketed equi join: left
+    rows explode to their <= 2 covering hour-buckets, right rows hash to
+    exactly one, so candidates are bounded per (key, bucket) and the join
+    stays a plain shuffle join at any scale."""
+    from cdc_data_lake_pyspark_spark.operators.relational import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("purchase_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return range_join(
+        views,
+        purchases,
+        left_key="view_user",
+        right_key="purchase_user",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        lower_s=0,
+        upper_s=_HOUR_S,
+    ).select(
+        "view_id",
+        "view_user",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+@query(
+    "daily_gapfill_locf",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM events GROUP BY 1, 2
+    ), b AS (
+      SELECT min(bucket) AS mn, max(bucket) AS mx FROM agg
+    ), spine AS (
+      SELECT unnest(generate_series((SELECT mn FROM b), (SELECT mx FROM b),
+                                    INTERVAL 1 DAY)) AS bucket
+    ), dense AS (
+      SELECT g.event_type, s.bucket
+      FROM (SELECT DISTINCT event_type FROM agg) g CROSS JOIN spine s
+    )
+    SELECT d.event_type, d.bucket,
+           COALESCE(a.n_rows, 0) AS n_rows,
+           a.total,
+           last_value(a.total IGNORE NULLS) OVER (
+             PARTITION BY d.event_type ORDER BY d.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS total_locf,
+           a.n_rows IS NULL AS filled
+    FROM dense d LEFT JOIN agg a USING (event_type, bucket)
+    """,
+)
+def daily_gapfill_locf(spark, sf_dir):
+    """Hypertable rollup with gap filling: daily value totals per event
+    type, densified onto the corpus-wide day spine with
+    last-observation-carried-forward (TimescaleDB
+    ``time_bucket_gapfill`` + ``locf`` semantics).  The fact table is
+    scanned once (map-side combined aggregation); the spine and group
+    keys are tiny broadcasts and the LOCF window runs over
+    #groups x #days rows (relational.time_bucket_gapfill)."""
+    from cdc_data_lake_pyspark_spark.operators.relational import (
+        time_bucket_gapfill,
+    )
+
+    return time_bucket_gapfill(
+        _t(spark, sf_dir, "events"),
+        ts_col="ts",
+        value_col="value",
+        group_cols=("event_type",),
+        bucket="1 day",
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), dt AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m,
+             max(tgt) AS is_tgt
+      FROM toks GROUP BY doc_id, tok
+    ), vocab AS (
+      SELECT tok,
+             CAST(sum(m) AS BIGINT) AS cr,
+             CAST(sum(CASE WHEN is_tgt THEN m ELSE 0 END) AS BIGINT) AS ct
+      FROM dt GROUP BY tok
+    ), tot AS (
+      SELECT
+        CAST(round(1e6 * log2(CAST(sum(cr) + count(*) AS DOUBLE)))
+          AS BIGINT) AS ltr,
+        CAST(round(1e6 * log2(CAST(sum(ct) + count(*) AS DOUBLE)))
+          AS BIGINT) AS ltt
+      FROM vocab
+    ), logs AS (
+      SELECT tok,
+        CAST(round(1e6 * log2(CAST(cr + 1 AS DOUBLE))) AS BIGINT) AS lcr,
+        CAST(round(1e6 * log2(CAST(ct + 1 AS DOUBLE))) AS BIGINT) AS lct
+      FROM vocab
+    ), per AS (
+      SELECT d.doc_id, CAST(sum(d.m) AS BIGINT) AS n_tokens,
+             CAST(sum(d.m * (l.lct - l.lcr)) AS BIGINT) AS sum_num
+      FROM dt d JOIN logs l USING (tok)
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(sum_num - n_tokens * ((SELECT ltt FROM tot)
+                                      - (SELECT ltr FROM tot))
+             AS BIGINT) AS logratio_micro,
+           CAST(CAST(sum_num - n_tokens * ((SELECT ltt FROM tot)
+                                           - (SELECT ltr FROM tot))
+                  AS DOUBLE)
+                / (CAST(n_tokens AS DOUBLE) * 1e6) AS DOUBLE)
+             AS avg_logratio
+    FROM per
+    """,
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): per-document
+    log-likelihood ratio of a target-domain unigram LM (here the
+    ``lang = 'en'`` slice as the in-domain exemplar set) over the
+    raw-corpus LM, with add-one smoothing over the shared vocabulary —
+    the data-selection score behind importance resampling toward a
+    target domain.  Integer micro-log2 bridge makes the weights exact
+    across engines (operators/lm_quality.py::importance_weights)."""
+    from cdc_data_lake_pyspark_spark.operators.lm_quality import (
+        importance_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return importance_weights(docs, is_target=F.col("lang") == "en")

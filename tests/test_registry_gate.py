@@ -26,7 +26,10 @@ REQUIRED_VISIBLE = [
     "dedup_latest_per_key",
     # analytics
     "join_customer_geo",
-    "daily_revenue_ma7",
+    # daily_revenue_ma7 demoted late-r5 for daily_gapfill_locf: the new
+    # entry runs the same day-truncated aggregation plus spine
+    # densification and LOCF
+    "daily_gapfill_locf",
     # pivot_segment_region demoted mid-r5 for prepare_training_corpus_v2;
     # family covered by daily_revenue_ma7 + segment_price_percentiles +
     # shipping_priority
@@ -37,7 +40,10 @@ REQUIRED_VISIBLE = [
     "top_customers_per_segment",
     # text / quality (text_stats demoted mid-r5 for lm_bigram_cross_entropy;
     # family covered by quality_score + token_count_bpe + lang_id_heuristic)
-    "lang_id_heuristic",
+    # lang_id_heuristic demoted late-r5 for dsir_importance_weights:
+    # quality_score keeps the heuristic-scoring family in-window and the
+    # new entry adds the DSIR data-selection scorer
+    "dsir_importance_weights",
     "quality_score",
     # doc_fingerprint demoted mid-r5 for dedup_exact_normalized; its
     # minhash machinery is driven end-to-end by dedup_minhash_lsh
@@ -79,7 +85,10 @@ REQUIRED_VISIBLE = [
     # multimodal_frame_sample demoted mid-r5 for embedding_quantize; its
     # binary plumbing is covered by the two real-codec entries above
     "sessionize_events",
-    "asof_join_orders",
+    # asof_join_orders demoted late-r5 for range_join_view_purchase; the
+    # temporal-join family stays in-window via the new bucketed range
+    # join, and as-of ≡ brute-force is pinned in tests/test_relational.py
+    "range_join_view_purchase",
     "unpivot_part_metrics",
     "funnel_conversion",
     "cohort_retention",
@@ -136,6 +145,9 @@ CHANGED_THIS_ROUND = [
     "bpe_learned_tokenize",  # new BPE tokenizer induction (r5)
     "data_quality_report",  # new declarative DQ validation (r5)
     "key_skew_report",  # new skew diagnostics (r5)
+    "range_join_view_purchase",  # new bucketed range join (r5)
+    "daily_gapfill_locf",  # new gap-fill rollup + LOCF (r5)
+    "dsir_importance_weights",  # new DSIR importance weighting (r5)
 ]
 
 

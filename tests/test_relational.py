@@ -157,3 +157,99 @@ def test_dq_report_counts_planted_violations(spark):
         "dup_id": (1, 4),
         "orphan_fkey": (1, 4),
     }
+
+
+def test_range_join_matches_bruteforce(spark):
+    from cdc_data_lake_pyspark_spark.operators.relational import range_join
+
+    # sub-second offsets included: the residual filter must compare
+    # microsecond instants, not floored seconds
+    left = spark.createDataFrame(
+        [
+            Row(lid=i, lk=i % 3, lts=_ts(0) + datetime.timedelta(seconds=7 * i, microseconds=300_000 * (i % 2)))
+            for i in range(40)
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(rid=i, rk=i % 3, rts=_ts(0) + datetime.timedelta(seconds=5 * i, microseconds=700_000 * (i % 3)))
+            for i in range(40)
+        ]
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in range_join(
+            left, right, "lk", "rk", "lts", "rts", lower_s=10, upper_s=60
+        ).collect()
+    }
+    lo = datetime.timedelta(seconds=10)
+    hi = datetime.timedelta(seconds=60)
+    want = {
+        (lr.lid, rr.rid)
+        for lr in left.collect()
+        for rr in right.collect()
+        if lr.lk == rr.rk and lr.lts + lo <= rr.rts < lr.lts + hi
+    }
+    assert got == want and want  # non-vacuous
+
+
+def test_range_join_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from cdc_data_lake_pyspark_spark.operators.relational import range_join
+
+    df = spark.createDataFrame([Row(k=1, ts=_ts(0))])
+    with _pytest.raises(ValueError, match="upper_s"):
+        range_join(df, df.withColumnRenamed("k", "k2").withColumnRenamed("ts", "ts2"), "k", "k2", "ts", "ts2", 60, 60)
+    with _pytest.raises(ValueError, match="overlapping"):
+        range_join(df, df, "k", "k", "ts", "ts", 0, 60)
+
+
+def test_time_bucket_gapfill_dense_spine_and_locf(spark):
+    from cdc_data_lake_pyspark_spark.operators.relational import (
+        time_bucket_gapfill,
+    )
+
+    day = datetime.timedelta(days=1)
+    d0 = datetime.datetime(2024, 3, 1, 5, 30)
+    rows = [
+        Row(g="a", ts=d0, v=1.5),
+        Row(g="a", ts=d0 + 4 * day, v=2.5),   # 3-day gap inside group a
+        Row(g="b", ts=d0 + 2 * day, v=10.0),  # b starts later, ends earlier
+    ]
+    out = time_bucket_gapfill(
+        spark.createDataFrame(rows), "ts", "v", group_cols=("g",)
+    ).collect()
+    by = {(r.g, r.bucket.day): r for r in out}
+    # every group densified onto the SAME corpus-wide 5-day spine
+    assert sorted({d for (_, d) in by}) == [1, 2, 3, 4, 5]
+    assert len(out) == 10
+    # gap rows: zero count, null total, filled flag, LOCF carries forward
+    gap = by[("a", 3)]
+    assert gap.n_rows == 0 and gap.total is None and gap.filled
+    assert gap.total_locf == 1.5
+    assert by[("a", 5)].total == 2.5 and not by[("a", 5)].filled
+    # group b: leading gap rows have NULL locf (nothing to carry)
+    assert by[("b", 1)].total_locf is None
+    assert by[("b", 3)].total == 10.0 and by[("b", 5)].total_locf == 10.0
+
+
+def test_importance_weights_prefer_target_distribution(spark):
+    from cdc_data_lake_pyspark_spark.operators.lm_quality import (
+        importance_weights,
+    )
+
+    # target docs speak "alpha beta", raw background speaks "gamma delta";
+    # a held-out alpha-beta doc must outscore a gamma-delta doc
+    rows = (
+        [Row(doc_id=i, text="alpha beta alpha beta", tgt=True) for i in range(5)]
+        + [Row(doc_id=100 + i, text="gamma delta gamma delta", tgt=False) for i in range(5)]
+        + [Row(doc_id=900, text="alpha beta", tgt=False),
+           Row(doc_id=901, text="gamma delta", tgt=False)]
+    )
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r for r in importance_weights(df, F.col("tgt")).collect()}
+    assert out[900].avg_logratio > out[901].avg_logratio
+    assert out[900].logratio_micro > 0 > out[901].logratio_micro
+    # weight is a per-token average: token counts preserved
+    assert out[900].n_tokens == 2 and out[0].n_tokens == 4
