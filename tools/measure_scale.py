@@ -331,13 +331,109 @@ def measure_textpipe(spark, sf_dir: str, replicas: int) -> dict:
     return out
 
 
+def derived_events(spark, sf_dir: str, replicas: int):
+    """~Nx events: replica r shifts user_id and event_id into a disjoint
+    key range while keeping every timestamp — per-(key, hour-bucket)
+    density stays CONSTANT (the corpus grows across users, the realistic
+    axis), so a bucketed temporal join's candidate volume must scale
+    ~linearly with rows, never quadratically."""
+    from cdc_data_lake_pyspark_spark.queries import _t
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    reps = spark.range(replicas).select(F.col("id").alias("_r"))
+    return ev.crossJoin(reps).select(
+        (F.col("event_id") + F.col("_r") * 100_000_000).alias("event_id"),
+        (F.col("user_id") + F.col("_r") * 10_000_000).alias("user_id"),
+        "ts",
+        "event_type",
+        "value",
+    )
+
+
+def measure_temporal(spark, sf_dir: str, replicas: int) -> dict:
+    """Measure the end-of-r5 temporal operators at 1x and ~Nx: the
+    bucketed range join (shuffle and output pairs should scale ~linearly
+    with rows — per-(key, bucket) density is held constant) and the
+    gap-fill rollup (the scan grows Nx but post-aggregation shuffle stays
+    ~CONSTANT: everything after the map-side-combined aggregation runs
+    over #groups x #buckets rows)."""
+    from cdc_data_lake_pyspark_spark.operators.relational import (
+        range_join,
+        time_bucket_gapfill,
+    )
+    from cdc_data_lake_pyspark_spark.queries import _t
+
+    p = f"{WORK_DIR}/events_x{replicas}.parquet"
+    if not os.path.exists(p):
+        derived_events(spark, sf_dir, replicas).write.mode(
+            "overwrite"
+        ).parquet(p)
+
+    out = {}
+    for label, ev in (
+        ("1x", _t(spark, sf_dir, "events")),
+        (f"{replicas}x", spark.read.parquet(p)),
+    ):
+        ev = ev.cache()
+        n = ev.count()
+        views = ev.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("view_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("purchase_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        row = {"n_events": n, "ops": {}}
+        for op, build in (
+            (
+                "range_join_1h",
+                lambda: range_join(
+                    views,
+                    purchases,
+                    "view_user",
+                    "purchase_user",
+                    "view_ts",
+                    "purchase_ts",
+                    lower_s=0,
+                    upper_s=3600,
+                ),
+            ),
+            (
+                "gapfill_daily",
+                lambda: time_bucket_gapfill(
+                    ev, "ts", "value", group_cols=("event_type",)
+                ),
+            ),
+        ):
+            r0, w0 = shuffle_totals(spark)
+            t0 = time.time()
+            out_rows = build().count()
+            elapsed = round(time.time() - t0, 2)
+            r1, w1 = shuffle_totals(spark)
+            row["ops"][op] = {
+                "sec": elapsed,
+                "out_rows": out_rows,
+                "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+            }
+            print("temporal", label, op, row["ops"][op], flush=True)
+        ev.unpersist()
+        out[label] = row
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--out", default="SCALE_MEASURED.json")
     ap.add_argument(
         "--only",
-        choices=["family", "substring", "textpipe"],
+        choices=["family", "substring", "textpipe", "temporal"],
         default=None,
         help="measure one section and merge into an existing --out file",
     )
@@ -357,9 +453,17 @@ def main():
         if prior.get("sf_dir") == SF_DIR and prior.get("replicas") == args.replicas:
             results = prior
 
-    if args.only in ("substring", "textpipe"):
-        key = "substring_dedup" if args.only == "substring" else "textpipe"
-        fn = measure_substring if args.only == "substring" else measure_textpipe
+    if args.only in ("substring", "textpipe", "temporal"):
+        key = {
+            "substring": "substring_dedup",
+            "textpipe": "textpipe",
+            "temporal": "temporal",
+        }[args.only]
+        fn = {
+            "substring": measure_substring,
+            "textpipe": measure_textpipe,
+            "temporal": measure_temporal,
+        }[args.only]
         results[key] = fn(spark, SF_DIR, args.replicas)
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
