@@ -343,3 +343,56 @@ def importance_weights(
             / (F.col("n_tokens").cast("double") * F.lit(float(LOG_MICRO)))
         ).alias("avg_logratio"),
     )
+
+
+def token_entropy_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy of the within-document unigram
+    distribution — the word-diversity gate: templated / repetitive
+    documents (one token dominating) score near 0 bits, fully diverse
+    documents score ``log2 n_tokens``.  A standard low-cost companion to
+    the corpus-LM cross-entropy gates for pretraining-corpus filtering.
+
+    With per-doc token counts ``m(w)`` and total ``n``:
+
+        H = log2 n - (1/n) * sum_w m(w) * log2 m(w)
+
+    Exact-integer portability contract as :func:`unigram_lm_scores`:
+    ``entropy_micro = n*L(n) - sum_w m(w)*L(m(w))`` with
+    ``L(x) = round(1e6 * log2 x)`` is an order-independent integer
+    (``entropy = entropy_micro / (1e6 * n)`` bits/token, one IEEE
+    division), so the DuckDB oracle matches bit-for-bit.
+
+    Plan shape: explode → (doc, token) count → one per-doc reduce.  All
+    state is per-document; no corpus-wide join at all, so this is the
+    cheapest of the LM-family gates — one shuffle on the doc id that the
+    downstream gate aggregation shares.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    dt = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_m"))
+    per = dt.groupBy(id_col).agg(
+        F.sum("_m").alias("n_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum(
+            F.col("_m")
+            * F.round(F.log2("_m") * LOG_MICRO, 0).cast("long")
+        ).alias("_sum_mlm"),
+    )
+    ent_micro = (
+        F.col("n_tokens")
+        * F.round(F.log2("n_tokens") * LOG_MICRO, 0).cast("long")
+        - F.col("_sum_mlm")
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        "distinct_tokens",
+        ent_micro.alias("entropy_micro"),
+        (
+            ent_micro.cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(float(LOG_MICRO)))
+        ).alias("entropy"),
+    )

@@ -701,6 +701,11 @@ _DEMOTED: tuple[str, ...] = (
     # in-window and the NEW dsir_importance_weights adds the
     # data-selection scorer over the same token pipeline; demoted
     # late-r5 for the new entry's window slot; driver-green r2–r4
+    "route_insert",  # P6 family: route_delete stays in-window (both
+    # rotated in this round — the driver still re-verifies the route
+    # predicate family through it) and the insert route executes inside
+    # all four in-window CDC flagships; demoted end-of-r5 for the NEW
+    # token_entropy window slot; driver-green r1, r5-rotation target
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -1,12 +1,13 @@
 """Phase-6 inventory: bucketed range join, hypertable gap-fill rollup,
-and DSIR importance weighting.
+DSIR importance weighting, and token-entropy gating.
 
 Training-data / time-series additions beyond the reference's scope
 (§2.6 surface): the two temporal operators the prompt calls out that
 Spark lacks natively (range join without a nested-loop degenerate;
 TimescaleDB-style ``time_bucket_gapfill`` + LOCF), plus importance
-resampling weights for targeted data selection (Xie et al. 2023).  All
-three are exact-oracle-checkable: the range join is an inner equi+
+resampling weights for targeted data selection (Xie et al. 2023) and
+the within-document token-entropy diversity gate.  All are
+exact-oracle-checkable: the range join is an inner equi+
 residual join, the gapfill sums decimals, and the DSIR weights use the
 micro-log2 integer bridge shared with the LM scorers.
 """
@@ -186,3 +187,43 @@ def dsir_importance_weights(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return importance_weights(docs, is_target=F.col("lang") == "en")
+
+
+@query(
+    "token_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), dt AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS m
+      FROM toks GROUP BY doc_id, tok
+    ), per AS (
+      SELECT doc_id,
+             CAST(sum(m) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS distinct_tokens,
+             CAST(sum(m * CAST(round(1e6 * log2(CAST(m AS DOUBLE)))
+                               AS BIGINT)) AS BIGINT) AS sum_mlm
+      FROM dt GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, distinct_tokens,
+           CAST(n_tokens * CAST(round(1e6 * log2(CAST(n_tokens AS DOUBLE)))
+                                AS BIGINT) - sum_mlm
+             AS BIGINT) AS entropy_micro,
+           CAST(CAST(n_tokens * CAST(round(1e6 * log2(CAST(n_tokens AS DOUBLE)))
+                                     AS BIGINT) - sum_mlm AS DOUBLE)
+                / (CAST(n_tokens AS DOUBLE) * 1e6) AS DOUBLE) AS entropy
+    FROM per
+    """,
+)
+def token_entropy(spark, sf_dir):
+    """Within-document unigram Shannon entropy — the word-diversity
+    quality gate (repetitive/templated docs score near 0 bits).  Pure
+    per-document aggregation, no corpus-wide join; exact across engines
+    via the micro-log2 integer bridge
+    (operators/lm_quality.py::token_entropy_scores)."""
+    from cdc_data_lake_pyspark_spark.operators.lm_quality import (
+        token_entropy_scores,
+    )
+
+    return token_entropy_scores(_t(spark, sf_dir, "documents"))

@@ -163,3 +163,25 @@ def test_bigram_repetition_scores_below_novel_sequences(docs):
     # natural-language doc 1 and the rare-singleton doc 2
     assert max(ce[0], ce[3]) < min(ce[1], ce[2])
     assert min(ce.values()) in (ce[0], ce[3])
+
+
+def test_token_entropy_extremes(spark):
+    from pyspark.sql import Row
+
+    from cdc_data_lake_pyspark_spark.operators.lm_quality import (
+        token_entropy_scores,
+    )
+
+    rows = [
+        Row(doc_id=1, text="spam spam spam spam"),       # 0 bits
+        Row(doc_id=2, text="a b c d"),                   # log2(4) = 2 bits
+        Row(doc_id=3, text="x x y y"),                   # 1 bit
+    ]
+    out = {
+        r.doc_id: r
+        for r in token_entropy_scores(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1].entropy_micro == 0 and out[1].distinct_tokens == 1
+    assert abs(out[2].entropy - 2.0) < 1e-6 and out[2].distinct_tokens == 4
+    assert abs(out[3].entropy - 1.0) < 1e-6
+    assert all(r.n_tokens == 4 for r in out.values())

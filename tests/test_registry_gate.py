@@ -15,7 +15,9 @@ REQUIRED_VISIBLE = [
     "cdc_multi_table_apply",
     "cdc_orders_apply_dms",
     "cdc_orders_apply_sql",
-    "route_insert",
+    # route_insert demoted end-of-r5 for token_entropy: route_delete
+    # keeps the P6 predicate family in-window and the insert route runs
+    # inside all four CDC flagships
     "route_delete",
     # parse_props_json / delete_where_exists / merge_upsert_customer
     # demoted mid-r5 (window room for the new lm_cross_entropy,
@@ -44,6 +46,7 @@ REQUIRED_VISIBLE = [
     # quality_score keeps the heuristic-scoring family in-window and the
     # new entry adds the DSIR data-selection scorer
     "dsir_importance_weights",
+    "token_entropy",
     "quality_score",
     # doc_fingerprint demoted mid-r5 for dedup_exact_normalized; its
     # minhash machinery is driven end-to-end by dedup_minhash_lsh
@@ -148,6 +151,7 @@ CHANGED_THIS_ROUND = [
     "range_join_view_purchase",  # new bucketed range join (r5)
     "daily_gapfill_locf",  # new gap-fill rollup + LOCF (r5)
     "dsir_importance_weights",  # new DSIR importance weighting (r5)
+    "token_entropy",  # new word-diversity entropy gate (r5)
 ]
 
 
