@@ -293,6 +293,74 @@ def time_bucket_gapfill(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Change-data-feed between two table snapshots (the Delta/Iceberg
+    "what changed from v1 to v2" shape, derived when the table format
+    keeps no changelog): classify every key as ``insert`` (new only),
+    ``delete`` (old only), or ``update`` (both, any compared column
+    differs — null-safe); unchanged keys are omitted.
+
+    Output: key columns, ``change_type``, and each compared column as a
+    ``(old_<c>, new_<c>)`` pair.  The inverse of the CDC apply path
+    (``apply.py``): apply turns a changelog into a snapshot, this turns
+    two snapshots back into a changelog (e.g. to backfill downstream
+    consumers after a non-CDC bulk rewrite).
+
+    One shuffle per side on the key — the partitioning the table already
+    has if bucketed (`operators/layout.py`) — a single full outer join,
+    and a null-safe comparison; no collects, no windows.  At 100 TB this
+    is two co-partitioned scans and the join; AQE handles size asymmetry
+    (a small patch snapshot broadcasts).
+    """
+    keys = list(key_cols)
+    cols = list(
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in keys]
+    )
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in cols],
+        F.lit(1).alias("_in_new"),
+    )
+    cond = None
+    for k in keys:
+        c = o[f"_ok_{k}"] == n[f"_nk_{k}"]
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
+    changed = None
+    for c in cols:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        changed = d if changed is None else changed | d
+    change_type = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .when(changed if changed is not None else F.lit(False), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change_type)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
+                for k in keys
+            ],
+            "change_type",
+            *[x for c in cols for x in (f"old_{c}", f"new_{c}")],
+        )
+    )
+
+
 def scd2_history(
     changes: DataFrame,
     key_cols: Sequence[str],

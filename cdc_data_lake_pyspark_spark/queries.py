@@ -706,6 +706,11 @@ _DEMOTED: tuple[str, ...] = (
     # predicate family through it) and the insert route executes inside
     # all four in-window CDC flagships; demoted end-of-r5 for the NEW
     # token_entropy window slot; driver-green r1, r5-rotation target
+    "distinct_fanout_inventory",  # A1 family: the identical
+    # groupBy(db, table).agg(collect_set(route)) inventory aggregation
+    # executes inside the in-window cdc_multi_table_apply flagship every
+    # run; demoted end-of-r5 for the NEW snapshot_diff_orders window
+    # slot; driver-green r1–r4
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -227,3 +227,62 @@ def token_entropy(spark, sf_dir):
     )
 
     return token_entropy_scores(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  THEN 'update' END AS change_type,
+           o.o_orderstatus AS old_o_orderstatus,
+           n.o_orderstatus AS new_o_orderstatus,
+           o.o_totalprice AS old_o_totalprice,
+           n.o_totalprice AS new_o_totalprice
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+               WHEN n.o_orderkey IS NULL THEN 'delete'
+               WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                 OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                 THEN 'update' END IS NOT NULL
+    """,
+)
+def snapshot_diff_orders(spark, sf_dir):
+    """Change-data-feed between two snapshots (Delta/Iceberg CDF shape,
+    derived): two deterministic views of ``orders`` stand in for v1/v2 —
+    v2 drops every 7th key, v1 lacked every 5th, and every 3rd key's
+    price moved — and ``relational.snapshot_diff`` classifies each key
+    insert/update/delete via ONE null-safe full outer join on the PK,
+    omitting unchanged keys.  The inverse of the CDC apply path: apply
+    folds a changelog into a snapshot, this recovers a changelog from
+    snapshots (backfill after a non-CDC bulk rewrite)."""
+    from cdc_data_lake_pyspark_spark.operators.relational import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 10.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )

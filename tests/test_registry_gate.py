@@ -24,7 +24,10 @@ REQUIRED_VISIBLE = [
     # corpus_mix_temperature and bloom_novel_docs): P4 runs inside
     # cdc_orders_apply; J1's MERGE and J2's DELETE execute in
     # cdc_orders_apply_sql
-    "distinct_fanout_inventory",
+    # distinct_fanout_inventory demoted end-of-r5 for
+    # snapshot_diff_orders: the same inventory aggregation executes
+    # inside the in-window cdc_multi_table_apply flagship
+    "snapshot_diff_orders",
     "dedup_latest_per_key",
     # analytics
     "join_customer_geo",
@@ -152,6 +155,7 @@ CHANGED_THIS_ROUND = [
     "daily_gapfill_locf",  # new gap-fill rollup + LOCF (r5)
     "dsir_importance_weights",  # new DSIR importance weighting (r5)
     "token_entropy",  # new word-diversity entropy gate (r5)
+    "snapshot_diff_orders",  # new snapshot change-data-feed diff (r5)
 ]
 
 

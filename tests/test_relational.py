@@ -253,3 +253,24 @@ def test_importance_weights_prefer_target_distribution(spark):
     assert out[900].logratio_micro > 0 > out[901].logratio_micro
     # weight is a per-token average: token counts preserved
     assert out[900].n_tokens == 2 and out[0].n_tokens == 4
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from cdc_data_lake_pyspark_spark.operators.relational import snapshot_diff
+
+    old = spark.createDataFrame(
+        [Row(k=1, v="a", x=1.0), Row(k=2, v="b", x=2.0),
+         Row(k=3, v="c", x=None), Row(k=4, v="d", x=4.0)]
+    )
+    new = spark.createDataFrame(
+        [Row(k=2, v="b", x=2.0),          # unchanged: omitted
+         Row(k=3, v="c", x=3.0),          # null -> value: update
+         Row(k=4, v="D", x=4.0),          # string change: update
+         Row(k=5, v="e", x=5.0)]          # insert
+    )
+    out = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(out) == {1, 3, 4, 5}  # k=2 unchanged, omitted
+    assert out[1].change_type == "delete" and out[1].new_v is None
+    assert out[3].change_type == "update" and out[3].old_x is None and out[3].new_x == 3.0
+    assert out[4].change_type == "update" and (out[4].old_v, out[4].new_v) == ("d", "D")
+    assert out[5].change_type == "insert" and out[5].old_v is None
