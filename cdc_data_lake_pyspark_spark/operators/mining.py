@@ -1,0 +1,109 @@
+"""Behavioral mining operators: event-transition matrices and
+market-basket frequent pairs.
+
+Training-data / product-analytics additions beyond the reference's CDC
+scope (SURVEY §2.6 extension surface).  Both are pure DataFrame
+compositions with exact ANSI-SQL oracles (registered in
+queries_phase6.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def transition_matrix(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event sequences:
+    for every observed ``(from_state, to_state)`` pair of CONSECUTIVE
+    events of one key, the transition count and row-normalized
+    probability — the path-analysis aggregate behind "what do users do
+    next" dashboards and sequence-model sanity checks.
+
+    One window over ``(key, ts, tiebreak)`` — a single shuffle on the key
+    (the partitioning sessionization and funnels already use) — then a
+    map-side-combined count over at most |states|² groups; the
+    probability divides two exact BIGINTs per row (one IEEE division, so
+    results hash-match any engine).  Last events of a key (no successor)
+    are excluded.  At 100 TB: the heavy stage is the per-key sort the
+    window needs; the aggregate output is tiny by construction.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    steps = (
+        events.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+    )
+    counts = steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state",
+        "to_state",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(totals).cast("double")
+        ).alias("prob"),
+    )
+
+
+def frequent_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket frequent item pairs (the Apriori/FP-growth first
+    lattice level): every unordered item pair co-occurring in at least
+    ``min_support`` baskets, with its support count.
+
+    Plan shape: distinct (basket, item) → prune items below
+    ``min_support`` on their own (the Apriori monotonicity bound: a pair
+    can never outnumber its rarer member — this is what keeps the
+    self-join candidate set small on long-tail catalogs) → per-basket
+    self-equi-join on the basket key with ``item_a < item_b`` → one
+    map-side-combined count + support filter.
+
+    The self-join is keyed on the basket id, so candidate volume is
+    sum-over-baskets of (frequent items per basket)² — bounded by basket
+    size, never catalog size; no cross join exists anywhere.  At 100 TB
+    the one skew risk is a mega-basket (a basket with thousands of
+    items); cap those upstream or salt the basket key — the operator's
+    join shape is unchanged.
+    """
+    items = baskets.select(basket_col, item_col).distinct()
+    frequent = (
+        items.groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("_s"))
+        .filter(F.col("_s") >= min_support)
+        .select(item_col)
+    )
+    pruned = items.join(frequent, item_col)
+    a = pruned.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("item_a")
+    )
+    b = pruned.select(
+        F.col(basket_col).alias("_b2"), F.col(item_col).alias("item_b")
+    )
+    pairs = a.join(
+        b, (a["_b"] == b["_b2"]) & (a["item_a"] < b["item_b"])
+    )
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

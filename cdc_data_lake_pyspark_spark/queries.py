@@ -711,6 +711,18 @@ _DEMOTED: tuple[str, ...] = (
     # executes inside the in-window cdc_multi_table_apply flagship every
     # run; demoted end-of-r5 for the NEW snapshot_diff_orders window
     # slot; driver-green r1–r4
+    "sessionize_events",  # per-key ordered-window family: the NEW
+    # event_transition_matrix runs the identical (key, ts, tiebreak)
+    # window (lead instead of lag), funnel_conversion + cohort_retention
+    # stay in-window, and the gap-boundary semantics are pinned in
+    # tests/test_relational.py; demoted end-of-r5 for the new entry's
+    # window slot; driver-green r2–r4
+    "join_customer_geo",  # star-join family: shipping_priority stays
+    # in-window (the same customer⋈orders + broadcast-dim shape plus
+    # agg/top-N), and the geo chain is oracle-checked in the tail via
+    # orders_revenue_by_nation + revenue_rollup; demoted end-of-r5 for
+    # the NEW frequent_part_pairs window slot; driver-green r1–r4 and
+    # re-verified in the r5 rotation window until this swap
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

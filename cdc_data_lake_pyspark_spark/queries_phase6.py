@@ -286,3 +286,71 @@ def snapshot_diff_orders(spark, sf_dir):
     return snapshot_diff(
         old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH steps AS (
+      SELECT event_type AS from_state,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_state
+      FROM events
+    ), counts AS (
+      SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+      FROM steps WHERE to_state IS NOT NULL
+      GROUP BY from_state, to_state
+    )
+    SELECT from_state, to_state, n,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_state)
+                                    AS DOUBLE) AS prob
+    FROM counts
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: consecutive (from, to) event-type pairs with counts and
+    row-normalized probabilities — the path-analysis aggregate behind
+    next-action dashboards (operators/mining.py::transition_matrix; one
+    key-partitioned window + a |states|²-group aggregate)."""
+    from cdc_data_lake_pyspark_spark.operators.mining import (
+        transition_matrix,
+    )
+
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "frequent_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), freq AS (
+      SELECT l_partkey FROM items GROUP BY l_partkey
+      HAVING count(*) >= 2
+    ), pruned AS (
+      SELECT i.l_orderkey, i.l_partkey FROM items i
+      JOIN freq USING (l_partkey)
+    )
+    SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+           CAST(count(*) AS BIGINT) AS support
+    FROM pruned a JOIN pruned b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def frequent_part_pairs(spark, sf_dir):
+    """Market-basket frequent pairs: parts co-purchased in at least two
+    orders (Apriori first lattice level with the monotonicity prune —
+    infrequent singletons never enter the per-basket self-join, so
+    candidates are bounded by basket size, not catalog size;
+    operators/mining.py::frequent_pairs)."""
+    from cdc_data_lake_pyspark_spark.operators.mining import frequent_pairs
+
+    return frequent_pairs(
+        _t(spark, sf_dir, "lineitem"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_support=2,
+    )

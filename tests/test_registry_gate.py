@@ -30,7 +30,9 @@ REQUIRED_VISIBLE = [
     "snapshot_diff_orders",
     "dedup_latest_per_key",
     # analytics
-    "join_customer_geo",
+    # join_customer_geo demoted end-of-r5 for frequent_part_pairs:
+    # shipping_priority keeps the star-join + agg/top-N family in-window
+    "frequent_part_pairs",
     # daily_revenue_ma7 demoted late-r5 for daily_gapfill_locf: the new
     # entry runs the same day-truncated aggregation plus spine
     # densification and LOCF
@@ -90,7 +92,10 @@ REQUIRED_VISIBLE = [
     "multimodal_audio_decode",
     # multimodal_frame_sample demoted mid-r5 for embedding_quantize; its
     # binary plumbing is covered by the two real-codec entries above
-    "sessionize_events",
+    # sessionize_events demoted end-of-r5 for event_transition_matrix:
+    # the identical per-key ordered window runs there, with funnel +
+    # cohort also in-window and gap boundaries pinned in pytest
+    "event_transition_matrix",
     # asof_join_orders demoted late-r5 for range_join_view_purchase; the
     # temporal-join family stays in-window via the new bucketed range
     # join, and as-of ≡ brute-force is pinned in tests/test_relational.py
@@ -156,6 +161,8 @@ CHANGED_THIS_ROUND = [
     "dsir_importance_weights",  # new DSIR importance weighting (r5)
     "token_entropy",  # new word-diversity entropy gate (r5)
     "snapshot_diff_orders",  # new snapshot change-data-feed diff (r5)
+    "event_transition_matrix",  # new Markov transition matrix (r5)
+    "frequent_part_pairs",  # new market-basket frequent pairs (r5)
 ]
 
 

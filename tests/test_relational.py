@@ -274,3 +274,43 @@ def test_snapshot_diff_classifies_changes(spark):
     assert out[3].change_type == "update" and out[3].old_x is None and out[3].new_x == 3.0
     assert out[4].change_type == "update" and (out[4].old_v, out[4].new_v) == ("d", "D")
     assert out[5].change_type == "insert" and out[5].old_v is None
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    from cdc_data_lake_pyspark_spark.operators.mining import transition_matrix
+
+    rows = [
+        Row(event_id=i, user_id=u, ts=_ts(i), event_type=s)
+        for i, (u, s) in enumerate(
+            [(1, "a"), (1, "b"), (1, "a"), (1, "b"),   # user 1: a>b, b>a, a>b
+             (2, "a"), (2, "c")]                        # user 2: a>c
+        )
+    ]
+    out = {
+        (r.from_state, r.to_state): (r.n, r.prob)
+        for r in transition_matrix(spark.createDataFrame(rows)).collect()
+    }
+    assert out[("a", "b")] == (2, 2 / 3)
+    assert out[("a", "c")] == (1, 1 / 3)
+    assert out[("b", "a")] == (1, 1.0)
+    # last event per user emits no transition
+    assert ("b", None) not in out and ("c", None) not in out
+
+
+def test_frequent_pairs_support_and_prune(spark):
+    from cdc_data_lake_pyspark_spark.operators.mining import frequent_pairs
+
+    rows = [
+        Row(b=1, i="x"), Row(b=1, i="y"), Row(b=1, i="z"),
+        Row(b=2, i="x"), Row(b=2, i="y"),
+        Row(b=3, i="x"), Row(b=3, i="y"), Row(b=3, i="x"),  # dup item row
+        Row(b=4, i="z"), Row(b=4, i="w"),                   # w infrequent
+    ]
+    out = {
+        (r.item_a, r.item_b): r.support
+        for r in frequent_pairs(
+            spark.createDataFrame(rows), "b", "i", min_support=2
+        ).collect()
+    }
+    # only (x, y) co-occurs in >= 2 baskets; (y, z)/(x, z)/(w, z) support 1
+    assert out == {("x", "y"): 3}
