@@ -84,15 +84,22 @@ def frequent_pairs(
     the one skew risk is a mega-basket (a basket with thousands of
     items); cap those upstream or salt the basket key — the operator's
     join shape is unchanged.
+
+    The distinct+prune working set is staged behind a lazy local
+    checkpoint: it feeds THREE consumers (the singleton count and both
+    self-join sides), and without staging each one would rescan and
+    re-distinct the full fact table.
     """
-    items = baskets.select(basket_col, item_col).distinct()
+    items = baskets.select(basket_col, item_col).distinct().localCheckpoint(
+        eager=False
+    )
     frequent = (
         items.groupBy(item_col)
         .agg(F.count(F.lit(1)).alias("_s"))
         .filter(F.col("_s") >= min_support)
         .select(item_col)
     )
-    pruned = items.join(frequent, item_col)
+    pruned = items.join(frequent, item_col).localCheckpoint(eager=False)
     a = pruned.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("item_a")
     )
