@@ -1,13 +1,16 @@
 """Phase-6 inventory: bucketed range join, hypertable gap-fill rollup,
-DSIR importance weighting, and token-entropy gating.
+DSIR importance weighting, token-entropy gating, snapshot
+change-data-feed diff, and behavioral mining.
 
-Training-data / time-series additions beyond the reference's scope
-(§2.6 surface): the two temporal operators the prompt calls out that
-Spark lacks natively (range join without a nested-loop degenerate;
-TimescaleDB-style ``time_bucket_gapfill`` + LOCF), plus importance
-resampling weights for targeted data selection (Xie et al. 2023) and
-the within-document token-entropy diversity gate.  All are
-exact-oracle-checkable: the range join is an inner equi+
+Training-data / time-series / analytics additions beyond the
+reference's scope (§2.6 surface): the two temporal operators Spark
+lacks natively (range join without a nested-loop degenerate;
+TimescaleDB-style ``time_bucket_gapfill`` + LOCF), importance
+resampling weights for targeted data selection (Xie et al. 2023), the
+within-document token-entropy diversity gate, an insert/update/delete
+changelog recovered from two snapshots (Delta/Iceberg CDF shape), a
+first-order Markov event-transition matrix, and Apriori-pruned
+market-basket frequent pairs.  All are exact-oracle-checkable: the range join is an inner equi+
 residual join, the gapfill sums decimals, and the DSIR weights use the
 micro-log2 integer bridge shared with the LM scorers.
 """
