@@ -723,6 +723,12 @@ _DEMOTED: tuple[str, ...] = (
     # orders_revenue_by_nation + revenue_rollup; demoted end-of-r5 for
     # the NEW frequent_part_pairs window slot; driver-green r1–r4 and
     # re-verified in the r5 rotation window until this swap
+    "top_customers_per_segment",  # rank-window family: key_skew_report
+    # runs the same row_number-with-tiebreak top-N window in-window, and
+    # purchase_attribution_window covers the rank-join variant in the
+    # tail; demoted end-of-r5 for the NEW triangle_part_cliques window
+    # slot; driver-green r1–r4 and re-verified in the r5 rotation window
+    # until this swap
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -357,3 +357,48 @@ def frequent_part_pairs(spark, sf_dir):
         item_col="l_partkey",
         min_support=2,
     )
+
+
+@query(
+    "triangle_part_cliques",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), freq AS (
+      SELECT l_partkey FROM items GROUP BY l_partkey
+      HAVING count(*) >= 2
+    ), pruned AS (
+      SELECT i.l_orderkey, i.l_partkey FROM items i
+      JOIN freq USING (l_partkey)
+    ), edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM pruned a JOIN pruned b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT e1.u AS v1, e1.v AS v2, e2.v AS v3
+    FROM edges e1
+    JOIN edges e2 ON e1.v = e2.u
+    JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    """,
+)
+def triangle_part_cliques(spark, sf_dir):
+    """Triangles of the co-purchase graph: 3-cliques of parts pairwise
+    co-bought in >= 2 orders — graph-density analytics composed from
+    ``frequent_pairs`` edges via the two-join MPC triangle algorithm
+    with degree orientation (operators/mining.py::triangle_enumerate;
+    wedge candidates bounded O(m^1.5) regardless of hub vertices).  The
+    oracle enumerates id-ordered; both emit each triangle once as its
+    sorted vertex triple, so the outputs hash-match."""
+    from cdc_data_lake_pyspark_spark.operators.mining import (
+        frequent_pairs,
+        triangle_enumerate,
+    )
+
+    edges = frequent_pairs(
+        _t(spark, sf_dir, "lineitem"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        min_support=2,
+    )
+    return triangle_enumerate(edges)

@@ -44,7 +44,10 @@ REQUIRED_VISIBLE = [
     # quantile family covered by price_quantile_sketch + the decile gate
     # inside prepare_training_corpus_v2
     "shipping_priority",
-    "top_customers_per_segment",
+    # top_customers_per_segment demoted end-of-r5 for
+    # triangle_part_cliques: key_skew_report keeps the ranked top-N
+    # window family in-window
+    "triangle_part_cliques",
     # text / quality (text_stats demoted mid-r5 for lm_bigram_cross_entropy;
     # family covered by quality_score + token_count_bpe + lang_id_heuristic)
     # lang_id_heuristic demoted late-r5 for dsir_importance_weights:
@@ -163,6 +166,7 @@ CHANGED_THIS_ROUND = [
     "snapshot_diff_orders",  # new snapshot change-data-feed diff (r5)
     "event_transition_matrix",  # new Markov transition matrix (r5)
     "frequent_part_pairs",  # new market-basket frequent pairs (r5)
+    "triangle_part_cliques",  # new degree-oriented triangle join (r5)
 ]
 
 

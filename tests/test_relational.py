@@ -314,3 +314,29 @@ def test_frequent_pairs_support_and_prune(spark):
     }
     # only (x, y) co-occurs in >= 2 baskets; (y, z)/(x, z)/(w, z) support 1
     assert out == {("x", "y"): 3}
+
+
+def test_triangle_enumerate_matches_bruteforce(spark):
+    import itertools
+
+    from cdc_data_lake_pyspark_spark.operators.mining import (
+        triangle_enumerate,
+    )
+
+    # K4 on {1..4} plus a pendant edge and a hub vertex 9 connected to
+    # everything (exercises the degree orientation)
+    base = list(itertools.combinations([1, 2, 3, 4], 2)) + [(5, 6)]
+    edges = base + [(u, 9) for u in [1, 2, 3, 4, 5, 6]]
+    df = spark.createDataFrame(
+        [Row(item_a=min(u, v), item_b=max(u, v)) for u, v in edges]
+    )
+    got = {
+        (r.v1, r.v2, r.v3) for r in triangle_enumerate(df).collect()
+    }
+    es = {frozenset(e) for e in edges}
+    want = {
+        (a, b, c)
+        for a, b, c in itertools.combinations(sorted({x for e in edges for x in e}), 3)
+        if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= es
+    }
+    assert got == want and len(want) == 4 + 6 + 1  # K4 + hub x K4-edges + hub-5-6
