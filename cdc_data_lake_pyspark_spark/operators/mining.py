@@ -14,7 +14,6 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-
 def transition_matrix(
     events: DataFrame,
     key_col: str = "user_id",
@@ -59,7 +58,6 @@ def transition_matrix(
             / F.sum("n").over(totals).cast("double")
         ).alias("prob"),
     )
-
 
 def frequent_pairs(
     baskets: DataFrame,
@@ -114,7 +112,6 @@ def frequent_pairs(
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
     )
-
 
 def triangle_enumerate(
     edges: DataFrame, u_col: str = "item_a", v_col: str = "item_b"
