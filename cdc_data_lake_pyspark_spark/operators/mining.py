@@ -133,7 +133,14 @@ def triangle_enumerate(
     ascending (``a < b < c``) — orientation-invariant, so any engine's
     enumeration hash-matches.  Three shuffles: degree count, the wedge
     join, the closing join; candidates never exceed the wedge bound.
+
+    The edge set feeds FIVE consumers (two degree projections, the
+    orientation join, both wedge sides via the directed set, the closing
+    side) and the directed set three, so both stage behind lazy local
+    checkpoints — without them Spark would replicate the upstream edge
+    derivation (e.g. the whole frequent-pairs pipeline) per consumer.
     """
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col(u_col).alias("_x"))
         .unionAll(edges.select(F.col(v_col).alias("_x")))
@@ -151,7 +158,7 @@ def triangle_enumerate(
     directed = e.select(
         F.when(fwd, F.col("_u")).otherwise(F.col("_v")).alias("src"),
         F.when(fwd, F.col("_v")).otherwise(F.col("_u")).alias("dst"),
-    )
+    ).localCheckpoint(eager=False)
     w1 = directed.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     w2 = directed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     wedges = w1.join(w2, "b")
