@@ -33,7 +33,7 @@ count aggregate broadcast back over a map-only filter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from cdc_data_lake_pyspark_spark.functions.text import tokens
@@ -395,4 +395,110 @@ def token_entropy_scores(
             ent_micro.cast("double")
             / (F.col("n_tokens").cast("double") * F.lit(float(LOG_MICRO)))
         ).alias("entropy"),
+    )
+
+
+def bm25_top_k(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance ranking: the top-``k`` documents for a bag of query
+    terms under Okapi BM25 — the textual counterpart of the embedding
+    top-k family (similarity.py), for keyword retrieval over a corpus.
+
+        score(d) = sum_t idf(t) * tf_t,d*(k1+1) / (tf_t,d + k1*(1-b+b*|d|/avgdl))
+        idf(t)   = log2((N - df_t + 0.5) / (df_t + 0.5))
+
+    Cross-engine exactness: ``idf`` quantizes to micro-bits (the
+    LOG_MICRO bridge) BEFORE entering the score product, and each
+    (doc, term) partial score rounds to an integer micro-score before
+    the per-doc sum — so totals are order-independent integers and the
+    DuckDB oracle reproduces the ranking bit-for-bit.  The remaining
+    float steps (the tf saturation ratio) are single IEEE expressions
+    over exact integers + one shared ``avgdl`` division, identical in
+    any engine.  Ties break on ascending id.
+
+    Plan shape: one explode pass → (doc, term) counts + doc lengths; the
+    query-term filter prunes to |Q| terms immediately, df/idf is a
+    |Q|-row aggregate (broadcast), and the final top-k is a
+    rank-window over per-doc sums.  Corpus-size work is the single
+    token-count pass every other LM gate already shares.
+    """
+    q = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+    )
+    doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    stats = doc_len.agg(
+        F.count(F.lit(1)).alias("_N"), F.avg("_dl").alias("_avgdl")
+    )
+    dt = (
+        toks.filter(F.col("_tok").isin(q))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    idf = (
+        dt.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "_tok",
+            "_N",
+            "_avgdl",
+            F.round(
+                F.log2(
+                    (F.col("_N") - F.col("_df") + 0.5)
+                    / (F.col("_df") + 0.5)
+                )
+                * LOG_MICRO,
+                0,
+            )
+            .cast("long")
+            .alias("_idf_micro"),
+        )
+    )
+    scored = (
+        dt.join(F.broadcast(idf), "_tok")
+        .join(doc_len, id_col)
+        .select(
+            id_col,
+            F.round(
+                F.col("_idf_micro")
+                * (
+                    (F.col("_tf") * (k1 + 1.0))
+                    / (
+                        F.col("_tf")
+                        + k1
+                        * (
+                            1.0
+                            - b
+                            + b * (F.col("_dl") / F.col("_avgdl"))
+                        )
+                    )
+                ),
+                0,
+            )
+            .cast("long")
+            .alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_s").alias("score_micro"))
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            "score_micro",
+            (F.col("score_micro").cast("double") / F.lit(float(LOG_MICRO))).alias(
+                "score"
+            ),
+        )
     )

@@ -723,6 +723,11 @@ _DEMOTED: tuple[str, ...] = (
     # orders_revenue_by_nation + revenue_rollup; demoted end-of-r5 for
     # the NEW frequent_part_pairs window slot; driver-green r1–r4 and
     # re-verified in the r5 rotation window until this swap
+    "pack_sequences",  # sequence-assembly family: chunk_documents stays
+    # in-window (the same token-slicing machinery feeding the packer)
+    # and the greedy bin-packing invariants are pinned in
+    # tests/test_packing.py; demoted end-of-r5 for the NEW bm25_search
+    # window slot; driver-green r2–r4
     "top_customers_per_segment",  # rank-window family: key_skew_report
     # runs the same row_number-with-tiebreak top-N window in-window, and
     # purchase_attribution_window covers the rank-join variant in the

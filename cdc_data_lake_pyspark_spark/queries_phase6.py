@@ -402,3 +402,60 @@ def triangle_part_cliques(spark, sf_dir):
         min_support=2,
     )
     return triangle_enumerate(edges)
+
+
+@query(
+    "bm25_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, avg(dl) AS avgdl FROM dl
+    ), dt AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+      WHERE tok IN ('spark', 'merge', 'window') GROUP BY 1, 2
+    ), idf AS (
+      SELECT tok,
+             CAST(round(1e6 * log2((CAST(s.n AS DOUBLE) - df + 0.5)
+                                   / (df + 0.5))) AS BIGINT) AS idf_micro
+      FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+           stats s
+    ), scored AS (
+      SELECT d.doc_id,
+             CAST(round(i.idf_micro
+                        * ((d.tf * (1.2 + 1.0))
+                           / (d.tf + 1.2 * (1.0 - 0.75
+                              + 0.75 * (l.dl / s.avgdl)))))
+               AS BIGINT) AS s
+      FROM dt d JOIN idf i USING (tok) JOIN dl l USING (doc_id), stats s
+    ), per AS (
+      SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro
+      FROM scored GROUP BY 1
+    )
+    SELECT doc_id, rank, score_micro,
+           CAST(score_micro AS DOUBLE) / 1e6 AS score
+    FROM (
+      SELECT doc_id, score_micro,
+             CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC)
+               AS INT) AS rank
+      FROM per
+    ) WHERE rank <= 10
+    """,
+)
+def bm25_search(spark, sf_dir):
+    """Okapi BM25 keyword retrieval: top-10 documents for the query bag
+    {spark, merge, window} — the textual counterpart of the embedding
+    top-k family.  Per-(doc, term) partial scores quantize to integer
+    micro-units (idf via the micro-log2 bridge) before the per-doc sum,
+    so the ranking is exact across engines
+    (operators/lm_quality.py::bm25_top_k)."""
+    from cdc_data_lake_pyspark_spark.operators.lm_quality import bm25_top_k
+
+    return bm25_top_k(
+        _t(spark, sf_dir, "documents"),
+        query_terms=["spark", "merge", "window"],
+        k=10,
+    )

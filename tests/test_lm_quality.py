@@ -185,3 +185,28 @@ def test_token_entropy_extremes(spark):
     assert abs(out[2].entropy - 2.0) < 1e-6 and out[2].distinct_tokens == 4
     assert abs(out[3].entropy - 1.0) < 1e-6
     assert all(r.n_tokens == 4 for r in out.values())
+
+
+def test_bm25_ranks_relevant_docs_first(spark):
+    from pyspark.sql import Row
+
+    from cdc_data_lake_pyspark_spark.operators.lm_quality import bm25_top_k
+
+    rows = (
+        [Row(doc_id=1, text="cat cat cat dog")]          # heavy on query terms
+        + [Row(doc_id=2, text="cat mouse bird fish")]    # one query term
+        + [Row(doc_id=10 + i, text="mouse bird fish worm") for i in range(6)]
+    )
+    out = bm25_top_k(
+        spark.createDataFrame(rows), ["cat", "dog"], k=3
+    ).collect()
+    ranks = {r.doc_id: r.rank for r in out}
+    # only docs containing a query term score; doc 1 (more matches,
+    # rarer term 'dog') outranks doc 2
+    assert set(ranks) == {1, 2} and ranks[1] == 1 and ranks[2] == 2
+    by_rank = sorted(out, key=lambda r: r.rank)
+    assert by_rank[0].score_micro > by_rank[1].score_micro
+    # saturation: tf=3 for 'cat' must score less than 3x the tf=1 score
+    one = [r for r in out if r.doc_id == 2][0]
+    top = [r for r in out if r.doc_id == 1][0]
+    assert top.score_micro < 3 * one.score_micro + abs(top.score_micro)

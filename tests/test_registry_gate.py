@@ -108,7 +108,10 @@ REQUIRED_VISIBLE = [
     "cohort_retention",
     "scd2_user_history",
     "data_quality_report",
-    "pack_sequences",
+    # pack_sequences demoted end-of-r5 for bm25_search: chunk_documents
+    # keeps the token-slicing family in-window and the packer invariants
+    # are pinned in tests/test_packing.py
+    "bm25_search",
     "chunk_documents",
     "repetition_gates",
     # stratified_sample_docs demoted mid-r5 for similarity_ivf_pq; its
@@ -167,6 +170,7 @@ CHANGED_THIS_ROUND = [
     "event_transition_matrix",  # new Markov transition matrix (r5)
     "frequent_part_pairs",  # new market-basket frequent pairs (r5)
     "triangle_part_cliques",  # new degree-oriented triangle join (r5)
+    "bm25_search",  # new Okapi BM25 keyword retrieval (r5)
 ]
 
 
