@@ -723,6 +723,11 @@ _DEMOTED: tuple[str, ...] = (
     # orders_revenue_by_nation + revenue_rollup; demoted end-of-r5 for
     # the NEW frequent_part_pairs window slot; driver-green r1–r4 and
     # re-verified in the r5 rotation window until this swap
+    "dedup_clusters",  # connected-components family: the identical
+    # pointer-jumping components + canonical-keeper anti-join run inside
+    # the in-window prepare_training_corpus composite every round, with
+    # dedup_keep_canonical oracle-checked in the tail; demoted end-of-r5
+    # for the NEW pit_join_views window slot; driver-green r2–r4
     "pack_sequences",  # sequence-assembly family: chunk_documents stays
     # in-window (the same token-slicing machinery feeding the packer)
     # and the greedy bin-packing invariants are pinned in

@@ -459,3 +459,66 @@ def bm25_search(spark, sf_dir):
         query_terms=["spark", "merge", "window"],
         k=10,
     )
+
+
+@query(
+    "pit_join_views",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, event_id, value, ts FROM events
+      WHERE event_type = 'purchase'
+    ), v2 AS (
+      SELECT user_id, value, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS INT)
+               AS version
+      FROM p
+    ), views AS (
+      SELECT event_id AS view_id, user_id, ts AS view_ts FROM events
+      WHERE event_type = 'view'
+    )
+    SELECT w.view_id, w.user_id, w.view_ts, s.value, s.version,
+           s.valid_from AS asof_ts
+    FROM views w LEFT JOIN v2 s
+      ON s.user_id = w.user_id
+     AND s.valid_from <= w.view_ts
+     AND (s.valid_to IS NULL OR w.view_ts < s.valid_to)
+    """,
+)
+def pit_join_views(spark, sf_dir):
+    """Point-in-time (PIT) join — the feature-store correctness pattern:
+    each view event is joined to the purchase-derived SCD2 version that
+    was VALID AT the view's timestamp (no future leakage, no stale
+    skips).  Because SCD2 intervals tile time contiguously per key, the
+    PIT join reduces to an as-of join on ``valid_from`` — the
+    union-and-window composition (one key shuffle, NO range join),
+    composing ``relational.scd2_history`` + ``relational.asof_join``;
+    the oracle replays it as the explicit validity-interval join."""
+    from cdc_data_lake_pyspark_spark.operators.relational import (
+        asof_join,
+        scd2_history,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "value", "ts"
+    )
+    versions = scd2_history(
+        purchases, ["user_id"], "ts", tiebreak_cols=["event_id"]
+    ).select("user_id", "valid_from", "value", "version")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    return asof_join(
+        views,
+        versions,
+        left_key="user_id",
+        right_key="user_id",
+        left_ts="view_ts",
+        right_ts="valid_from",
+        right_cols=["value", "version"],
+    ).select("view_id", "user_id", "view_ts", "value", "version", "asof_ts")

@@ -74,7 +74,9 @@ REQUIRED_VISIBLE = [
     "dedup_simhash",
     "dedup_substring_windows",
     "dedup_embedding_cosine_lsh",
-    "dedup_clusters",
+    # dedup_clusters demoted end-of-r5 for pit_join_views: the identical
+    # components + keeper anti-join run inside prepare_training_corpus
+    "pit_join_views",
     # dedup_keep_canonical demoted mid-r5 for unpivot_part_metrics; its
     # components + keeper anti-join run inside prepare_training_corpus
     # incremental_novel_docs demoted mid-r5 for cohort_retention;
@@ -171,6 +173,7 @@ CHANGED_THIS_ROUND = [
     "frequent_part_pairs",  # new market-basket frequent pairs (r5)
     "triangle_part_cliques",  # new degree-oriented triangle join (r5)
     "bm25_search",  # new Okapi BM25 keyword retrieval (r5)
+    "pit_join_views",  # new point-in-time feature join (r5)
 ]
 
 

@@ -340,3 +340,34 @@ def test_triangle_enumerate_matches_bruteforce(spark):
         if {frozenset((a, b)), frozenset((b, c)), frozenset((a, c))} <= es
     }
     assert got == want and len(want) == 4 + 6 + 1  # K4 + hub x K4-edges + hub-5-6
+
+
+def test_pit_join_no_future_leakage(spark):
+    """Point-in-time composition: each observation joins the version
+    valid AT its timestamp — never a later one, never a stale skip."""
+    from cdc_data_lake_pyspark_spark.operators.relational import (
+        asof_join,
+        scd2_history,
+    )
+
+    changes = spark.createDataFrame(
+        [Row(k=1, eid=i, v=10 * i, ts=_ts(10 * i)) for i in range(1, 4)]
+    )
+    versions = scd2_history(changes, ["k"], "ts", tiebreak_cols=["eid"]).select(
+        "k", "valid_from", "v", "version"
+    )
+    obs = spark.createDataFrame(
+        [Row(oid=m, k=1, ots=_ts(m)) for m in [5, 10, 15, 25, 40]]
+    )
+    out = {
+        r.oid: (r.v, r.version)
+        for r in asof_join(
+            obs, versions, "k", "k", "ots", "valid_from",
+            right_cols=["v", "version"],
+        ).collect()
+    }
+    assert out[5] == (None, None)          # before any version
+    assert out[10] == (10, 1)              # boundary: valid_from <= ts
+    assert out[15] == (10, 1)
+    assert out[25] == (20, 2)
+    assert out[40] == (30, 3)              # open current interval
