@@ -9,8 +9,10 @@ TimescaleDB-style ``time_bucket_gapfill`` + LOCF), importance
 resampling weights for targeted data selection (Xie et al. 2023), the
 within-document token-entropy diversity gate, an insert/update/delete
 changelog recovered from two snapshots (Delta/Iceberg CDF shape), a
-first-order Markov event-transition matrix, and Apriori-pruned
-market-basket frequent pairs.  All are exact-oracle-checkable: the range join is an inner equi+
+first-order Markov event-transition matrix, Apriori-pruned
+market-basket frequent pairs, degree-oriented triangle enumeration,
+Okapi BM25 keyword retrieval, and the point-in-time feature join
+(SCD2 + as-of composition).  All are exact-oracle-checkable: the range join is an inner equi+
 residual join, the gapfill sums decimals, and the DSIR weights use the
 micro-log2 integer bridge shared with the LM scorers.
 """
