@@ -423,22 +423,27 @@ def bm25_top_k(
     over exact integers + one shared ``avgdl`` division, identical in
     any engine.  Ties break on ascending id.
 
-    Plan shape: one explode pass → (doc, term) counts + doc lengths; the
-    query-term filter prunes to |Q| terms immediately, df/idf is a
-    |Q|-row aggregate (broadcast), and the final top-k is a
-    rank-window over per-doc sums.  Corpus-size work is the single
-    token-count pass every other LM gate already shares.
+    Plan shape: TWO corpus passes total — document lengths come from a
+    map-only ``size(tokens(...))`` projection (no explode), staged once
+    behind a lazy local checkpoint so the corpus-stats aggregate and the
+    score join both read the per-doc rows instead of rescanning; the
+    (doc, term) counts come from one explode pass whose query-term
+    filter prunes to |Q| terms immediately.  df/idf is a |Q|-row
+    aggregate (broadcast), and the final top-k is a rank-window over
+    per-doc sums.
     """
     q = [t.lower() for t in query_terms]
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
-    )
-    doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    doc_len = docs.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("_dl")
+    ).localCheckpoint(eager=False)
     stats = doc_len.agg(
         F.count(F.lit(1)).alias("_N"), F.avg("_dl").alias("_avgdl")
     )
     dt = (
-        toks.filter(F.col("_tok").isin(q))
+        docs.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok")
+        )
+        .filter(F.col("_tok").isin(q))
         .groupBy(id_col, "_tok")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
