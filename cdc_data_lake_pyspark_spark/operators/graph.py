@@ -1,0 +1,161 @@
+"""Iterative graph analytics: fixed-point PageRank over a distributed
+edge list.
+
+PageRank is THE canonical iterative distributed algorithm (Page et al.
+1999; the Pregel/GraphX formulation); a training-data pipeline uses it to
+rank hosts/documents in a link graph (Common-Crawl-style harmonic/rank
+centrality quality signals) and a warehouse uses it on co-occurrence
+graphs (co-purchase, co-citation).  Spark has no built-in PageRank on
+DataFrames, so this is a pure DataFrame composition: one join + one
+aggregation per iteration.
+
+Determinism contract (what makes the oracle exact): all rank mass is
+carried as INTEGER micro-units (1e12 = rank 1.0) and every per-iteration
+operation is integer arithmetic — ``rank div out_degree`` per edge,
+``sum(bigint)`` per destination (order-independent, unlike float sums),
+``(damping * sum) div 100`` — so ANY engine that replays the same
+schedule produces bit-identical ranks.  This is the same exact-integer
+bridge the LM scorers use (lm_quality.py); floor-division mass loss is
+deterministic and bounded by #edges ulps per iteration.
+
+Scale: each iteration is ONE shuffle (the groupBy on dst) plus one join
+of the current rank vector against the static edge list.  The edge list
+is staged once behind a lazy local checkpoint and reused by every
+iteration; the rank vector is localCheckpoint'd per iteration so the
+lineage (and the scheduler's DAG) stays O(1) instead of O(iterations).
+On a real cluster you would additionally pre-partition edges by ``src``
+(bucketed table) so the per-iteration join is exchange-free on the edge
+side; rank vectors are #nodes rows — tiny next to edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: 1.0 of rank mass, in integer micro-units (micro^2: 1e12 keeps six
+#: significant digits after a million-node spread).
+RANK_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 6,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    ``rank_micro`` is exact (integer fixed-point, see module docstring);
+    ``rank`` is the same value as a double for human consumption.
+    Dangling nodes (no out-edges) appear in the output with ranks fed by
+    their in-edges, but their own mass is dropped each iteration (the
+    standard simplification; deterministic).  ``damping_pct`` is the
+    damping factor in percent so the teleport term stays integer.
+
+    Every iteration: contribution = ``rank_micro div out_degree`` per
+    out-edge, summed per destination (one shuffle), then
+    ``teleport + damping * sum div 100``.  Nodes receiving no mass get
+    the bare teleport term via a left join on the node set.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionAll(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # single-row node count, cross-joined so N is available without a
+    # driver-side collect (keeps the whole plan lazy / replayable)
+    n_frame = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    deg = e.groupBy(F.col("_src").alias("node")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+
+    ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
+        "node",
+        F.expr(f"CAST({RANK_SCALE} AS BIGINT) div _n").alias("rank_micro"),
+        "_n",
+    )
+    teleport = F.expr(f"CAST({100 - damping_pct} * {RANK_SCALE} AS BIGINT) div (100 * _n)")
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(deg, "node")
+            .select(
+                "node", F.expr("rank_micro div _deg").alias("_share")
+            )
+            .join(e, F.col("node") == F.col("_src"))
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum("_share").alias("_in"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_frame))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.expr(
+                        f"({damping_pct} * coalesce(_in, CAST(0 AS BIGINT))) div 100"
+                    )
+                ).alias("rank_micro"),
+                "_n",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select(
+        "node",
+        "rank_micro",
+        (F.col("rank_micro").cast("double") / F.lit(float(RANK_SCALE))).alias(
+            "rank"
+        ),
+    )
+
+
+def pagerank_oracle_sql(
+    edges_cte: str,
+    iterations: int = 6,
+    damping_pct: int = 85,
+) -> str:
+    """Build the ANSI-SQL replay of :func:`pagerank` by unrolling the
+    fixed iteration count into chained CTEs (recursive CTEs can't
+    re-aggregate per step, so unrolling is the portable encoding).
+
+    ``edges_cte`` must be a SELECT producing columns ``src, dst``.  The
+    integer fixed-point schedule matches :func:`pagerank` operation for
+    operation, so the replay is bit-exact in any engine with 64-bit
+    integer division (`//` below is DuckDB integer division).
+    """
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges"
+        " UNION ALL SELECT dst FROM edges))",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes)",
+        "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d"
+        " FROM edges GROUP BY 1)",
+        f"r0 AS (SELECT node, CAST({RANK_SCALE} AS BIGINT) // n AS r"
+        " FROM nodes, nn)",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, CAST(sum(p.r // g.d) AS BIGINT) AS m"
+            f" FROM {prev} p JOIN deg g USING (node)"
+            " JOIN edges e ON e.src = p.node GROUP BY 1)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n0.node,"
+            f" CAST({100 - damping_pct} * {RANK_SCALE} AS BIGINT) // (100 * nn.n)"
+            f" + ({damping_pct} * COALESCE(c.m, CAST(0 AS BIGINT))) // 100 AS r"
+            f" FROM nodes n0 CROSS JOIN nn LEFT JOIN c{i} c USING (node))"
+        )
+        prev = f"r{i}"
+    parts.append(
+        f"SELECT node, r AS rank_micro,"
+        f" CAST(r AS DOUBLE) / {float(RANK_SCALE)} AS rank FROM {prev}"
+    )
+    return ",\n".join(parts[:1] + parts[1:-1]) + "\n" + parts[-1]

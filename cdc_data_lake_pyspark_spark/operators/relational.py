@@ -413,3 +413,47 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .withColumn("version", F.col("version").cast("int"))
     )
+
+def hopping_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str = "3 hours",
+    slide: str = "1 hour",
+    group_cols: Sequence[str] = (),
+    value_col: Optional[str] = None,
+) -> DataFrame:
+    """Hopping (sliding) time-window aggregation: count and total per
+    (``group_cols``, epoch-aligned window of length ``window`` every
+    ``slide``).  Each event lands in ``window/slide`` overlapping
+    windows — the smoothing shape behind rate dashboards, rolling QPS,
+    and the windowed counts the streaming layer exposes; this is the
+    batch replay of the same `F.window` semantics, so batch backfill
+    and the live stream agree bucket-for-bucket.
+
+    Spark's ``window(ts, window, slide)`` replicates rows to their
+    covering windows inside codegen (no explicit explode) and the
+    aggregation map-side-combines per (group, window-start): one
+    shuffle, candidate volume = rows x window/slide.  Totals are summed
+    as DECIMAL(18,6) (exact, order-independent) and surfaced as DOUBLE
+    — the same bridge every other money aggregate here uses.
+    """
+    gcols = list(group_cols)
+    w = F.window(F.col(ts_col), window, slide)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total")
+        )
+    return (
+        df.groupBy(*gcols, w.alias("_w"))
+        .agg(*aggs)
+        .select(
+            *gcols,
+            F.col("_w.start").alias("hop_start"),
+            F.col("_w.end").alias("hop_end"),
+            "n_rows",
+            *(["total"] if value_col is not None else []),
+        )
+    )

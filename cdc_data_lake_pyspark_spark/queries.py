@@ -697,10 +697,11 @@ _DEMOTED: tuple[str, ...] = (
     # spine densification and the LOCF window; the MA7 frame mechanics
     # stay oracle-checked in the tail; demoted late-r5 for the new
     # entry's window slot; driver-green r1–r4
-    "lang_id_heuristic",  # text-scoring family: quality_score stays
-    # in-window and the NEW dsir_importance_weights adds the
-    # data-selection scorer over the same token pipeline; demoted
-    # late-r5 for the new entry's window slot; driver-green r2–r4
+    "lang_id_heuristic",  # text-scoring family: token_entropy +
+    # dsir_importance_weights (in-window) cover the heuristic scoring
+    # pipeline (quality_score itself demoted for the phase-7 slots, its
+    # components pinned in tests/test_text_gates.py); demoted late-r5
+    # for the dsir window slot; driver-green r2–r4
     "route_insert",  # P6 family: route_delete stays in-window (both
     # rotated in this round — the driver still re-verifies the route
     # predicate family through it) and the insert route executes inside
@@ -728,6 +729,32 @@ _DEMOTED: tuple[str, ...] = (
     # the in-window prepare_training_corpus composite every round, with
     # dedup_keep_canonical oracle-checked in the tail; demoted end-of-r5
     # for the NEW pit_join_views window slot; driver-green r2–r4
+    # --- demoted for the phase-7 window slots (policy: the NEW
+    # --- entity_resolution_customers, outlier_mad_events, pagerank_parts
+    # --- and hopping_window_events sit in-window)
+    "similarity_ivf",  # IVF family: similarity_ivf_pq (in-window) is a
+    # strict superset — the same deterministic coarse quantizer and
+    # pinned-centroid oracle replay plus residual PQ and exact re-rank;
+    # plain-IVF recall floors stay pinned in tests/test_phase2.py;
+    # driver-green r3–r4 (demoted for the NEW pagerank_parts slot)
+    "cdc_orders_apply_dms",  # P2-DMS envelope family: differs from the
+    # in-window cdc_orders_apply flagship ONLY in the envelope decoder,
+    # and that decoder is pytest-matrixed end-to-end (test_envelope.py,
+    # the executed-SQL ts-guard DMS cell in test_locallake_catalog.py,
+    # the parametrized sf-dir e2e in test_pipeline_e2e.py);
+    # driver-green r1–r4 (demoted for the NEW
+    # entity_resolution_customers slot)
+    "quality_score",  # heuristic text-scoring family: token_entropy +
+    # dsir_importance_weights (both in-window) run the same tokenization
+    # + per-document scoring pipeline, and every quality component is
+    # additionally pinned in tests/test_text_gates.py; driver-green
+    # r2–r4 (demoted for the NEW outlier_mad_events slot)
+    "dedup_jaccard_prefix",  # jaccard-verify family: the identical
+    # exact-Jaccard arithmetic runs inside the in-window
+    # dedup_minhash_lsh verify stage every round, and prefix-filter ≡
+    # all-pairs is proven by the property test that also covers the
+    # demoted dedup_jaccard_pairs; driver-green r1–r4 (demoted for the
+    # NEW hopping_window_events slot)
     "pack_sequences",  # sequence-assembly family: chunk_documents stays
     # in-window (the same token-slicing machinery feeding the packer)
     # and the greedy bin-packing invariants are pinned in
@@ -796,3 +823,4 @@ def _load_phase2() -> None:
     import cdc_data_lake_pyspark_spark.queries_phase4  # noqa: F401
     import cdc_data_lake_pyspark_spark.queries_phase5  # noqa: F401
     import cdc_data_lake_pyspark_spark.queries_phase6  # noqa: F401
+    import cdc_data_lake_pyspark_spark.queries_phase7  # noqa: F401

@@ -13,7 +13,9 @@ REQUIRED_VISIBLE = [
     # CDC pipeline (S/P/A/J rows)
     "cdc_orders_apply",
     "cdc_multi_table_apply",
-    "cdc_orders_apply_dms",
+    # cdc_orders_apply_dms demoted for phase-7: it differs from
+    # cdc_orders_apply only in the envelope decoder, which is
+    # pytest-matrixed end-to-end (test_envelope, ts-guard DMS cell)
     "cdc_orders_apply_sql",
     # route_insert demoted end-of-r5 for token_entropy: route_delete
     # keeps the P6 predicate family in-window and the insert route runs
@@ -53,9 +55,10 @@ REQUIRED_VISIBLE = [
     # lang_id_heuristic demoted late-r5 for dsir_importance_weights:
     # quality_score keeps the heuristic-scoring family in-window and the
     # new entry adds the DSIR data-selection scorer
+    # quality_score demoted for phase-7: token_entropy + dsir cover the
+    # heuristic-scoring family, components pinned in test_text_gates.py
     "dsir_importance_weights",
     "token_entropy",
-    "quality_score",
     # doc_fingerprint demoted mid-r5 for dedup_exact_normalized; its
     # minhash machinery is driven end-to-end by dedup_minhash_lsh
     # token_count_bpe demoted mid-r5 for bpe_learned_tokenize (the
@@ -69,7 +72,9 @@ REQUIRED_VISIBLE = [
     # embedding_pq_codes: the digest groupBy runs inside both in-window
     # composites and incremental_novel_docs)
     "dedup_exact_normalized",
-    "dedup_jaccard_prefix",
+    # dedup_jaccard_prefix demoted for phase-7: the exact-Jaccard verify
+    # arithmetic runs inside dedup_minhash_lsh's verify stage, and
+    # prefix ≡ all-pairs is property-tested
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_substring_windows",
@@ -83,8 +88,9 @@ REQUIRED_VISIBLE = [
     # bloom_novel_docs is its in-window approximate scale path
     # similarity (similarity_ann_lsh demoted mid-r5 for the new
     # similarity_pq_adc; LSH recall/score-parity floors stay pinned in
-    # tests/test_phase2.py + tests/test_lsh_occupancy.py)
-    "similarity_ivf",
+    # tests/test_phase2.py + tests/test_lsh_occupancy.py;
+    # similarity_ivf demoted for phase-7: similarity_ivf_pq is a strict
+    # superset with the same pinned-centroid replay)
     "similarity_pq_adc",
     "similarity_ivf_pq",
     # embedding_centroids demoted mid-r5 for scd2_user_history; its
@@ -134,6 +140,11 @@ REQUIRED_VISIBLE = [
     "dedup_semantic_clusters",
     "prepare_training_corpus",
     "prepare_training_corpus_v2",
+    # phase-7 (all NEW this round, in-window by policy)
+    "entity_resolution_customers",
+    "outlier_mad_events",
+    "pagerank_parts",
+    "hopping_window_events",
 ]
 
 # Operators added or materially changed this round: the rotation policy
@@ -174,6 +185,10 @@ CHANGED_THIS_ROUND = [
     "triangle_part_cliques",  # new degree-oriented triangle join (r5)
     "bm25_search",  # new Okapi BM25 keyword retrieval (r5)
     "pit_join_views",  # new point-in-time feature join (r5)
+    "entity_resolution_customers",  # new blocked record linkage (r5)
+    "outlier_mad_events",  # new median/MAD robust outlier gate (r5)
+    "pagerank_parts",  # new fixed-point integer PageRank (r5)
+    "hopping_window_events",  # new hopping-window rollup (r5)
 ]
 
 
