@@ -755,6 +755,12 @@ _DEMOTED: tuple[str, ...] = (
     # all-pairs is proven by the property test that also covers the
     # demoted dedup_jaccard_pairs; driver-green r1–r4 (demoted for the
     # NEW hopping_window_events slot)
+    "scrub_pii_docs",  # text-cleaning family: the PII regexes and the
+    # planted-PII scrub roundtrip are pinned in tests/test_text_gates.py
+    # (map-only redaction, no join/agg surface beyond what
+    # dedup_exact_normalized exercises in-window over the same
+    # normalize/regex machinery); driver-green r2–r4 (demoted for the
+    # NEW sparse_cosine_docs window slot)
     "pack_sequences",  # sequence-assembly family: chunk_documents stays
     # in-window (the same token-slicing machinery feeding the packer)
     # and the greedy bin-packing invariants are pinned in

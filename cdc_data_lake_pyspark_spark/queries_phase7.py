@@ -230,3 +230,64 @@ def hopping_window_events(spark, sf_dir):
         group_cols=["event_type"],
         value_col="value",
     )
+
+
+@query(
+    "sparse_cosine_docs",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ), ex AS (
+      SELECT doc_id AS doc, unnest(string_split(lower(text), ' ')) AS token
+      FROM base
+    ), tf AS (
+      SELECT doc, token, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY 1, 2
+    ), df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM base
+    ), idf AS (
+      SELECT token,
+             CAST(round(1000 * log2(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)),
+                        0) AS BIGINT) AS idf
+      FROM df CROSS JOIN n
+    ), w AS (
+      SELECT tf.doc, tf.token, tf.tf * idf.idf AS w
+      FROM tf JOIN idf USING (token) WHERE idf.idf > 0
+    ), norms AS (
+      SELECT doc, sum(w * w) AS n2 FROM w GROUP BY 1
+    ), dots AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(sum(a.w * b.w) AS BIGINT) AS dot
+      FROM w a JOIN w b ON a.token = b.token AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b, d.dot,
+           CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             AS cosine
+    FROM dots d JOIN norms na ON na.doc = d.doc_a
+                JOIN norms nb ON nb.doc = d.doc_b
+    WHERE CAST(d.dot AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+          >= 0.85
+    """,
+)
+def sparse_cosine_docs(spark, sf_dir):
+    """Sparse TF-IDF cosine similarity join (sparse_sim.py): document
+    pairs with bag-of-words cosine >= 0.85, dot products as exact
+    BIGINTs over milli-log2 idf weights so the candidate stage, the
+    pair sums and the final cosines replay bit-for-bit in any engine.
+
+    Demo slice: every 7th document (the synthetic corpus has a 31-token
+    vocabulary, so the df ceiling — the operator's scale lever on
+    Zipfian corpora — prunes nothing here and the slice bounds the
+    candidate join instead; ubiquitous df == N tokens are still dropped
+    by the idf > 0 prune)."""
+    from cdc_data_lake_pyspark_spark.operators.sparse_sim import (
+        sparse_cosine_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    return sparse_cosine_pairs(docs, threshold=0.85)

@@ -165,3 +165,56 @@ def test_hopping_window_counts_overlap(spark):
         "2024-01-01 05:00:00": 2,
         "2024-01-01 06:00:00": 1,
     }
+
+
+# ------------------------------------------------------------ sparse cosine
+def test_sparse_cosine_finds_planted_near_dup(spark):
+    from cdc_data_lake_pyspark_spark.operators.sparse_sim import (
+        sparse_cosine_pairs,
+        tfidf_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta"),
+            Row(doc_id=2, text="alpha beta gamma epsilon"),  # near-dup of 1
+            Row(doc_id=3, text="zeta eta theta iota"),
+            Row(doc_id=4, text="common common common common"),
+        ]
+    )
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in sparse_cosine_pairs(docs, threshold=0.4).collect()
+    }
+    assert set(out) == {(1, 2)}
+    r = out[(1, 2)]
+    # shared tokens alpha/beta/gamma have df=2 -> idf_milli=1000; the
+    # unique tail token df=1 -> 2000.  dot = 3·10⁶, each norm² = 7·10⁶
+    # -> cosine exactly 3/7
+    assert math.isclose(r.cosine, 3 / 7)
+    assert r.dot == 3_000_000
+
+    # ubiquitous tokens (df == N -> idf 0) are pruned from the weights
+    docs2 = spark.createDataFrame(
+        [Row(doc_id=i, text="common rare%d" % i) for i in range(4)]
+    )
+    w = tfidf_weights(docs2)
+    assert w.filter(F.col("token") == "common").count() == 0
+    assert w.count() == 4
+
+
+def test_sparse_cosine_identical_docs_cosine_one(spark):
+    from cdc_data_lake_pyspark_spark.operators.sparse_sim import (
+        sparse_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x y z unique1"),
+            Row(doc_id=2, text="x y z unique1"),
+            Row(doc_id=3, text="completely different words here"),
+        ]
+    )
+    rows = sparse_cosine_pairs(docs, threshold=0.99).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+    assert rows[0].cosine == 1.0

@@ -64,7 +64,9 @@ REQUIRED_VISIBLE = [
     # token_count_bpe demoted mid-r5 for bpe_learned_tokenize (the
     # learned-tokenizer count supersedes the fixed-regex count)
     "bpe_learned_tokenize",
-    "scrub_pii_docs",
+    # scrub_pii_docs demoted for sparse_cosine_docs: the PII regex
+    # machinery is pinned in test_text_gates.py and the normalize/regex
+    # surface runs in-window via dedup_exact_normalized
     # contamination_report demoted mid-r5 for funnel_conversion; the
     # shingle-overlap decontamination stage runs inside
     # prepare_training_corpus
@@ -145,6 +147,7 @@ REQUIRED_VISIBLE = [
     "outlier_mad_events",
     "pagerank_parts",
     "hopping_window_events",
+    "sparse_cosine_docs",
 ]
 
 # Operators added or materially changed this round: the rotation policy
@@ -189,6 +192,7 @@ CHANGED_THIS_ROUND = [
     "outlier_mad_events",  # new median/MAD robust outlier gate (r5)
     "pagerank_parts",  # new fixed-point integer PageRank (r5)
     "hopping_window_events",  # new hopping-window rollup (r5)
+    "sparse_cosine_docs",  # new sparse TF-IDF cosine join (r5)
 ]
 
 
