@@ -427,13 +427,141 @@ def measure_temporal(spark, sf_dir: str, replicas: int) -> dict:
     return out
 
 
+def measure_phase7(spark, sf_dir: str, replicas: int) -> dict:
+    """Measure the phase-7 operators at 1x and ~Nx along each family's
+    REALISTIC growth axis:
+
+    * pagerank — edge replicas in disjoint node ranges (the graph grows
+      as more components, node degree held constant): the per-iteration
+      join + dst-sum shuffle must scale ~linearly with edges.
+    * blocked ER — customer replicas in disjoint nation ranges (#blocks
+      grows, block size constant): candidate pairs and shuffle scale
+      ~linearly; quadratic would mean blocking is broken.
+    * sparse cosine — unique-vocab doc replicas (vocabulary grows with
+      the corpus, df per token constant): Σ df² candidate volume must
+      scale ~linearly.
+    * hopping window — event replicas (same span, denser traffic): one
+      map-side-combined shuffle over rows x window/slide replicas.
+    """
+    from cdc_data_lake_pyspark_spark.operators.graph import pagerank
+    from cdc_data_lake_pyspark_spark.operators.linkage import (
+        blocked_edit_pairs,
+    )
+    from cdc_data_lake_pyspark_spark.operators.relational import (
+        hopping_window_agg,
+    )
+    from cdc_data_lake_pyspark_spark.operators.sparse_sim import (
+        sparse_cosine_pairs,
+    )
+    from cdc_data_lake_pyspark_spark.operators.mining import frequent_pairs
+    from cdc_data_lake_pyspark_spark.queries import _t
+
+    ep = f"{WORK_DIR}/events_x{replicas}.parquet"
+    if not os.path.exists(ep):
+        derived_events(spark, sf_dir, replicas).write.mode(
+            "overwrite"
+        ).parquet(ep)
+    up = f"{WORK_DIR}/docs_unique_x{replicas}.parquet"
+    if not os.path.exists(up):
+        derived_documents_unique(spark, sf_dir, replicas).write.mode(
+            "overwrite"
+        ).parquet(up)
+
+    li = _t(spark, sf_dir, "lineitem")
+    und = (
+        frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+        .select("item_a", "item_b")
+        .cache()
+    )
+    und.count()
+
+    def edges_at(n_rep):
+        reps = spark.range(n_rep).select(F.col("id").alias("_r"))
+        e = und.crossJoin(reps).select(
+            (F.col("item_a") + F.col("_r") * 10_000_000).alias("src"),
+            (F.col("item_b") + F.col("_r") * 10_000_000).alias("dst"),
+        )
+        return e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+    def cust_at(n_rep):
+        reps = spark.range(n_rep).select(F.col("id").alias("_r"))
+        return cust.crossJoin(reps).select(
+            (F.col("c_custkey") + F.col("_r") * 10_000_000).alias("c_custkey"),
+            "c_name",
+            (F.col("c_nationkey") + F.col("_r") * 100).alias("c_nationkey"),
+        )
+
+    docs_1x = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = {}
+    for label, n_rep in (("1x", 1), (f"{replicas}x", replicas)):
+        ev = (
+            _t(spark, sf_dir, "events")
+            if n_rep == 1
+            else spark.read.parquet(ep)
+        )
+        docs = docs_1x if n_rep == 1 else spark.read.parquet(up)
+        row = {"ops": {}}
+        for op, build in (
+            ("pagerank_6it", lambda: pagerank(edges_at(n_rep), iterations=6)),
+            (
+                "blocked_er",
+                lambda: blocked_edit_pairs(
+                    cust_at(n_rep),
+                    id_col="c_custkey",
+                    text_col="c_name",
+                    block_cols=["c_nationkey"],
+                    prefix_len=12,
+                    max_edit=2,
+                ),
+            ),
+            (
+                "sparse_cosine",
+                lambda: sparse_cosine_pairs(
+                    docs.filter(F.col("doc_id") % 7 == 0), threshold=0.85
+                ),
+            ),
+            (
+                "hopping_3h1h",
+                lambda: hopping_window_agg(
+                    ev,
+                    ts_col="ts",
+                    window="3 hours",
+                    slide="1 hour",
+                    group_cols=["event_type"],
+                    value_col="value",
+                ),
+            ),
+        ):
+            r0, w0 = shuffle_totals(spark)
+            t0 = time.time()
+            out_rows = build().count()
+            elapsed = round(time.time() - t0, 2)
+            r1, w1 = shuffle_totals(spark)
+            row["ops"][op] = {
+                "sec": elapsed,
+                "out_rows": out_rows,
+                "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+            }
+            print("phase7", label, op, row["ops"][op], flush=True)
+        out[label] = row
+    und.unpersist()
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--out", default="SCALE_MEASURED.json")
     ap.add_argument(
         "--only",
-        choices=["family", "substring", "textpipe", "temporal"],
+        choices=["family", "substring", "textpipe", "temporal", "phase7"],
         default=None,
         help="measure one section and merge into an existing --out file",
     )
@@ -453,16 +581,18 @@ def main():
         if prior.get("sf_dir") == SF_DIR and prior.get("replicas") == args.replicas:
             results = prior
 
-    if args.only in ("substring", "textpipe", "temporal"):
+    if args.only in ("substring", "textpipe", "temporal", "phase7"):
         key = {
             "substring": "substring_dedup",
             "textpipe": "textpipe",
             "temporal": "temporal",
+            "phase7": "phase7",
         }[args.only]
         fn = {
             "substring": measure_substring,
             "textpipe": measure_textpipe,
             "temporal": measure_temporal,
+            "phase7": measure_phase7,
         }[args.only]
         results[key] = fn(spark, SF_DIR, args.replicas)
         with open(args.out, "w") as f:
