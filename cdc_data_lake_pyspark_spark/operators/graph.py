@@ -159,3 +159,105 @@ def pagerank_oracle_sql(
         f" CAST(r AS DOUBLE) / {float(RANK_SCALE)} AS rank FROM {prev}"
     )
     return ",\n".join(parts[:1] + parts[1:-1]) + "\n" + parts[-1]
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source breadth-first shortest hop distance over a directed
+    edge list: every node reachable from ``sources`` within ``max_hops``
+    hops, labeled with its distance to the NEAREST source (0 for the
+    sources themselves).
+
+    This is the trust/label-propagation shape a corpus pipeline uses to
+    expand a seed set over a link graph (e.g. distance-from-trusted-hosts
+    as a quality prior) and a warehouse uses for bounded reachability.
+    Spark has no DataFrame BFS, so this is the textbook frontier loop:
+    per hop, join ONLY the newest layer against the static edge list
+    (one shuffle), anti-join out already-settled nodes, settle the rest
+    at distance ``k``.  A node is settled the first time it is reached,
+    so distances are exact BFS minima by construction — no re-visits, no
+    min-aggregation over paths, and the per-hop work is proportional to
+    the frontier's out-degree sum, never to the number of paths.
+
+    Determinism contract: distances are small exact integers; set
+    membership is the only state.  The oracle replay is a recursive CTE
+    (UNION-deduped ``(node, dist)`` pairs bounded by ``max_hops`` per
+    node) reduced by ``min(dist)`` — a different but provably equivalent
+    encoding of the same BFS minimum (:func:`bfs_oracle_sql`).
+
+    Scale: the edge list stages once behind a lazy local checkpoint and
+    is reused every hop; settled/frontier vectors are node-sized (tiny
+    next to edges) and localCheckpoint'd per hop so lineage stays O(1)
+    in hop count.  On a real cluster, pre-bucket edges by ``src`` to
+    make the per-hop join exchange-free on the edge side.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+        .localCheckpoint(eager=False)
+    )
+    settled = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier.node == e._src)
+            .select(F.col("_dst").alias("node"))
+            .distinct()
+        )
+        fresh = (
+            reached.join(settled.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).cast("int").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        settled = settled.unionAll(fresh).localCheckpoint(eager=False)
+        frontier = fresh
+    return settled
+
+
+def bfs_oracle_sql(
+    edges_cte: str,
+    seed_pred: str,
+    max_hops: int = 4,
+) -> str:
+    """ANSI-SQL replay of :func:`bfs_distances` as a recursive CTE.
+
+    ``edges_cte`` must produce columns ``src, dst``; ``seed_pred`` is a
+    boolean expression over ``node`` selecting the source set from the
+    graph's node inventory.  The recursive walk explores UNION-deduped
+    ``(node, dist)`` pairs (each node appears at most ``max_hops + 1``
+    times, so the walk is bounded even on cyclic graphs) and the final
+    ``min(dist)`` per node is exactly the first-reach distance the
+    frontier loop settles.
+
+    The RECURSIVE CTE sits in a subquery below a PLAIN outer WITH:
+    ``edges_cte`` may itself open a nested WITH (the co-purchase chain
+    does), and ``WITH RECURSIVE`` changes the scoping of nested CTE
+    lists in DuckDB — the subquery placement keeps both worlds intact.
+    """
+    return f"""
+    WITH edges AS ({edges_cte}),
+    all_nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      )
+    )
+    SELECT node, CAST(min(d) AS INT) AS dist FROM (
+      WITH RECURSIVE walk(node, d) AS (
+        SELECT node, 0 FROM all_nodes WHERE {seed_pred}
+        UNION
+        SELECT e.dst, w.d + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.d < {max_hops}
+      )
+      SELECT * FROM walk
+    ) GROUP BY node
+    """

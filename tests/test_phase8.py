@@ -1,0 +1,89 @@
+"""Phase-8 operator tests: bounded multi-source BFS and the CUBE
+grouping-set lattice."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.operators.graph import bfs_distances
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(src=s, dst=d) for s, d in pairs])
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([Row(node=n) for n in nodes])
+
+
+# ---------------------------------------------------------------- BFS
+def test_bfs_line_graph_exact_distances(spark):
+    # 1 -> 2 -> 3 -> 4 -> 5 -> 6; seed 1, 4 hops: node 6 is out of reach
+    e = _edges(spark, [(i, i + 1) for i in range(1, 6)])
+    out = {
+        r.node: r.dist
+        for r in bfs_distances(e, _seeds(spark, [1]), max_hops=4).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_multi_source_takes_nearest_seed(spark):
+    # 1 -> 2 -> 3 and 5 -> 4 -> 3: node 3 is 2 hops from both seeds,
+    # node 4 is 1 hop from seed 5 (not 3+ from seed 1)
+    e = _edges(spark, [(1, 2), (2, 3), (5, 4), (4, 3)])
+    out = {
+        r.node: r.dist
+        for r in bfs_distances(e, _seeds(spark, [1, 5]), max_hops=4).collect()
+    }
+    assert out == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_cycle_terminates_and_settles_first_reach(spark):
+    # triangle cycle plus a tail; first-reach wins, loop doesn't spin
+    e = _edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    out = {
+        r.node: r.dist
+        for r in bfs_distances(e, _seeds(spark, [1]), max_hops=4).collect()
+    }
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_unreachable_nodes_absent(spark):
+    e = _edges(spark, [(1, 2), (7, 8)])  # 7/8 disconnected from seed
+    out = bfs_distances(e, _seeds(spark, [1]), max_hops=4)
+    assert {r.node for r in out.collect()} == {1, 2}
+
+
+def test_bfs_respects_edge_direction(spark):
+    e = _edges(spark, [(2, 1)])  # only an IN-edge to the seed
+    out = bfs_distances(e, _seeds(spark, [1]), max_hops=3)
+    assert {r.node: r.dist for r in out.collect()} == {1: 0}
+
+
+# ---------------------------------------------------------------- CUBE
+def test_cube_lattice_subtotals_and_grouping_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(a="x", b="p", v=1),
+            Row(a="x", b="q", v=2),
+            Row(a="y", b="p", v=4),
+        ]
+    )
+    out = {
+        (r.gid, r.a, r.b): r.total
+        for r in df.cube("a", "b")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.sum("v").alias("total"),
+        )
+        .collect()
+    }
+    # gid bitmask: leftmost cube column = most significant bit; bit set
+    # means the dimension is rolled away (matches DuckDB GROUPING())
+    assert out[(0, "x", "p")] == 1
+    assert out[(0, "x", "q")] == 2
+    assert out[(1, "x", None)] == 3  # b rolled away
+    assert out[(1, "y", None)] == 4
+    assert out[(2, None, "p")] == 5  # a rolled away
+    assert out[(2, None, "q")] == 2
+    assert out[(3, None, None)] == 7  # grand total
+    assert len(out) == 3 + 2 + 2 + 1
