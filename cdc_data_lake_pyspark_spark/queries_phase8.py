@@ -21,6 +21,7 @@ distances are settled-set integers replayed by a recursive CTE.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cdc_data_lake_pyspark_spark.operators.graph import (
@@ -111,3 +112,125 @@ def bfs_part_distances(spark, sf_dir):
     )
     seeds = nodes.filter(F.col("node") % 13 == 0)
     return bfs_distances(edges, seeds, max_hops=4)
+
+
+@query(
+    "cumulative_unique_users",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(strftime(CAST(ts AS DATE), '%Y-%m-%d')) AS day
+      FROM events GROUP BY 1
+    ), d AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1
+    )
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (
+             ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM d
+    """,
+)
+def cumulative_unique_users(spark, sf_dir):
+    """Daily new-user counts and the running total of distinct users ever
+    seen — the growth-curve query every event warehouse serves.
+
+    A naive cumulative COUNT(DISTINCT) re-scans an ever-growing prefix
+    per day (quadratic at 100 TB).  The scalable encoding: distinct-ness
+    collapses to each user's FIRST day (one user-keyed aggregate — the
+    natural pre-shuffle), then the cumulative curve is a running sum over
+    per-day rows, which are tiny by construction (the same bounded-window
+    justification as daily_revenue_ma7).  All counts exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    first = (
+        ev.select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+    )
+    daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+def _ewma_terms(value_sql: str, lag_fn) -> tuple[str, str]:
+    """Shared dyadic-EWMA term builder: numerator / denominator SQL (or
+    Column) pieces over the last 8 ordered rows with weights 2^(7-k).
+    Kept textual so the Spark side and the oracle are generated from the
+    SAME schedule (no drift between engines)."""
+    num = " + ".join(
+        f"coalesce({lag_fn(value_sql, k)}, CAST(0 AS BIGINT))"
+        f" * CAST({2 ** (7 - k)} AS BIGINT)"
+        for k in range(8)
+    )
+    den = " + ".join(
+        f"CASE WHEN {lag_fn(value_sql, k)} IS NOT NULL"
+        f" THEN CAST({2 ** (7 - k)} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END"
+        for k in range(8)
+    )
+    return num, den
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms(
+    "rev_cents", lambda v, k: f"lag({v}, {k}) OVER (ORDER BY day)"
+)
+
+
+@query(
+    "ewma_daily_revenue",
+    oracle=f"""
+    WITH d AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT day, rev_cents,
+           CAST({_EWMA_NUM} AS BIGINT) AS ewma_num,
+           CAST({_EWMA_DEN} AS BIGINT) AS ewma_den,
+           CAST({_EWMA_NUM} AS DOUBLE) / CAST({_EWMA_DEN} AS DOUBLE)
+             AS ewma_cents
+    FROM d
+    """,
+)
+def ewma_daily_revenue(spark, sf_dir):
+    """Exponentially-weighted moving average of daily revenue — the
+    time-series smoothing every ops dashboard runs — with a fully exact
+    cross-engine schedule: revenue rides the DECIMAL cents bridge, the
+    EWMA is the 8-term dyadic kernel (weights 2^(7-k) over the last 8
+    trading days, integer numerator/denominator BIGINT sums), and the
+    only float op is one final division of the two exact integers —
+    bit-identical in any IEEE-754 engine.  Partial histories at the
+    series head renormalize over the available terms.
+
+    Scale: the heavy step is the one day-keyed aggregate (map-side
+    combined); the window runs over per-day rows, tiny by construction.
+    The alternative recursive EWMA cannot be windowed at all without a
+    sequential scan — the bounded kernel is the distributed encoding
+    (the tail truncation error, (1/2)^8, is below the cents quantum)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100
+            ).cast("long").alias("rev_cents")
+        )
+    )
+    num, den = _ewma_terms(
+        "rev_cents", lambda v, k: f"lag({v}, {k}) OVER (ORDER BY day)"
+    )
+    return daily.select(
+        "day",
+        "rev_cents",
+        F.expr(f"CAST({num} AS BIGINT)").alias("ewma_num"),
+        F.expr(f"CAST({den} AS BIGINT)").alias("ewma_den"),
+        F.expr(
+            f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)"
+        ).alias("ewma_cents"),
+    )
