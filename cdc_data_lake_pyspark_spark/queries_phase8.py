@@ -234,3 +234,123 @@ def ewma_daily_revenue(spark, sf_dir):
             f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)"
         ).alias("ewma_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ML feature preparation (operators/features.py)
+# ---------------------------------------------------------------------------
+
+
+def _portable_hash_sql(expr: str) -> str:
+    """DuckDB replay of relational.portable_id_hash for an arbitrary
+    VARCHAR expression (the phase-3 _HASH_SQL generalized beyond
+    doc_id)."""
+    return (
+        "list_reduce(list_transform(generate_series(1, 15), "
+        f"i -> CAST(strpos('0123456789abcdef', "
+        f"substring(md5({expr}), i, 1)) - 1 AS BIGINT)), "
+        "(a, c) -> a * 16 + c)"
+    )
+
+
+@query(
+    "label_encode_docs",
+    oracle="""
+    WITH lv AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    li AS (
+      SELECT lang, CAST(row_number() OVER (ORDER BY n DESC, lang ASC) - 1
+                        AS INT) AS lang_idx
+      FROM lv
+    ),
+    sv AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    si AS (
+      SELECT source, CAST(row_number() OVER (ORDER BY n DESC, source ASC) - 1
+                          AS INT) AS source_idx
+      FROM sv
+    )
+    SELECT d.doc_id, d.lang, li.lang_idx, d.source, si.source_idx
+    FROM documents d JOIN li USING (lang) JOIN si USING (source)
+    """,
+)
+def label_encode_docs(spark, sf_dir):
+    """Frequency-ordered categorical encoding of the corpus metadata
+    columns (lang, source) — StringIndexer's frequencyDesc contract with
+    a deterministic lexicographic tiebreak, so index 0 is always the
+    most frequent category.  Each vocabulary is one count aggregate +
+    an unpartitioned ranking over vocab-sized rows, broadcast back; the
+    document table itself never reshuffles."""
+    from cdc_data_lake_pyspark_spark.operators.features import label_encode
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    out = label_encode(docs, "lang", "lang_idx")
+    out = label_encode(out, "source", "source_idx")
+    return out.select("doc_id", "lang", "lang_idx", "source", "source_idx")
+
+
+@query(
+    "feature_hash_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({_portable_hash_sql('t')} % 256 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM toks GROUP BY 1, 2
+    """,
+)
+def feature_hash_docs(spark, sf_dir):
+    """The hashing trick over document tokens: each whitespace token
+    lands in one of 256 fixed buckets via the portable md5 hash, counted
+    per (doc, bucket) — bounded-width sparse features with no vocabulary
+    pass or fit state, reproducible in any engine (hashingTF's
+    JVM-internal murmur is not).  One explode + one map-side-combined
+    aggregate."""
+    from cdc_data_lake_pyspark_spark.operators.features import feature_hash
+
+    docs = _t(spark, sf_dir, "documents")
+    return feature_hash(docs, id_col="doc_id", text_col="text", n_buckets=256)
+
+
+@query(
+    "standardize_embeddings",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT)
+               AS vq
+      FROM embeddings
+    ), st AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(vq) AS BIGINT) AS sum_q,
+             CAST(sum(vq * vq) AS BIGINT) AS ssq_q
+      FROM ex GROUP BY 1
+    )
+    SELECT e.vec_id, e.dim, e.vq, s.n, s.sum_q, s.ssq_q,
+           CASE WHEN sqrt(CAST(s.n AS DOUBLE) * CAST(s.ssq_q AS DOUBLE)
+                          - CAST(s.sum_q AS DOUBLE) * CAST(s.sum_q AS DOUBLE))
+                     > 0
+                THEN CAST(e.vq * s.n - s.sum_q AS DOUBLE)
+                     / sqrt(CAST(s.n AS DOUBLE) * CAST(s.ssq_q AS DOUBLE)
+                            - CAST(s.sum_q AS DOUBLE)
+                              * CAST(s.sum_q AS DOUBLE))
+                ELSE NULL END AS z
+    FROM ex e JOIN st s USING (dim)
+    """,
+)
+def standardize_embeddings(spark, sf_dir):
+    """Per-dimension z-score standardization of the embedding corpus,
+    fitted on the data itself: values quantize to exact 1e-6 integers
+    first (order-independent BIGINT moments — the embedding_centroids
+    bridge), then the z-score is one double expression over those exact
+    integers, identical text in both engines.  The moment fit is one
+    dim-keyed aggregate; the dims-row stats frame broadcasts back.
+    Zero-variance dims yield NULL instead of dividing by zero."""
+    from cdc_data_lake_pyspark_spark.operators.features import (
+        standardize_components,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return standardize_components(emb, id_col="vec_id", vec_col="embedding")

@@ -87,3 +87,51 @@ def test_cube_lattice_subtotals_and_grouping_id(spark):
     assert out[(2, None, "q")] == 2
     assert out[(3, None, None)] == 7  # grand total
     assert len(out) == 3 + 2 + 2 + 1
+
+
+# ---------------------------------------------------------------- features
+from cdc_data_lake_pyspark_spark.operators.features import (
+    feature_hash,
+    label_encode,
+    standardize_components,
+)
+
+
+def test_label_encode_frequency_order_with_lexicographic_ties(spark):
+    df = spark.createDataFrame(
+        [Row(v="b")] * 3 + [Row(v="c")] * 2 + [Row(v="a")] * 2 + [Row(v="z")]
+    )
+    idx = {
+        r.v: r.v_idx for r in label_encode(df, "v").dropDuplicates().collect()
+    }
+    # b most frequent -> 0; a/c tie at 2 breaks lexicographically; z last
+    assert idx == {"b": 0, "a": 1, "c": 2, "z": 3}
+
+
+def test_feature_hash_buckets_bounded_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="red green blue red"), Row(id=2, t="red")]
+    )
+    out = feature_hash(df, "id", "t", n_buckets=8).collect()
+    assert all(0 <= r.bucket < 8 for r in out)
+    # same token -> same bucket in every row: doc 2's 'red' bucket must
+    # appear in doc 1 with tf 2
+    red = next(r.bucket for r in out if r.id == 2)
+    assert any(r.id == 1 and r.bucket == red and r.tf >= 2 for r in out)
+    again = feature_hash(df, "id", "t", n_buckets=8).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_standardize_zero_variance_dim_yields_null(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, vec=[1.0, 5.0]),
+            Row(id=2, vec=[1.0, 7.0]),
+        ]
+    )
+    rows = standardize_components(df, "id", "vec").collect()
+    d0 = [r for r in rows if r.dim == 0]
+    d1 = sorted((r for r in rows if r.dim == 1), key=lambda r: r.id)
+    assert all(r.z is None for r in d0)  # constant dim
+    # dim 1: values 5,7 -> mean 6, pop std 1 -> z = -1, +1
+    assert abs(d1[0].z + 1.0) < 1e-9 and abs(d1[1].z - 1.0) < 1e-9
