@@ -99,3 +99,55 @@ def write_bucketed(
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(table)
+
+
+def compact_files(
+    spark,
+    path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: Sequence[str] = (),
+) -> int:
+    """OPTIMIZE-style small-file compaction: rewrite a parquet directory
+    into files sized near ``target_bytes``.  Returns the output file
+    count.
+
+    Streaming CDC sinks write one file per (micro-batch × partition) —
+    at a 30 s trigger that is ~3k files/day/table, and at 100 TB the
+    scan's task-scheduling and footer-reading overhead comes to dominate
+    (the classic lakehouse small-file problem; Delta's OPTIMIZE and
+    Iceberg's rewrite_data_files exist for exactly this).  The rewrite:
+    size the output from the ACTUAL on-disk bytes of the input files
+    (``df.inputFiles()`` — the same listing the scan uses), then one
+    round-robin repartition to ``ceil(bytes / target)`` writers.  With
+    ``sort_cols`` the rewrite also re-clusters rows (compaction is the
+    natural moment to restore min/max locality lost to incremental
+    appends) — then the repartition is range-based on those columns so
+    files tile the sort domain.
+
+    Local paths size via the filesystem; on a real cluster the same
+    listing comes from the table format's manifest (file sizes are
+    already in Iceberg/Delta metadata — no extra I/O).
+    """
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(path)
+    total = 0
+    for f in df.inputFiles():
+        local = urlparse(f).path or f
+        try:
+            total += os.path.getsize(local)
+        except OSError:
+            pass  # non-local URI: fall back to one file per input file
+    n_in = len(df.inputFiles())
+    n_out = max(1, math.ceil(total / target_bytes)) if total else n_in
+    if sort_cols:
+        out = df.repartitionByRange(
+            n_out, *[F.col(c) for c in sort_cols]
+        ).sortWithinPartitions(*[F.col(c) for c in sort_cols])
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(out_path)
+    return n_out

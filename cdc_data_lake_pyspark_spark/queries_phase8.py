@@ -354,3 +354,34 @@ def standardize_embeddings(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return standardize_components(emb, id_col="vec_id", vec_col="embedding")
+
+
+@query(
+    "compact_orders_roundtrip",
+    oracle="SELECT * FROM orders",
+)
+def compact_orders_roundtrip(spark, sf_dir):
+    """OPTIMIZE-style compaction round-trip: the orders table is written
+    out as a fragmented 64-file directory (the shape a streaming CDC
+    sink leaves behind — one file per micro-batch × partition), then
+    layout.compact_files sizes the rewrite from the actual on-disk bytes
+    and bin-packs it into target-sized files.  The oracle checks the
+    rewrite is LOSSLESS (every row/value identical to the source
+    table); tests/test_layout.py additionally pins the file-count
+    reduction and the sort-recovery variant's non-overlapping min/max
+    ranges."""
+    import os
+    import tempfile
+
+    from cdc_data_lake_pyspark_spark.operators.layout import compact_files
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_compact",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    frag, packed = os.path.join(base, "frag"), os.path.join(base, "packed")
+    orders = _t(spark, sf_dir, "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_files(spark, frag, packed, target_bytes=256 * 1024 * 1024)
+    return spark.read.parquet(packed)

@@ -121,3 +121,43 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_facts")
         spark.sql("DROP TABLE IF EXISTS bkt_dims")
+
+
+# ------------------------------------------------------------- compaction
+def test_compact_files_reduces_count_and_preserves_rows(spark, tmp_path):
+    from cdc_data_lake_pyspark_spark.operators.layout import compact_files
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") % 97)
+    df.repartition(64).write.parquet(src)
+    frag = spark.read.parquet(src)
+    assert len(frag.inputFiles()) >= 32  # genuinely fragmented input
+    n_out = compact_files(spark, src, dst, target_bytes=1 << 30)
+    out = spark.read.parquet(dst)
+    assert n_out == 1 and len(out.inputFiles()) == 1
+    assert out.count() == 10000
+    assert frag.exceptAll(out).count() == 0 and out.exceptAll(frag).count() == 0
+
+
+def test_compact_files_with_sort_recovers_minmax_locality(spark, tmp_path):
+    from cdc_data_lake_pyspark_spark.operators.layout import compact_files
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "compact2")
+    spark.range(0, 8000).withColumn("k", (F.col("id") * 37) % 8000).repartition(
+        16
+    ).write.parquet(src)
+    compact_files(spark, src, dst, target_bytes=200_000, sort_cols=["k"])
+    out = spark.read.parquet(dst)
+    assert out.count() == 8000
+    # range repartition on k => per-file k ranges must not overlap
+    import pyspark.sql.functions as SF
+
+    spans = (
+        out.groupBy(SF.input_file_name().alias("f"))
+        .agg(SF.min("k").alias("lo"), SF.max("k").alias("hi"))
+        .collect()
+    )
+    spans = sorted([(r.lo, r.hi) for r in spans])
+    assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
