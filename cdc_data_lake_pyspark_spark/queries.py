@@ -772,6 +772,35 @@ _DEMOTED: tuple[str, ...] = (
     # tail; demoted end-of-r5 for the NEW triangle_part_cliques window
     # slot; driver-green r1–r4 and re-verified in the r5 rotation window
     # until this swap
+    # --- demoted for the phase-8 window slots (revenue_cube,
+    # --- bfs_part_distances, cumulative_unique_users, ewma_daily_revenue,
+    # --- label_encode_docs, feature_hash_docs, standardize_embeddings,
+    # --- compact_orders_roundtrip — all NEW and least-proven, so they
+    # --- take the window per policy; each demotion below names its
+    # --- in-window sibling coverage) ---
+    "similarity_pq_adc",  # PQ-search family: similarity_ivf_pq
+    # (in-window) runs the same LUT/ADC/re-rank machinery over residual
+    # codes; shortlist parity + recall floors pinned in tests/test_pq.py
+    "embedding_pq_codes",  # PQ-coding family: the identical codebook
+    # fit + encode runs inside the in-window similarity_ivf_pq; code
+    # determinism + reconstruction pinned in tests/test_pq.py
+    "lm_bigram_cross_entropy",  # LM-scoring family: lm_cross_entropy
+    # (in-window) drives the same quantized log-prob machinery; bigram
+    # model parity pinned in tests/test_lm_quality.py
+    "prepare_training_corpus_v2",  # composite: every stage (LM decile
+    # gate, exact dedup, temperature mixing, split) is independently
+    # in-window or runs inside the in-window prepare_training_corpus
+    "token_entropy",  # heuristic-scoring family: dsir_importance_weights
+    # + repetition_gates in-window; entropy arithmetic pinned in pytest
+    "event_transition_matrix",  # per-key ordered-sequence family:
+    # cohort_retention (in-window) runs the same keyed ordered window;
+    # transition counts/probs hand-pinned in tests/test_relational.py
+    "unpivot_part_metrics",  # Expand-plan family: the NEW in-window
+    # revenue_cube drives the same Expand replication (CUBE lattice);
+    # melt output shape pinned in pytest
+    "funnel_conversion",  # event-sequence family: cohort_retention
+    # (in-window) covers the keyed ordered-window machinery; funnel
+    # stage ordering pinned in pytest
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -57,8 +57,10 @@ REQUIRED_VISIBLE = [
     # new entry adds the DSIR data-selection scorer
     # quality_score demoted for phase-7: token_entropy + dsir cover the
     # heuristic-scoring family, components pinned in test_text_gates.py
+    # token_entropy demoted for phase-8: dsir_importance_weights +
+    # repetition_gates keep heuristic scoring in-window, entropy pinned
+    # in pytest
     "dsir_importance_weights",
-    "token_entropy",
     # doc_fingerprint demoted mid-r5 for dedup_exact_normalized; its
     # minhash machinery is driven end-to-end by dedup_minhash_lsh
     # token_count_bpe demoted mid-r5 for bpe_learned_tokenize (the
@@ -88,34 +90,35 @@ REQUIRED_VISIBLE = [
     # components + keeper anti-join run inside prepare_training_corpus
     # incremental_novel_docs demoted mid-r5 for cohort_retention;
     # bloom_novel_docs is its in-window approximate scale path
-    # similarity (similarity_ann_lsh demoted mid-r5 for the new
-    # similarity_pq_adc; LSH recall/score-parity floors stay pinned in
-    # tests/test_phase2.py + tests/test_lsh_occupancy.py;
-    # similarity_ivf demoted for phase-7: similarity_ivf_pq is a strict
-    # superset with the same pinned-centroid replay)
-    "similarity_pq_adc",
+    # similarity (similarity_ann_lsh demoted mid-r5, similarity_ivf
+    # demoted for phase-7, similarity_pq_adc + embedding_pq_codes
+    # demoted for phase-8: similarity_ivf_pq is the strict superset —
+    # same pinned-centroid replay, LUT/ADC/re-rank over residual codes —
+    # with recall/parity floors pinned in tests/test_pq.py +
+    # tests/test_phase2.py + tests/test_lsh_occupancy.py)
     "similarity_ivf_pq",
     # embedding_centroids demoted mid-r5 for scd2_user_history; its
     # per-component arithmetic family is covered by embedding_quantize
     # and the pinned-centroid IVF/IVF-PQ replays
     "embedding_quantize",
-    "embedding_pq_codes",
+    "standardize_embeddings",
     # multimodal / relational / sampling
     "multimodal_decode",
     "multimodal_audio_decode",
     # multimodal_frame_sample demoted mid-r5 for embedding_quantize; its
     # binary plumbing is covered by the two real-codec entries above
-    # sessionize_events demoted end-of-r5 for event_transition_matrix:
-    # the identical per-key ordered window runs there, with funnel +
-    # cohort also in-window and gap boundaries pinned in pytest
-    "event_transition_matrix",
+    # sessionize_events demoted end-of-r5, event_transition_matrix +
+    # funnel_conversion demoted for phase-8: cohort_retention keeps the
+    # per-key ordered-sequence window family in-window; transition
+    # counts and funnel ordering stay hand-pinned in pytest
+    "cohort_retention",
     # asof_join_orders demoted late-r5 for range_join_view_purchase; the
     # temporal-join family stays in-window via the new bucketed range
     # join, and as-of ≡ brute-force is pinned in tests/test_relational.py
     "range_join_view_purchase",
-    "unpivot_part_metrics",
-    "funnel_conversion",
-    "cohort_retention",
+    # unpivot_part_metrics demoted for phase-8: revenue_cube drives the
+    # same Expand-plan replication (CUBE lattice) in-window
+    "revenue_cube",
     "scd2_user_history",
     "data_quality_report",
     # pack_sequences demoted end-of-r5 for bm25_search: chunk_documents
@@ -126,8 +129,10 @@ REQUIRED_VISIBLE = [
     "repetition_gates",
     # stratified_sample_docs demoted mid-r5 for similarity_ivf_pq; its
     # portable-hash ticket family is covered by corpus_mix_temperature
+    # lm_bigram_cross_entropy demoted for phase-8: lm_cross_entropy
+    # keeps the quantized-LM machinery in-window, bigram parity pinned
+    # in tests/test_lm_quality.py
     "lm_cross_entropy",
-    "lm_bigram_cross_entropy",
     "corpus_mix_temperature",
     "bloom_novel_docs",
     # skew mitigation (skew_salted_agg demoted mid-r5 for
@@ -140,14 +145,24 @@ REQUIRED_VISIBLE = [
     # tfidf_top_term demoted mid-r5 for dedup_semantic_clusters; its
     # tf/df-aggregation family is covered by the in-window LM entries
     "dedup_semantic_clusters",
+    # prepare_training_corpus_v2 demoted for phase-8: each of its stages
+    # is independently in-window or runs inside the v1 composite
     "prepare_training_corpus",
-    "prepare_training_corpus_v2",
     # phase-7 (all NEW this round, in-window by policy)
     "entity_resolution_customers",
     "outlier_mad_events",
     "pagerank_parts",
     "hopping_window_events",
     "sparse_cosine_docs",
+    # phase-8 (all NEW this round, in-window by policy)
+    "revenue_cube",
+    "bfs_part_distances",
+    "cumulative_unique_users",
+    "ewma_daily_revenue",
+    "label_encode_docs",
+    "feature_hash_docs",
+    "standardize_embeddings",
+    "compact_orders_roundtrip",
 ]
 
 # Operators added or materially changed this round: the rotation policy
@@ -163,16 +178,10 @@ CHANGED_THIS_ROUND = [
     "corpus_mix_temperature",  # new temperature rebalancing (r5)
     "bloom_novel_docs",  # new portable Bloom novelty gate (r5)
     "price_quantile_sketch",  # new mergeable histogram quantiles (r5)
-    "lm_bigram_cross_entropy",  # new add-one bigram LM scoring (r5)
-    "prepare_training_corpus_v2",  # new r5-stage composition (r5)
     "embedding_quantize",  # new int8 quantization (r5)
-    "embedding_pq_codes",  # new product quantization (r5)
-    "similarity_pq_adc",  # new two-stage ADC + re-rank search (r5)
     "dedup_semantic_clusters",  # new SemDeDup cluster-scoped prune (r5)
     "dedup_exact_normalized",  # new RefinedWeb fuzzy-exact dedup (r5)
     "similarity_ivf_pq",  # new IVF-PQ residual-coded ANN (r5)
-    "unpivot_part_metrics",  # new UNPIVOT/melt reshape (r5)
-    "funnel_conversion",  # new ordered-funnel analysis (r5)
     "cohort_retention",  # new cohort retention curves (r5)
     "scd2_user_history",  # new SCD Type-2 history materialization (r5)
     "bpe_learned_tokenize",  # new BPE tokenizer induction (r5)
@@ -181,9 +190,7 @@ CHANGED_THIS_ROUND = [
     "range_join_view_purchase",  # new bucketed range join (r5)
     "daily_gapfill_locf",  # new gap-fill rollup + LOCF (r5)
     "dsir_importance_weights",  # new DSIR importance weighting (r5)
-    "token_entropy",  # new word-diversity entropy gate (r5)
     "snapshot_diff_orders",  # new snapshot change-data-feed diff (r5)
-    "event_transition_matrix",  # new Markov transition matrix (r5)
     "frequent_part_pairs",  # new market-basket frequent pairs (r5)
     "triangle_part_cliques",  # new degree-oriented triangle join (r5)
     "bm25_search",  # new Okapi BM25 keyword retrieval (r5)
@@ -193,6 +200,17 @@ CHANGED_THIS_ROUND = [
     "pagerank_parts",  # new fixed-point integer PageRank (r5)
     "hopping_window_events",  # new hopping-window rollup (r5)
     "sparse_cosine_docs",  # new sparse TF-IDF cosine join (r5)
+    # mid-r5 entries above that lost their slot to phase 8 moved to
+    # queries._DEMOTED with sibling-coverage annotations — the window
+    # holds 50 and phase 8's additions are the least-proven
+    "revenue_cube",  # new CUBE grouping-set lattice (r5 phase 8)
+    "bfs_part_distances",  # new bounded multi-source BFS (r5 phase 8)
+    "cumulative_unique_users",  # new growth curve (r5 phase 8)
+    "ewma_daily_revenue",  # new exact dyadic EWMA (r5 phase 8)
+    "label_encode_docs",  # new categorical encoding (r5 phase 8)
+    "feature_hash_docs",  # new hashing-trick features (r5 phase 8)
+    "standardize_embeddings",  # new z-score standardization (r5 phase 8)
+    "compact_orders_roundtrip",  # new small-file compaction (r5 phase 8)
 ]
 
 
