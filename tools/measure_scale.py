@@ -555,13 +555,163 @@ def measure_phase7(spark, sf_dir: str, replicas: int) -> dict:
     return out
 
 
+def measure_phase8(spark, sf_dir: str, replicas: int) -> dict:
+    """Measure the phase-8 operators at 1x and ~Nx along each family's
+    realistic growth axis:
+
+    * bfs — edge replicas in disjoint node ranges with per-replica seeds
+      (the graph grows as more components, degree constant): each hop's
+      frontier join + anti-join shuffle must scale ~linearly with edges.
+    * feature_hash — doc replicas (token volume grows, bucket width
+      fixed): the explode + (id, bucket) aggregate scales with tokens.
+    * standardize — embedding replicas: the dim-keyed moment aggregate
+      is map-side combined, so shuffle stays ~dims-sized while scan
+      grows linearly.
+    * revenue_cube — fact replicas through the 4-set Expand: one shuffle
+      whose volume tracks rows x grouping sets, never rows x scans.
+    """
+    from cdc_data_lake_pyspark_spark.operators.features import (
+        feature_hash,
+        standardize_components,
+    )
+    from cdc_data_lake_pyspark_spark.operators.graph import bfs_distances
+    from cdc_data_lake_pyspark_spark.operators.mining import frequent_pairs
+    from cdc_data_lake_pyspark_spark.queries import _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    und = (
+        frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+        .select("item_a", "item_b")
+        .cache()
+    )
+    und.count()
+
+    def edges_at(n_rep):
+        reps = spark.range(n_rep).select(F.col("id").alias("_r"))
+        e = und.crossJoin(reps).select(
+            (F.col("item_a") + F.col("_r") * 10_000_000).alias("src"),
+            (F.col("item_b") + F.col("_r") * 10_000_000).alias("dst"),
+        )
+        return e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def seeds_at(n_rep):
+        e = edges_at(n_rep)
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        return nodes.filter(F.col("node") % 13 == 0)
+
+    docs_1x = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb_1x = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    orders_1x = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def docs_at(n_rep):
+        if n_rep == 1:
+            return docs_1x
+        reps = spark.range(n_rep).select(F.col("id").alias("_r"))
+        return docs_1x.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+            "text",
+        )
+
+    def emb_at(n_rep):
+        if n_rep == 1:
+            return emb_1x
+        reps = spark.range(n_rep).select(F.col("id").alias("_r"))
+        return emb_1x.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("_r") * 10_000_000).alias("vec_id"),
+            "embedding",
+        )
+
+    def orders_at(n_rep):
+        if n_rep == 1:
+            return orders_1x
+        reps = spark.range(n_rep).select(F.col("id").alias("_r"))
+        return orders_1x.crossJoin(reps).select(
+            (F.col("o_orderkey") + F.col("_r") * 100_000_000).alias(
+                "o_orderkey"
+            ),
+            "o_custkey",
+            "o_totalprice",
+        )
+
+    def cube_at(n_rep):
+        return (
+            orders_at(n_rep)
+            .join(cust, F.col("o_custkey") == cust.c_custkey)
+            .join(
+                F.broadcast(nation),
+                cust.c_nationkey == nation.n_nationkey,
+            )
+            .cube("n_name", "c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.col("o_totalprice").cast("decimal(18,2)")
+                ).alias("revenue"),
+            )
+        )
+
+    out = {}
+    for label, n_rep in (("1x", 1), (f"{replicas}x", replicas)):
+        row = {"ops": {}}
+        for op, build in (
+            (
+                "bfs_4hop",
+                lambda: bfs_distances(
+                    edges_at(n_rep), seeds_at(n_rep), max_hops=4
+                ),
+            ),
+            (
+                "feature_hash_256",
+                lambda: feature_hash(
+                    docs_at(n_rep), "doc_id", "text", n_buckets=256
+                ),
+            ),
+            (
+                "standardize_dims",
+                lambda: standardize_components(
+                    emb_at(n_rep), "vec_id", "embedding"
+                ),
+            ),
+            ("revenue_cube", lambda: cube_at(n_rep)),
+        ):
+            r0, w0 = shuffle_totals(spark)
+            t0 = time.time()
+            out_rows = build().count()
+            elapsed = round(time.time() - t0, 2)
+            r1, w1 = shuffle_totals(spark)
+            row["ops"][op] = {
+                "sec": elapsed,
+                "out_rows": out_rows,
+                "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+            }
+            print("phase8", label, op, row["ops"][op], flush=True)
+        out[label] = row
+    und.unpersist()
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--out", default="SCALE_MEASURED.json")
     ap.add_argument(
         "--only",
-        choices=["family", "substring", "textpipe", "temporal", "phase7"],
+        choices=["family", "substring", "textpipe", "temporal", "phase7", "phase8"],
         default=None,
         help="measure one section and merge into an existing --out file",
     )
@@ -581,18 +731,20 @@ def main():
         if prior.get("sf_dir") == SF_DIR and prior.get("replicas") == args.replicas:
             results = prior
 
-    if args.only in ("substring", "textpipe", "temporal", "phase7"):
+    if args.only in ("substring", "textpipe", "temporal", "phase7", "phase8"):
         key = {
             "substring": "substring_dedup",
             "textpipe": "textpipe",
             "temporal": "temporal",
             "phase7": "phase7",
+            "phase8": "phase8",
         }[args.only]
         fn = {
             "substring": measure_substring,
             "textpipe": measure_textpipe,
             "temporal": measure_temporal,
             "phase7": measure_phase7,
+            "phase8": measure_phase8,
         }[args.only]
         results[key] = fn(spark, SF_DIR, args.replicas)
         with open(args.out, "w") as f:
