@@ -801,6 +801,17 @@ _DEMOTED: tuple[str, ...] = (
     "funnel_conversion",  # event-sequence family: cohort_retention
     # (in-window) covers the keyed ordered-window machinery; funnel
     # stage ordering pinned in pytest
+    "snapshot_diff_orders",  # diff family: scd2_user_history (in-window)
+    # materializes the same changelog full-outer machinery, and the
+    # snapshot diff is property-tested against a brute-force model in
+    # tests/test_property_phase6.py; demoted for the NEW
+    # ivm_orders_by_status window slot (IVM folds the same signed
+    # change batches the diff emits)
+    "range_join_view_purchase",  # temporal-join family: pit_join_views
+    # (in-window) drives the interval/as-of machinery, and the bucketed
+    # range join is property-tested vs brute force in
+    # tests/test_property_phase6.py; demoted for the NEW
+    # chisq_lang_source window slot
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -385,3 +385,118 @@ def compact_orders_roundtrip(spark, sf_dir):
     orders.repartition(64).write.mode("overwrite").parquet(frag)
     compact_files(spark, frag, packed, target_bytes=256 * 1024 * 1024)
     return spark.read.parquet(packed)
+
+
+@query(
+    "ivm_orders_by_status",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders
+    WHERE (o_orderkey % 4 = 0)
+       OR (o_orderkey % 4 <> 0 AND o_orderkey % 10 <> 1)
+    GROUP BY o_orderstatus
+    """,
+)
+def ivm_orders_by_status(spark, sf_dir):
+    """Incremental view maintenance of a revenue-by-status aggregate:
+    the state is materialized from a base slice, then ONE signed change
+    batch (inserts of the held-out orders, deletes of part of the base)
+    folds in via operators/ivm.py — per batch the work is
+    O(|delta| + |groups|), never a base-table rescan.  The oracle states
+    the full RECOMPUTE over the effective final row set, so the check
+    proves incremental ≡ recompute bit-for-bit (counts BIGINT, revenue
+    on the DECIMAL bridge, cast to double only at the edge)."""
+    from cdc_data_lake_pyspark_spark.operators.ivm import (
+        aggregate_state,
+        apply_agg_delta,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 4 != 0)
+    state = aggregate_state(
+        base, ["o_orderstatus"], {"o_totalprice": "revenue"}
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 4 == 0).withColumn(
+        "_sign", F.lit(1)
+    )
+    deletes = base.filter(F.col("o_orderkey") % 10 == 1).withColumn(
+        "_sign", F.lit(-1)
+    )
+    updated = apply_agg_delta(
+        state,
+        inserts.unionByName(deletes),
+        ["o_orderstatus"],
+        {"o_totalprice": "revenue"},
+    )
+    return updated.select(
+        "o_orderstatus", "n", F.col("revenue").cast("double").alias("revenue")
+    )
+
+
+@query(
+    "chisq_lang_source",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ), r AS (
+      SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1
+    ), c AS (
+      SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1
+    ), t AS (
+      SELECT CAST(sum(o) AS BIGINT) AS nt FROM cells
+    )
+    SELECT cells.lang, cells.source, cells.o, r.rt, c.ct, t.nt,
+           CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE)
+             / CAST(t.nt AS DOUBLE) AS expected,
+           (CAST(cells.o AS DOUBLE) * CAST(t.nt AS DOUBLE)
+            - CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE))
+           * (CAST(cells.o AS DOUBLE) * CAST(t.nt AS DOUBLE)
+              - CAST(r.rt AS DOUBLE) * CAST(c.ct AS DOUBLE))
+           / (CAST(t.nt AS DOUBLE) * CAST(r.rt AS DOUBLE)
+              * CAST(c.ct AS DOUBLE)) AS chi2_term
+    FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+    """,
+)
+def chisq_lang_source(spark, sf_dir):
+    """Chi-square contingency analysis of the corpus (lang × source):
+    per-cell observed counts, marginals, expected counts under
+    independence, and the cell's chi-square contribution — the
+    association test a data-quality audit runs to catch a source
+    over-representing one language.
+
+    One map-side-combined aggregate over the fact builds the cell
+    matrix; every downstream frame (marginals, grand total) derives
+    from the CELL matrix — cells × 1 sized, never a fact rescan — and
+    broadcasts back.  Marginals are exact BIGINTs; expected/chi2 are
+    double expressions with identical text in both engines, so even the
+    float outputs are bit-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    r = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
+    c = cells.groupBy("source").agg(F.sum("o").alias("ct"))
+    t = cells.agg(F.sum("o").alias("nt"))
+    joined = (
+        cells.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(t))
+    )
+    od = F.col("o").cast("double")
+    rtd = F.col("rt").cast("double")
+    ctd = F.col("ct").cast("double")
+    ntd = F.col("nt").cast("double")
+    dev = od * ntd - rtd * ctd
+    return joined.select(
+        "lang",
+        "source",
+        "o",
+        "rt",
+        "ct",
+        "nt",
+        (rtd * ctd / ntd).alias("expected"),
+        (dev * dev / (ntd * rtd * ctd)).alias("chi2_term"),
+    )

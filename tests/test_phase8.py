@@ -135,3 +135,52 @@ def test_standardize_zero_variance_dim_yields_null(spark):
     assert all(r.z is None for r in d0)  # constant dim
     # dim 1: values 5,7 -> mean 6, pop std 1 -> z = -1, +1
     assert abs(d1[0].z + 1.0) < 1e-9 and abs(d1[1].z - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------- IVM
+from cdc_data_lake_pyspark_spark.operators.ivm import (
+    aggregate_state,
+    apply_agg_delta,
+)
+
+
+def _state_map(df):
+    return {
+        r.g: (r.n, float(r.total)) for r in df.collect()
+    }
+
+
+def test_ivm_insert_delete_update_and_group_lifecycle(spark):
+    base = spark.createDataFrame(
+        [Row(g="a", v=10.0), Row(g="a", v=20.0), Row(g="b", v=5.0)]
+    )
+    state = aggregate_state(base, ["g"], {"v": "total"})
+    delta = spark.createDataFrame(
+        [
+            Row(g="c", v=7.0, _sign=1),   # insert creates a new group
+            Row(g="b", v=5.0, _sign=-1),  # delete empties group b
+            Row(g="a", v=20.0, _sign=-1),  # update = delete old image...
+            Row(g="a", v=25.0, _sign=1),   # ...plus insert new image
+        ]
+    )
+    out = _state_map(
+        apply_agg_delta(state, delta, ["g"], {"v": "total"})
+    )
+    assert out == {"a": (2, 35.0), "c": (1, 7.0)}  # b dropped at n=0
+
+
+def test_ivm_incremental_equals_recompute(spark):
+    rows = [Row(g=f"g{i % 5}", v=float(i)) for i in range(100)]
+    base = spark.createDataFrame(rows[:70])
+    state = aggregate_state(base, ["g"], {"v": "total"})
+    delta = spark.createDataFrame(
+        [Row(g=r.g, v=r.v, _sign=1) for r in rows[70:]]
+        + [Row(g=r.g, v=r.v, _sign=-1) for r in rows[:10]]
+    )
+    incremental = _state_map(
+        apply_agg_delta(state, delta, ["g"], {"v": "total"})
+    )
+    recompute = _state_map(
+        aggregate_state(spark.createDataFrame(rows[10:]), ["g"], {"v": "total"})
+    )
+    assert incremental == recompute

@@ -29,7 +29,10 @@ REQUIRED_VISIBLE = [
     # distinct_fanout_inventory demoted end-of-r5 for
     # snapshot_diff_orders: the same inventory aggregation executes
     # inside the in-window cdc_multi_table_apply flagship
-    "snapshot_diff_orders",
+    # snapshot_diff_orders demoted for phase-8 (ivm_orders_by_status):
+    # scd2_user_history keeps the changelog full-outer family in-window
+    # and the diff is property-tested vs a brute-force model
+    "scd2_user_history",
     "dedup_latest_per_key",
     # analytics
     # join_customer_geo demoted end-of-r5 for frequent_part_pairs:
@@ -112,14 +115,14 @@ REQUIRED_VISIBLE = [
     # per-key ordered-sequence window family in-window; transition
     # counts and funnel ordering stay hand-pinned in pytest
     "cohort_retention",
-    # asof_join_orders demoted late-r5 for range_join_view_purchase; the
-    # temporal-join family stays in-window via the new bucketed range
-    # join, and as-of ≡ brute-force is pinned in tests/test_relational.py
-    "range_join_view_purchase",
+    # asof_join_orders demoted late-r5, range_join_view_purchase demoted
+    # for phase-8 (chisq_lang_source): pit_join_views keeps the
+    # temporal-join family in-window; as-of ≡ brute-force and the range
+    # join are property-tested
+
     # unpivot_part_metrics demoted for phase-8: revenue_cube drives the
     # same Expand-plan replication (CUBE lattice) in-window
     "revenue_cube",
-    "scd2_user_history",
     "data_quality_report",
     # pack_sequences demoted end-of-r5 for bm25_search: chunk_documents
     # keeps the token-slicing family in-window and the packer invariants
@@ -163,6 +166,8 @@ REQUIRED_VISIBLE = [
     "feature_hash_docs",
     "standardize_embeddings",
     "compact_orders_roundtrip",
+    "ivm_orders_by_status",
+    "chisq_lang_source",
 ]
 
 # Operators added or materially changed this round: the rotation policy
@@ -187,10 +192,12 @@ CHANGED_THIS_ROUND = [
     "bpe_learned_tokenize",  # new BPE tokenizer induction (r5)
     "data_quality_report",  # new declarative DQ validation (r5)
     "key_skew_report",  # new skew diagnostics (r5)
-    "range_join_view_purchase",  # new bucketed range join (r5)
     "daily_gapfill_locf",  # new gap-fill rollup + LOCF (r5)
     "dsir_importance_weights",  # new DSIR importance weighting (r5)
-    "snapshot_diff_orders",  # new snapshot change-data-feed diff (r5)
+    # snapshot_diff_orders demoted for phase-8 (ivm_orders_by_status):
+    # scd2_user_history keeps the changelog full-outer family in-window
+    # and the diff is property-tested vs a brute-force model
+    "scd2_user_history",  # new snapshot change-data-feed diff (r5)
     "frequent_part_pairs",  # new market-basket frequent pairs (r5)
     "triangle_part_cliques",  # new degree-oriented triangle join (r5)
     "bm25_search",  # new Okapi BM25 keyword retrieval (r5)
@@ -211,6 +218,8 @@ CHANGED_THIS_ROUND = [
     "feature_hash_docs",  # new hashing-trick features (r5 phase 8)
     "standardize_embeddings",  # new z-score standardization (r5 phase 8)
     "compact_orders_roundtrip",  # new small-file compaction (r5 phase 8)
+    "ivm_orders_by_status",  # new incremental view maintenance (r5 phase 8)
+    "chisq_lang_source",  # new chi-square contingency audit (r5 phase 8)
 ]
 
 
