@@ -301,3 +301,115 @@ def sample_frames(
             ),
         )
     )
+
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("energy_sum", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+    ]
+)
+
+
+def audio_frame_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_len: int = 32,
+    decoder: Optional[Decoder] = None,
+) -> DataFrame:
+    """Decode audio payloads and extract per-frame features: energy
+    (``sum(v²)``) and zero-crossing count per non-overlapping
+    ``frame_len``-sample frame — the integer-exact core of a VAD /
+    silence-gating pass (energy thresholds, ZCR voicing heuristics).
+    Partial tail frames are dropped so every frame is comparable.
+
+    A zero crossing is a sign-bit change between adjacent samples WITHIN
+    a frame (``(v[j-1] < 0) != (v[j] < 0)``), so the count is replayable
+    with a lag window in SQL.  All features are exact BIGINTs — at
+    32-sample frames the energy bound is 32·32768² « int64.
+
+    Scale: the per-doc work is numpy over one Arrow batch; output rows
+    are samples/frame_len per doc.  The decode runs ONCE per payload
+    per batch, and the features leave Python as integers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples, _ = decode_audio(bytes(payload), decoder)
+                s = samples.astype(np.int64).reshape(-1)
+                n_frames = s.size // frame_len
+                if n_frames == 0:
+                    continue
+                fr = s[: n_frames * frame_len].reshape(n_frames, frame_len)
+                energy = (fr * fr).sum(axis=1)
+                neg = fr < 0
+                zc = (neg[:, 1:] != neg[:, :-1]).sum(axis=1)
+                rows.extend(
+                    (did, int(f), int(energy[f]), int(zc[f]))
+                    for f in range(n_frames)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FRAME_SCHEMA]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, AUDIO_FRAME_SCHEMA)
+
+
+IMAGE_TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("tile_row", T.LongType(), True),
+        T.StructField("tile_col", T.LongType(), True),
+        T.StructField("channel", T.LongType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("tile_sum", T.LongType(), True),
+    ]
+)
+
+
+def image_tile_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    tile: int = 2,
+    decoder: Optional[Decoder] = None,
+) -> DataFrame:
+    """Decode image payloads and pool pixels into ``tile × tile`` blocks
+    per channel — the integer-exact core of a downsample/resize stage
+    (average pooling = ``tile_sum / n_px``; sums stay exact so the
+    oracle replay is bit-for-bit, the division is the caller's).  Edge
+    tiles keep their partial pixel count in ``n_px`` rather than
+    padding, so resolution-mismatched inputs can't silently skew means.
+
+    Scale: numpy pools whole Arrow batches; output rows are
+    ceil(h/tile)·ceil(w/tile)·3 per image — the downsampled feature
+    map a vision pipeline feeds forward."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_image(bytes(payload), decoder).astype(np.int64)
+                h, w, nc = px.shape
+                for tr in range((h + tile - 1) // tile):
+                    for tc in range((w + tile - 1) // tile):
+                        block = px[
+                            tr * tile : (tr + 1) * tile,
+                            tc * tile : (tc + 1) * tile,
+                            :,
+                        ]
+                        n_px = block.shape[0] * block.shape[1]
+                        sums = block.sum(axis=(0, 1))
+                        rows.extend(
+                            (did, tr, tc, int(ch), n_px, int(sums[ch]))
+                            for ch in range(nc)
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_TILE_SCHEMA]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, IMAGE_TILE_SCHEMA)

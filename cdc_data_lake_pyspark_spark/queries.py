@@ -812,6 +812,14 @@ _DEMOTED: tuple[str, ...] = (
     # range join is property-tested vs brute force in
     # tests/test_property_phase6.py; demoted for the NEW
     # chisq_lang_source window slot
+    "multimodal_decode",  # the NEW in-window multimodal_image_tiles
+    # drives the SAME real BMP decode with FINER verification (per-tile
+    # spatial sums vs whole-image sums); golden-bytes + roundtrip pinned
+    # in tests/test_codecs.py; demoted late-phase-8 for its window slot
+    "multimodal_audio_decode",  # the NEW in-window
+    # multimodal_audio_frames drives the SAME real WAV decode with
+    # finer verification (per-frame energy/ZCR vs whole-stream sums);
+    # demoted late-phase-8 for its window slot
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -500,3 +500,82 @@ def chisq_lang_source(spark, sf_dir):
         (rtd * ctd / ntd).alias("expected"),
         (dev * dev / (ntd * rtd * ctd)).alias("chi2_term"),
     )
+
+
+@query(
+    "multimodal_audio_frames",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 64 + doc_id % 97 AS n FROM documents
+    ), s AS (
+      SELECT doc_id, i, i // 32 AS f,
+             ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+      FROM d, LATERAL unnest(generate_series(0, (n // 32) * 32 - 1)) AS g(i)
+    ), lagged AS (
+      SELECT doc_id, i, f, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS vp
+      FROM s
+    )
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(sum(v * v) AS BIGINT) AS energy_sum,
+           CAST(sum(CASE WHEN i % 32 <> 0 AND ((vp < 0) <> (v < 0))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM lagged GROUP BY doc_id, f
+    """,
+)
+def multimodal_audio_frames(spark, sf_dir):
+    """Framed audio features over REAL WAV decode: per 32-sample frame,
+    exact integer energy and zero-crossing counts — the VAD/silence-gate
+    arithmetic — computed by numpy over Arrow batches
+    (operators/multimodal.py::audio_frame_features).  The oracle replays
+    the synthetic sample stream and the frame/lag arithmetic in SQL, so
+    a match proves decode, framing, and both features bit-for-bit."""
+    from cdc_data_lake_pyspark_spark.operators.multimodal import (
+        audio_frame_features,
+        synth_media_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return audio_frame_features(
+        synth_media_payloads(docs), payload_col="wav_payload", frame_len=32
+    )
+
+
+@query(
+    "multimodal_image_tiles",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+    ), px AS (
+      SELECT doc_id,
+             (i // (3 * w)) // 2 AS tile_row,
+             ((i // 3) % w) // 2 AS tile_col,
+             i % 3 AS channel,
+             (doc_id * 7 + i * 13) % 256 AS v
+      FROM d, LATERAL unnest(generate_series(0, w * h * 3 - 1)) AS g(i)
+    )
+    SELECT doc_id, CAST(tile_row AS BIGINT) AS tile_row,
+           CAST(tile_col AS BIGINT) AS tile_col,
+           CAST(channel AS BIGINT) AS channel,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(v) AS BIGINT) AS tile_sum
+    FROM px GROUP BY 1, 2, 3, 4
+    """,
+)
+def multimodal_image_tiles(spark, sf_dir):
+    """2×2 average-pool tiling over REAL BMP decode — the integer-exact
+    core of a resize/downsample stage
+    (operators/multimodal.py::image_tile_stats): per (tile, channel)
+    the exact pixel sum plus the contributing pixel count (edge tiles
+    keep partial counts instead of padding).  The oracle replays the
+    pixel formula and the row/col/tile index arithmetic in SQL, so a
+    match proves decode, spatial indexing, and pooling bit-for-bit."""
+    from cdc_data_lake_pyspark_spark.operators.multimodal import (
+        image_tile_stats,
+        synth_media_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return image_tile_stats(
+        synth_media_payloads(docs), payload_col="bmp_payload", tile=2
+    )

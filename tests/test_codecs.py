@@ -154,3 +154,54 @@ def test_image_audio_stats_spark(spark):
         assert aud[did].sample_rate == rate
         assert aud[did].sample_sum == s.sum()
         assert aud[did].weighted_sum == (s * np.arange(1, s.size + 1)).sum()
+
+
+def test_audio_frame_features_known_energy_and_crossings(spark):
+    from pyspark.sql import Row
+
+    from cdc_data_lake_pyspark_spark.operators.multimodal import (
+        audio_frame_features,
+    )
+
+    # frame 0: alternating +100/-100 -> 3 crossings, energy 4*100^2
+    # frame 1: constant 50 -> 0 crossings; tail of 2 samples dropped
+    s = np.array([100, -100, 100, -100, 50, 50, 50, 50, 7, 7], dtype=np.int16)
+    wav = encode_wav(s, sample_rate=8000)
+    df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(wav))])
+    out = sorted(
+        audio_frame_features(df, payload_col="payload", frame_len=4).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [(r.frame_idx, r.energy_sum, r.zero_crossings) for r in out] == [
+        (0, 4 * 100 * 100, 3),
+        (1, 4 * 50 * 50, 0),
+    ]
+
+
+def test_image_tile_stats_edge_tiles_keep_partial_counts(spark):
+    from pyspark.sql import Row
+
+    from cdc_data_lake_pyspark_spark.operators.multimodal import (
+        image_tile_stats,
+    )
+
+    # 3x3 image, value = row*10 + col in every channel: 2x2 tiling gives
+    # a full tile, two 2-pixel edge tiles, and a 1-pixel corner
+    px = np.zeros((3, 3, 3), dtype=np.uint8)
+    for r in range(3):
+        for c in range(3):
+            px[r, c, :] = r * 10 + c
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(encode_bmp(px)))]
+    )
+    out = {
+        (r.tile_row, r.tile_col): (r.n_px, r.tile_sum)
+        for r in image_tile_stats(df, payload_col="payload", tile=2).collect()
+        if r.channel == 0
+    }
+    assert out == {
+        (0, 0): (4, 0 + 1 + 10 + 11),
+        (0, 1): (2, 2 + 12),
+        (1, 0): (2, 20 + 21),
+        (1, 1): (1, 22),
+    }

@@ -105,9 +105,11 @@ REQUIRED_VISIBLE = [
     # and the pinned-centroid IVF/IVF-PQ replays
     "embedding_quantize",
     "standardize_embeddings",
-    # multimodal / relational / sampling
-    "multimodal_decode",
-    "multimodal_audio_decode",
+    # multimodal / relational / sampling (multimodal_decode +
+    # multimodal_audio_decode demoted late-phase-8: the frame/tile
+    # entries drive the same real decoders with finer verification)
+    "multimodal_audio_frames",
+    "multimodal_image_tiles",
     # multimodal_frame_sample demoted mid-r5 for embedding_quantize; its
     # binary plumbing is covered by the two real-codec entries above
     # sessionize_events demoted end-of-r5, event_transition_matrix +
@@ -168,14 +170,14 @@ REQUIRED_VISIBLE = [
     "compact_orders_roundtrip",
     "ivm_orders_by_status",
     "chisq_lang_source",
+    "multimodal_audio_frames",
+    "multimodal_image_tiles",
 ]
 
 # Operators added or materially changed this round: the rotation policy
 # requires them INSIDE the gated window (ADVICE r4).
 CHANGED_THIS_ROUND = [
     "dedup_substring_windows",  # reassembly pruned to affected docs (r5)
-    "multimodal_decode",  # new real BMP decode (r5)
-    "multimodal_audio_decode",  # new real WAV decode (r5)
     "dedup_embedding_cosine_lsh",  # auto-sized planes/tables (r5)
     "chunk_documents",  # new context-window chunking (r5)
     "repetition_gates",  # new Gopher-style n-gram gates (r5)
@@ -220,6 +222,8 @@ CHANGED_THIS_ROUND = [
     "compact_orders_roundtrip",  # new small-file compaction (r5 phase 8)
     "ivm_orders_by_status",  # new incremental view maintenance (r5 phase 8)
     "chisq_lang_source",  # new chi-square contingency audit (r5 phase 8)
+    "multimodal_audio_frames",  # new framed audio features (r5 phase 8)
+    "multimodal_image_tiles",  # new tile pooling (r5 phase 8)
 ]
 
 
