@@ -137,3 +137,45 @@ def standardize_components(
         "ssq_q",
         F.when(denom > 0, num / denom).alias("z"),
     )
+
+
+def label_encode_multi(
+    df: DataFrame, value_cols: list[str]
+) -> DataFrame:
+    """Frequency-ordered label encoding for SEVERAL columns in ONE fact
+    scan: the per-column vocabularies come from a single
+    explode-to-(column, value) aggregate instead of one counting pass
+    per column (``label_encode`` N times scans the fact N+1 times; this
+    scans it twice — once for all vocabularies, once joining the
+    indexes back).
+
+    Same contract per column as :func:`label_encode`: index 0 is the
+    most frequent value, ties break lexicographically.  The ranking
+    window partitions by column name over vocab-sized rows; each
+    column's index frame broadcasts back."""
+    pairs = F.explode(
+        F.map_from_arrays(
+            F.array(*[F.lit(c) for c in value_cols]),
+            F.array(*[F.col(c).cast("string") for c in value_cols]),
+        )
+    ).alias("_col", "_val")
+    vocab = (
+        df.select(pairs)
+        .groupBy("_col", "_val")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w = Window.partitionBy("_col").orderBy(
+        F.col("_n").desc(), F.col("_val").asc()
+    )
+    idx = vocab.select(
+        "_col", "_val", (F.row_number().over(w) - 1).cast("int").alias("_idx")
+    ).localCheckpoint(eager=False)
+    out = df
+    for c in value_cols:
+        side = F.broadcast(
+            idx.filter(F.col("_col") == c).select(
+                F.col("_val").alias(c), F.col("_idx").alias(f"{c}_idx")
+            )
+        )
+        out = out.join(side, c)
+    return out

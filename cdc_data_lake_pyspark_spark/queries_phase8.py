@@ -279,11 +279,12 @@ def label_encode_docs(spark, sf_dir):
     most frequent category.  Each vocabulary is one count aggregate +
     an unpartitioned ranking over vocab-sized rows, broadcast back; the
     document table itself never reshuffles."""
-    from cdc_data_lake_pyspark_spark.operators.features import label_encode
+    from cdc_data_lake_pyspark_spark.operators.features import (
+        label_encode_multi,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    out = label_encode(docs, "lang", "lang_idx")
-    out = label_encode(out, "source", "source_idx")
+    out = label_encode_multi(docs, ["lang", "source"])
     return out.select("doc_id", "lang", "lang_idx", "source", "source_idx")
 
 
@@ -474,9 +475,11 @@ def chisq_lang_source(spark, sf_dir):
     double expressions with identical text in both engines, so even the
     float outputs are bit-identical."""
     docs = _t(spark, sf_dir, "documents")
-    cells = docs.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("o")
-    )
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )  # stage the cell matrix: marginals derive from CELLS, never a rescan
     r = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
     c = cells.groupBy("source").agg(F.sum("o").alias("ct"))
     t = cells.agg(F.sum("o").alias("nt"))

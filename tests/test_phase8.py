@@ -184,3 +184,27 @@ def test_ivm_incremental_equals_recompute(spark):
         aggregate_state(spark.createDataFrame(rows[10:]), ["g"], {"v": "total"})
     )
     assert incremental == recompute
+
+
+def test_label_encode_multi_matches_per_column_encoding(spark):
+    from cdc_data_lake_pyspark_spark.operators.features import (
+        label_encode_multi,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, a="x", b="p"),
+            Row(id=2, a="x", b="q"),
+            Row(id=3, a="y", b="q"),
+            Row(id=4, a="y", b="q"),
+            Row(id=5, a="y", b="r"),
+        ]
+    )
+    multi = {
+        r.id: (r.a_idx, r.b_idx)
+        for r in label_encode_multi(df, ["a", "b"]).collect()
+    }
+    ea = {r.a: r.a_idx for r in label_encode(df, "a").collect()}
+    eb = {r.b: r.b_idx for r in label_encode(df, "b").collect()}
+    rows = {r.id: (r.a, r.b) for r in df.collect()}
+    assert multi == {i: (ea[a], eb[b]) for i, (a, b) in rows.items()}
