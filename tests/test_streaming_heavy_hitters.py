@@ -1,0 +1,96 @@
+"""Streaming heavy-hitters soak: the event stream sliced into
+micro-batches through ``StreamingHeavyHitters`` must leave a CMS cell
+grid BIT-IDENTICAL to one batch sketch over the whole history (cell sums
+are additive), flag every truly-hot key (CMS overcounts only — no false
+negatives), and stay idempotent when a batch replays."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.functions.sketch import cms_sketch
+from cdc_data_lake_pyspark_spark.streaming.heavy_hitters import (
+    StreamingHeavyHitters,
+    start_heavy_hitter_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _cells_map(df):
+    return {(r.hash_row, r.bucket): r.n for r in df.collect()}
+
+
+def test_sliced_cms_state_equals_batch_sketch(spark, tmp_path):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("user_id").cast("string").alias("key"), "event_id"
+    )
+    gate = StreamingHeavyHitters(
+        str(tmp_path / "hh"), threshold=40, depth=4, width=64
+    )
+    for s in range(4):
+        gate.process_batch(
+            ev.filter(F.col("event_id") % 4 == s), batch_id=s
+        )
+    merged = _cells_map(gate.cells(spark))
+    oneshot = _cells_map(cms_sketch(ev, "key", depth=4, width=64))
+    assert merged == oneshot
+
+
+def test_truly_hot_keys_always_flagged_and_idempotent(spark, tmp_path):
+    # key "hot" appears 120x spread over batches; "cold" 3x
+    rows = [Row(key="hot", _i=i) for i in range(120)] + [
+        Row(key="cold", _i=120 + i) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows)
+    gate = StreamingHeavyHitters(
+        str(tmp_path / "hh2"), threshold=100, depth=4, width=256
+    )
+    third = 41
+    for s in range(3):
+        gate.process_batch(
+            df.filter(
+                (F.col("_i") >= s * third) & (F.col("_i") < (s + 1) * third)
+            ).select("key"),
+            batch_id=s,
+        )
+    hot = {r.key: (r.est, r.batch_id) for r in gate.hot_keys(spark).collect()}
+    assert "hot" in hot and hot["hot"][0] >= 120  # CMS never undercounts
+    assert "cold" not in hot  # 3 « threshold and width is ample
+    # the key is logged ONCE, at the batch where it crossed
+    assert gate.hot_keys(spark).count() == 1
+
+    # checkpoint replay: re-running a processed batch mutates nothing
+    before = _cells_map(gate.cells(spark))
+    gate.process_batch(df.select("key"), batch_id=1)
+    assert _cells_map(gate.cells(spark)) == before
+    assert gate.hot_keys(spark).count() == 1
+
+
+def test_stream_wiring_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    spark.createDataFrame(
+        [Row(key=f"k{i % 5}") for i in range(200)]
+    ).coalesce(1).write.mode("append").json(src)
+    stream = spark.readStream.schema("key string").json(src)
+    q = start_heavy_hitter_stream(
+        stream,
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=30,
+        width=128,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    gate = StreamingHeavyHitters(
+        str(tmp_path / "state"), threshold=30, width=128
+    )
+    flagged = {r.key for r in gate.hot_keys(spark).collect()}
+    assert flagged == {f"k{i}" for i in range(5)}  # each key count 40 >= 30
