@@ -820,6 +820,15 @@ _DEMOTED: tuple[str, ...] = (
     # multimodal_audio_frames drives the SAME real WAV decode with
     # finer verification (per-frame energy/ZCR vs whole-stream sums);
     # demoted late-phase-8 for its window slot
+    "skew_salted_join",  # skew family: key_skew_report (in-window)
+    # diagnoses the same hot keys and salted ≡ plain equality is pinned
+    # in tests/test_skew.py; demoted for the NEW
+    # bloom_join_lineitem_urgent window slot (both are join-shuffle
+    # optimizations; the Bloom reduction is the newer, less-proven one)
+    "dedup_simhash",  # simhash family: dedup_minhash_lsh (in-window)
+    # drives the banded near-dup machinery and the simhash hamming
+    # separation + banded pairs stay pinned in pytest + tail oracles;
+    # demoted for the NEW correlated_sample_join window slot
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -582,3 +582,75 @@ def multimodal_image_tiles(spark, sf_dir):
     return image_tile_stats(
         synth_media_payloads(docs), payload_col="bmp_payload", tile=2
     )
+
+
+@query(
+    "bloom_join_lineitem_urgent",
+    oracle="""
+    SELECT l.l_orderkey AS okey, l.l_partkey, l.l_quantity,
+           o.o_totalprice, o.o_orderpriority
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def bloom_join_lineitem_urgent(spark, sf_dir):
+    """Bloom semi-join reduction (the runtime-filter / dynamic-filtering
+    optimization, made explicit and portable): the lineitem fact is
+    pre-filtered against a broadcast Bloom filter built from the urgent
+    orders' keys BEFORE the join shuffle, so non-matching fact rows
+    drop at the scan side; Bloom has no false negatives and the join
+    removes the false-positive sliver, so the result is EXACTLY the
+    plain join the oracle states.  The filter is min(depth·keys,
+    depth·m_bits) cells — broadcastable however large the fact is."""
+    from cdc_data_lake_pyspark_spark.operators.joinopt import (
+        bloom_prefiltered_join,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_partkey", "l_quantity"
+    )
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(
+        F.col("o_orderkey").alias("okey"), "o_totalprice", "o_orderpriority"
+    )
+    return bloom_prefiltered_join(li, urgent, "okey").select(
+        "okey", "l_partkey", "l_quantity", "o_totalprice", "o_orderpriority"
+    )
+
+
+@query(
+    "correlated_sample_join",
+    oracle=f"""
+    SELECT o.o_orderkey AS okey, o.o_totalprice, l.l_partkey, l.l_quantity
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE {_portable_hash_sql("CAST(o.o_orderkey AS VARCHAR)")} % 100 < 10
+    """,
+)
+def correlated_sample_join(spark, sf_dir):
+    """Join-consistent sampling: orders AND lineitem each keep the rows
+    whose JOIN KEY hashes into the sampled 10% — the same key set on
+    both tables, so the sampled join is exactly the full join restricted
+    to sampled keys (independent per-table sampling would orphan ~90% of
+    lineitems).  Map-only keep-decisions, no shuffle, deterministic in
+    any engine via the portable hash; the oracle joins the FULL tables
+    and applies the key filter once, which must be identical."""
+    from cdc_data_lake_pyspark_spark.operators.joinopt import (
+        correlated_sample,
+    )
+
+    orders = correlated_sample(
+        _t(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("okey"), "o_totalprice"
+        ),
+        "okey",
+    )
+    li = correlated_sample(
+        _t(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("okey"), "l_partkey", "l_quantity"
+        ),
+        "okey",
+    )
+    return orders.join(li, "okey").select(
+        "okey", "o_totalprice", "l_partkey", "l_quantity"
+    )

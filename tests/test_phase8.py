@@ -208,3 +208,48 @@ def test_label_encode_multi_matches_per_column_encoding(spark):
     eb = {r.b: r.b_idx for r in label_encode(df, "b").collect()}
     rows = {r.id: (r.a, r.b) for r in df.collect()}
     assert multi == {i: (ea[a], eb[b]) for i, (a, b) in rows.items()}
+
+
+# ---------------------------------------------------------------- joinopt
+from cdc_data_lake_pyspark_spark.operators.joinopt import (
+    bloom_prefiltered_join,
+    correlated_sample,
+)
+
+
+def test_bloom_prefilter_join_equals_plain_join_and_reduces(spark):
+    import pytest as _pytest
+
+    probe = spark.createDataFrame(
+        [Row(k=i, v=i * 10) for i in range(1000)]
+    )
+    build = spark.createDataFrame(
+        [Row(k=i, w=f"w{i}") for i in range(0, 1000, 100)]  # 10 keys
+    )
+    out = bloom_prefiltered_join(probe, build, "k")
+    plain = probe.join(build, "k")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the pre-filter itself must discard (nearly) all non-matching rows:
+    # false-positive rate at depth 4 / 64k bits / 10 keys is ~0
+    pre_rows = bloom_prefiltered_join(
+        probe, build, "k", how="left_semi"
+    ).count()
+    assert pre_rows == 10
+    with _pytest.raises(ValueError):
+        bloom_prefiltered_join(probe, build, "k", how="left")
+
+
+def test_correlated_sample_preserves_join_structure(spark):
+    parents = spark.createDataFrame([Row(k=i) for i in range(500)])
+    children = spark.createDataFrame(
+        [Row(k=i, c=j) for i in range(500) for j in range(3)]
+    )
+    ps, cs = correlated_sample(parents, "k"), correlated_sample(children, "k")
+    sampled_keys = {r.k for r in ps.collect()}
+    assert 10 <= len(sampled_keys) <= 100  # ~10% of 500
+    # every sampled parent keeps ALL its children — no orphans either way
+    joined = ps.join(cs, "k")
+    assert joined.count() == 3 * len(sampled_keys)
+    assert {r.k for r in cs.collect()} == sampled_keys

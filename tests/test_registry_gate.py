@@ -82,8 +82,9 @@ REQUIRED_VISIBLE = [
     # dedup_jaccard_prefix demoted for phase-7: the exact-Jaccard verify
     # arithmetic runs inside dedup_minhash_lsh's verify stage, and
     # prefix ≡ all-pairs is property-tested
+    # dedup_simhash demoted late-phase-8 for correlated_sample_join:
+    # dedup_minhash_lsh keeps the banded near-dup family in-window
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_substring_windows",
     "dedup_embedding_cosine_lsh",
     # dedup_clusters demoted end-of-r5 for pit_join_views: the identical
@@ -140,9 +141,8 @@ REQUIRED_VISIBLE = [
     "lm_cross_entropy",
     "corpus_mix_temperature",
     "bloom_novel_docs",
-    # skew mitigation (skew_salted_agg demoted mid-r5 for
-    # key_skew_report; its ≡-plain-agg equality is pinned in pytest)
-    "skew_salted_join",
+    # skew mitigation (skew_salted_agg + skew_salted_join demoted —
+    # ≡-plain equalities pinned in test_skew.py; key_skew_report stays)
     "key_skew_report",
     # sketches / composites (cms_user_counts demoted mid-r5: family
     # covered by the new in-window bloom_novel_docs + price_quantile_sketch)
@@ -172,6 +172,8 @@ REQUIRED_VISIBLE = [
     "chisq_lang_source",
     "multimodal_audio_frames",
     "multimodal_image_tiles",
+    "bloom_join_lineitem_urgent",
+    "correlated_sample_join",
 ]
 
 # Operators added or materially changed this round: the rotation policy
@@ -224,6 +226,8 @@ CHANGED_THIS_ROUND = [
     "chisq_lang_source",  # new chi-square contingency audit (r5 phase 8)
     "multimodal_audio_frames",  # new framed audio features (r5 phase 8)
     "multimodal_image_tiles",  # new tile pooling (r5 phase 8)
+    "bloom_join_lineitem_urgent",  # new Bloom semi-join reduction (r5 phase 8)
+    "correlated_sample_join",  # new join-consistent sampling (r5 phase 8)
 ]
 
 
