@@ -36,6 +36,33 @@ from cdc_data_lake_pyspark_spark.functions.sketch import (
 from cdc_data_lake_pyspark_spark.operators.relational import portable_id_hash
 
 
+def _fast_positions(value, depth: int, m_bits: int):
+    """Bloom bit positions over xxhash64 — one cheap JVM hash per row per
+    hash row (the portable md5 hash costs ~an order of magnitude more
+    CPU; use ``portable=True`` only when another engine must replay the
+    filter bits)."""
+    return F.array(
+        *[
+            F.pmod(
+                F.xxhash64(F.lit(i), value),
+                F.lit(m_bits),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
+def _fast_cells(build_keys: DataFrame, depth: int, m_bits: int) -> DataFrame:
+    return (
+        build_keys.select(
+            F.posexplode(
+                _fast_positions(F.col("_k"), depth, m_bits)
+            ).alias("hash_row", "bit")
+        )
+        .distinct()
+    )
+
+
 def bloom_prefiltered_join(
     probe: DataFrame,
     build: DataFrame,
@@ -43,6 +70,7 @@ def bloom_prefiltered_join(
     how: str = "inner",
     depth: int = 4,
     m_bits: int = 65536,
+    portable: bool = False,
 ) -> DataFrame:
     """Join ``probe`` to ``build`` on ``key`` with a Bloom semi-join
     reduction of the probe side.
@@ -56,22 +84,28 @@ def bloom_prefiltered_join(
     shuffle but is removed by the join.
 
     Only meaningful for ``inner``/``left_semi`` (shapes where probe rows
-    without a match are dropped anyway).  At 100 TB: the build side's
-    key set is typically the output of a selective filter on a
-    dimension; the reduction turns "shuffle the whole fact" into
-    "shuffle the matching slice".
+    without a match are dropped anyway), and only WORTH it when the
+    build side is too big to broadcast but selective — when the build
+    side broadcasts, the broadcast hash join already never shuffles the
+    probe and the pre-filter is pure overhead.  The Bloom cells are
+    ≤ depth·m_bits rows REGARDLESS of build size, so they broadcast
+    even when the build side (with its payload columns) cannot: the
+    reduction turns "shuffle the whole fact into the sort-merge join"
+    into "shuffle the matching slice".  Positions use xxhash64 (cheap
+    JVM hash) by default; ``portable=True`` switches to the md5-based
+    portable hash for cross-engine filter replay at ~10x the hash CPU.
     """
     if how not in ("inner", "left_semi"):
         raise ValueError("bloom prefilter changes semantics for outer joins")
-    cells = bloom_sketch(
-        build.select(F.col(key).cast("string").alias("_k")),
-        "_k",
-        depth=depth,
-        m_bits=m_bits,
-    ).localCheckpoint(eager=False)
-    probe_pos = probe.withColumn(
-        "_pos", bloom_positions(F.col(key).cast("string"), depth, m_bits)
-    )
+    build_keys = build.select(F.col(key).cast("string").alias("_k"))
+    if portable:
+        cells = bloom_sketch(build_keys, "_k", depth=depth, m_bits=m_bits)
+        pos = bloom_positions(F.col(key).cast("string"), depth, m_bits)
+    else:
+        cells = _fast_cells(build_keys, depth, m_bits)
+        pos = _fast_positions(F.col(key).cast("string"), depth, m_bits)
+    cells = cells.localCheckpoint(eager=False)
+    probe_pos = probe.withColumn("_pos", pos)
     # membership = AND over hash rows, as a chain of BROADCAST left-semi
     # joins (one O(1) hash-table lookup per row per hash row — never a
     # per-row scan of the bitset, never a shuffle of the probe side)

@@ -705,13 +705,153 @@ def measure_phase8(spark, sf_dir: str, replicas: int) -> dict:
     return out
 
 
+def measure_phase8b(spark, sf_dir: str, replicas: int) -> dict:
+    """Contrast measurements for the join/maintenance levers whose value
+    is what they AVOID:
+
+    * ivm — base table at 1x vs Nx with a FIXED-size change batch:
+      incremental maintenance must stay ~flat (O(delta + groups)) while
+      the recompute alternative grows with the base.
+    * bloom join — probe side at 1x vs Nx against a fixed selective
+      build side in the NON-BROADCAST regime (autoBroadcastJoinThreshold
+      disabled for the measurement — simulating a build side whose
+      payload exceeds broadcast while its key Bloom, bounded at
+      depth·m_bits cells, still broadcasts): the pre-filter must cut
+      the sort-merge join's probe-side shuffle to ~matching rows + the
+      false-positive sliver, at both scales.
+    """
+    from cdc_data_lake_pyspark_spark.operators.ivm import (
+        aggregate_state,
+        apply_agg_delta,
+    )
+    from cdc_data_lake_pyspark_spark.operators.joinopt import (
+        bloom_prefiltered_join,
+    )
+    from cdc_data_lake_pyspark_spark.queries import _t
+
+    orders_1x = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+
+    def orders_at(n_rep):
+        if n_rep == 1:
+            return orders_1x
+        reps = spark.range(n_rep).select(F.col("id").alias("_r"))
+        return orders_1x.crossJoin(reps).select(
+            (F.col("o_orderkey") + F.col("_r") * 100_000_000).alias(
+                "o_orderkey"
+            ),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        )
+
+    li_1x = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_partkey", "l_quantity"
+    )
+
+    def li_at(n_rep):
+        if n_rep == 1:
+            return li_1x
+        reps = spark.range(n_rep).select(F.col("id").alias("_r"))
+        # replicate FACT rows only (same key space): probe grows, the
+        # selective build side and the matching fraction stay fixed
+        return li_1x.crossJoin(reps).select(
+            "okey", "l_partkey", (F.col("l_quantity") + F.col("_r")).alias(
+                "l_quantity"
+            )
+        )
+
+    urgent = (
+        orders_1x.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("okey"), "o_totalprice")
+        .localCheckpoint()
+    )
+    delta = (
+        orders_1x.limit(5000)
+        .select("o_custkey", "o_totalprice")
+        .withColumn("_sign", F.lit(1))
+        .localCheckpoint()
+    )
+
+    out = {}
+    for label, n_rep in (("1x", 1), (f"{replicas}x", replicas)):
+        base_dir = f"{WORK_DIR}/ivm_base_x{n_rep}.parquet"
+        if not os.path.exists(base_dir):
+            orders_at(n_rep).write.mode("overwrite").parquet(base_dir)
+        base = spark.read.parquet(base_dir)
+        # state materialized once, untimed: the steady-state regime IVM
+        # targets (state exists; per-batch work is what we measure).
+        # Grouping on o_custkey gives a states-worth of real groups so
+        # the recompute's shuffle is visible, not combined away.
+        state = aggregate_state(
+            base, ["o_custkey"], {"o_totalprice": "revenue"}
+        ).localCheckpoint()
+        probe_dir = f"{WORK_DIR}/bloom_probe_x{n_rep}.parquet"
+        if not os.path.exists(probe_dir):
+            li_at(n_rep).write.mode("overwrite").parquet(probe_dir)
+        probe = spark.read.parquet(probe_dir)
+
+        row = {"ops": {}}
+        prior_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        for op, build in (
+            (
+                "ivm_incremental",
+                lambda: apply_agg_delta(
+                    state, delta, ["o_custkey"], {"o_totalprice": "revenue"}
+                ),
+            ),
+            (
+                "ivm_recompute",
+                lambda: aggregate_state(
+                    base.select("o_custkey", "o_totalprice").unionAll(
+                        delta.select("o_custkey", "o_totalprice")
+                    ),
+                    ["o_custkey"],
+                    {"o_totalprice": "revenue"},
+                ),
+            ),
+            (
+                "bloom_join",
+                lambda: bloom_prefiltered_join(probe, urgent, "okey"),
+            ),
+            ("plain_join", lambda: probe.join(urgent, "okey")),
+        ):
+            if op.endswith("_join"):
+                # non-broadcast regime: the build side's payload is
+                # assumed past broadcast; the Bloom cells broadcast via
+                # their explicit hint regardless
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                r0, w0 = shuffle_totals(spark)
+                t0 = time.time()
+                out_rows = build().count()
+                elapsed = round(time.time() - t0, 2)
+                r1, w1 = shuffle_totals(spark)
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", prior_thresh
+                )
+            row["ops"][op] = {
+                "sec": elapsed,
+                "out_rows": out_rows,
+                "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+            }
+            print("phase8b", label, op, row["ops"][op], flush=True)
+        out[label] = row
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--out", default="SCALE_MEASURED.json")
     ap.add_argument(
         "--only",
-        choices=["family", "substring", "textpipe", "temporal", "phase7", "phase8"],
+        choices=["family", "substring", "textpipe", "temporal", "phase7", "phase8", "phase8b"],
         default=None,
         help="measure one section and merge into an existing --out file",
     )
@@ -731,13 +871,14 @@ def main():
         if prior.get("sf_dir") == SF_DIR and prior.get("replicas") == args.replicas:
             results = prior
 
-    if args.only in ("substring", "textpipe", "temporal", "phase7", "phase8"):
+    if args.only in ("substring", "textpipe", "temporal", "phase7", "phase8", "phase8b"):
         key = {
             "substring": "substring_dedup",
             "textpipe": "textpipe",
             "temporal": "temporal",
             "phase7": "phase7",
             "phase8": "phase8",
+            "phase8b": "phase8b",
         }[args.only]
         fn = {
             "substring": measure_substring,
@@ -745,6 +886,7 @@ def main():
             "temporal": measure_temporal,
             "phase7": measure_phase7,
             "phase8": measure_phase8,
+            "phase8b": measure_phase8b,
         }[args.only]
         results[key] = fn(spark, SF_DIR, args.replicas)
         with open(args.out, "w") as f:
