@@ -724,13 +724,19 @@ def prepare_training_corpus(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     scores = language_scores(F.col("text"))
+    # the gated slice feeds THREE consumers (keeper election, the base
+    # join, and through base the shingle pipelines) — stage it once so
+    # the quality/language expression trees evaluate one time, not per
+    # consumer (lazy local checkpoint: nothing materializes unless used)
     kept = docs.select(
         "doc_id",
         "lang",
         "text",
         quality_score(F.col("text")).alias("quality"),
         scores["en"].alias("s_en"),
-    ).filter((F.col("quality") >= 0.7) & (F.col("s_en") > 0))
+    ).filter(
+        (F.col("quality") >= 0.7) & (F.col("s_en") > 0)
+    ).localCheckpoint(eager=False)
     keepers = exact_dedup(kept).select("keeper_id")
     base = kept.join(
         F.broadcast(keepers), kept["doc_id"] == keepers["keeper_id"]
