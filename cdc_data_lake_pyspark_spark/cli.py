@@ -54,10 +54,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--topics", help="comma-separated Kafka topics")
     p.add_argument("--icebergdb", help="target database (catalog sinks)")
     p.add_argument("--warehouse", help="warehouse path / bucket ARN")
-    p.add_argument("--tablejsonfile", required=True, help="tables.json path")
+    p.add_argument("--tablejsonfile", help="tables.json path (required for streaming)")
     p.add_argument("--region", help="AWS region (catalog sinks; unused locally)")
     p.add_argument("--kafkaserver", help="bootstrap servers")
-    p.add_argument("--checkpointpath", required=True)
+    p.add_argument("--checkpointpath", help="(required for streaming)")
     p.add_argument("--sourcetype", choices=["kafka", "file"], default="kafka")
     p.add_argument("--cdcformat", choices=["debezium", "dms"], default="debezium")
     p.add_argument(
@@ -89,7 +89,46 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default=8,
         help="tables applied concurrently per batch (1 = sequential)",
     )
+    # table-maintenance mode (no streaming): OPTIMIZE-style compaction
+    p.add_argument(
+        "--maintenance",
+        choices=["compact"],
+        help="run a maintenance task instead of the streaming pipeline",
+    )
+    p.add_argument("--compact-src", help="parquet dir to compact")
+    p.add_argument("--compact-dst", help="output dir for packed files")
+    p.add_argument(
+        "--compact-target-mb",
+        type=int,
+        default=128,
+        help="target output file size (MiB)",
+    )
+    p.add_argument(
+        "--compact-sort-cols",
+        help="comma-separated columns to range-sort during the rewrite "
+        "(restores min/max locality)",
+    )
     return p
+
+
+def run_maintenance(spark, args) -> None:
+    if not (args.compact_src and args.compact_dst):
+        raise SystemExit(
+            "--compact-src and --compact-dst are required for "
+            "--maintenance compact"
+        )
+    from cdc_data_lake_pyspark_spark.operators.layout import compact_files
+
+    n = compact_files(
+        spark,
+        args.compact_src,
+        args.compact_dst,
+        target_bytes=args.compact_target_mb * 1024 * 1024,
+        sort_cols=(
+            args.compact_sort_cols.split(",") if args.compact_sort_cols else ()
+        ),
+    )
+    print(f"compacted {args.compact_src} -> {args.compact_dst} ({n} files)")
 
 
 def catalog_session_conf(args) -> dict[str, str]:
@@ -158,6 +197,14 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     spark = build_session(
         app_name=args.jobname, extra_conf=catalog_session_conf(args)
     )
+    if args.maintenance:
+        run_maintenance(spark, args)
+        return
+    if not (args.tablejsonfile and args.checkpointpath):
+        raise SystemExit(
+            "--tablejsonfile and --checkpointpath are required for the "
+            "streaming pipeline"
+        )
     pipeline = CdcPipeline(
         config=args.tablejsonfile,
         sink=make_sink(args, spark),

@@ -134,3 +134,35 @@ def test_cli_locallake_sink_end_to_end(spark, sf_dir, tmp_path):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     expected = orders.filter("o_orderkey % 10 <> 9").count()
     assert out.count() == expected
+
+
+def test_cli_maintenance_compact_end_to_end(spark, tmp_path, capsys):
+    import pyspark.sql.functions as SF
+
+    from cdc_data_lake_pyspark_spark.cli import main
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "packed")
+    spark.range(0, 5000).withColumn("v", SF.col("id") % 7).repartition(
+        32
+    ).write.parquet(src)
+    main(
+        [
+            "--maintenance", "compact",
+            "--compact-src", src,
+            "--compact-dst", dst,
+            "--compact-target-mb", "512",
+            "--catalogtype", "none",
+        ]
+    )
+    out = spark.read.parquet(dst)
+    assert out.count() == 5000 and len(out.inputFiles()) == 1
+    assert "compacted" in capsys.readouterr().out
+
+
+def test_cli_streaming_still_requires_config_flags():
+    import pytest as _pytest
+
+    from cdc_data_lake_pyspark_spark.cli import main
+
+    with _pytest.raises(SystemExit):
+        main(["--catalogtype", "none"])  # no tablejsonfile/checkpointpath
