@@ -829,6 +829,12 @@ _DEMOTED: tuple[str, ...] = (
     # drives the banded near-dup machinery and the simhash hamming
     # separation + banded pairs stay pinned in pytest + tail oracles;
     # demoted for the NEW correlated_sample_join window slot
+    "daily_gapfill_locf",  # time-bucketed-agg family: the in-window
+    # cumulative_unique_users + ewma_daily_revenue +
+    # series_correlation_events (NEW) run the same day-truncated
+    # aggregation; the spine densification + LOCF window mechanics stay
+    # pinned in tests/test_relational.py and the tail oracle; demoted
+    # for the NEW series_correlation_events window slot
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

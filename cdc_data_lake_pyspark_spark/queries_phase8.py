@@ -654,3 +654,94 @@ def correlated_sample_join(spark, sf_dir):
     return orders.join(li, "okey").select(
         "okey", "o_totalprice", "l_partkey", "l_quantity"
     )
+
+
+@query(
+    "series_correlation_events",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) // 100
+               AS xd
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(a.xd) AS BIGINT) AS sx,
+             CAST(sum(b.xd) AS BIGINT) AS sy,
+             CAST(sum(a.xd * a.xd) AS BIGINT) AS sxx,
+             CAST(sum(b.xd * b.xd) AS BIGINT) AS syy,
+             CAST(sum(a.xd * b.xd) AS BIGINT) AS sxy
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_days, sx, sy, sxx, syy, sxy,
+           (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * sqrt(CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr
+    FROM pairs
+    WHERE n_days >= 2
+    """,
+)
+def series_correlation_events(spark, sf_dir):
+    """Pairwise time-series correlation (the streaming-similarity paper
+    family, batch form): per event-type daily value series, then the
+    Pearson correlation of every type pair over their common days — the
+    co-movement matrix an ops dashboard uses to spot coupled metrics.
+
+    Exactness: daily sums ride the DECIMAL cents bridge then quantize to
+    whole-dollar BIGINTs, so all five moments are order-independent
+    exact integers and the correlation is one double expression over
+    them (identical text both engines — bit-identical floats).  Scale:
+    ONE fact aggregate builds the (type, day) series matrix
+    (map-side-combined); the pair join runs over series rows only —
+    types × days, a sliver of the fact — keyed on day."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)"
+                " div 100"
+            ).alias("xd")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "day", F.col("xd").alias("xa")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "day", F.col("xd").alias("xb")
+    )
+    pairs = (
+        a.join(b, ["day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        )
+        .filter(F.col("n_days") >= 2)
+    )
+    nd = F.col("n_days").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return pairs.select(
+        "type_a", "type_b", "n_days", "sx", "sy", "sxx", "syy", "sxy",
+        corr.alias("corr"),
+    )

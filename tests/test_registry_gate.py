@@ -38,10 +38,11 @@ REQUIRED_VISIBLE = [
     # join_customer_geo demoted end-of-r5 for frequent_part_pairs:
     # shipping_priority keeps the star-join + agg/top-N family in-window
     "frequent_part_pairs",
-    # daily_revenue_ma7 demoted late-r5 for daily_gapfill_locf: the new
-    # entry runs the same day-truncated aggregation plus spine
-    # densification and LOCF
-    "daily_gapfill_locf",
+    # daily_revenue_ma7 demoted late-r5, daily_gapfill_locf demoted for
+    # phase-8 (series_correlation_events): cumulative_unique_users +
+    # ewma_daily_revenue keep the day-truncated-agg family in-window;
+    # LOCF mechanics pinned in tests/test_relational.py + tail oracle
+    "series_correlation_events",
     # pivot_segment_region demoted mid-r5 for prepare_training_corpus_v2;
     # family covered by daily_revenue_ma7 + segment_price_percentiles +
     # shipping_priority
@@ -196,7 +197,6 @@ CHANGED_THIS_ROUND = [
     "bpe_learned_tokenize",  # new BPE tokenizer induction (r5)
     "data_quality_report",  # new declarative DQ validation (r5)
     "key_skew_report",  # new skew diagnostics (r5)
-    "daily_gapfill_locf",  # new gap-fill rollup + LOCF (r5)
     "dsir_importance_weights",  # new DSIR importance weighting (r5)
     # snapshot_diff_orders demoted for phase-8 (ivm_orders_by_status):
     # scd2_user_history keeps the changelog full-outer family in-window
@@ -228,6 +228,7 @@ CHANGED_THIS_ROUND = [
     "multimodal_image_tiles",  # new tile pooling (r5 phase 8)
     "bloom_join_lineitem_urgent",  # new Bloom semi-join reduction (r5 phase 8)
     "correlated_sample_join",  # new join-consistent sampling (r5 phase 8)
+    "series_correlation_events",  # new pairwise series correlation (r5 phase 8)
 ]
 
 
