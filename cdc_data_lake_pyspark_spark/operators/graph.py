@@ -75,6 +75,16 @@ def pagerank(
     deg = e.groupBy(F.col("_src").alias("node")).agg(
         F.count(F.lit(1)).alias("_deg")
     )
+    # out-degree rides ON the staged edge list, so each iteration joins
+    # the rank vector against ONE frame instead of deg-then-edges;
+    # ``rank div deg`` per edge row equals the per-node share fanned out
+    # (same integer operands), so the schedule — and the unrolled SQL
+    # oracle — is unchanged
+    e_deg = (
+        e.join(deg, e._src == deg.node)
+        .select("_src", "_dst", "_deg")
+        .localCheckpoint(eager=False)
+    )
 
     ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
         "node",
@@ -84,11 +94,10 @@ def pagerank(
     teleport = F.expr(f"CAST({100 - damping_pct} * {RANK_SCALE} AS BIGINT) div (100 * _n)")
     for _ in range(iterations):
         contrib = (
-            ranks.join(deg, "node")
+            ranks.join(e_deg, ranks.node == e_deg._src)
             .select(
-                "node", F.expr("rank_micro div _deg").alias("_share")
+                F.col("_dst"), F.expr("rank_micro div _deg").alias("_share")
             )
-            .join(e, F.col("node") == F.col("_src"))
             .groupBy(F.col("_dst").alias("node"))
             .agg(F.sum("_share").alias("_in"))
         )
