@@ -835,6 +835,11 @@ _DEMOTED: tuple[str, ...] = (
     # aggregation; the spine densification + LOCF window mechanics stay
     # pinned in tests/test_relational.py and the tail oracle; demoted
     # for the NEW series_correlation_events window slot
+    "repetition_gates",  # heuristic text-gating family:
+    # dsir_importance_weights stays in-window, the quality gates run
+    # inside the in-window prepare_training_corpus composite, and the
+    # Gopher n-gram gate arithmetic is pinned in tests plus the tail
+    # oracle; demoted for the NEW cusum_change_point window slot
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -745,3 +745,80 @@ def series_correlation_events(spark, sf_dir):
         "type_a", "type_b", "n_days", "sx", "sy", "sxx", "syy", "sxy",
         corr.alias("corr"),
     )
+
+
+@query(
+    "cusum_change_point",
+    oracle="""
+    WITH d AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS xc
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(xc) AS BIGINT) AS s
+      FROM d
+    ), c AS (
+      SELECT day, xc, n, s,
+             CAST(sum(xc * n - s) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cusum_scaled
+      FROM d CROSS JOIN tot
+    )
+    SELECT day, xc, cusum_scaled,
+           CASE WHEN abs(cusum_scaled) = (SELECT max(abs(cusum_scaled))
+                                          FROM c)
+                 AND day = (SELECT min(day) FROM c c2
+                            WHERE abs(c2.cusum_scaled) =
+                                  (SELECT max(abs(cusum_scaled)) FROM c))
+                THEN TRUE ELSE FALSE END AS is_change_point
+    FROM c
+    """,
+)
+def cusum_change_point(spark, sf_dir):
+    """CUSUM change-point localization over the daily revenue series:
+    the cumulative sum of deviations from the series mean peaks (in
+    absolute value) at the most likely level-shift point — the classic
+    mean-shift detector, run entirely in exact integers by scaling each
+    deviation by n (``x_i·n − S`` avoids the mean division), so both
+    engines agree on every partial sum and on the argmax day
+    (first-day tiebreak).
+
+    Scale: one day-keyed aggregate over the fact, one single-row total
+    broadcast, and windows over the tiny per-day frame — the same
+    bounded-window justification as the EWMA/growth-curve entries."""
+    ev = _t(spark, sf_dir, "orders")
+    daily = ev.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long")
+        .alias("xc")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xc").alias("s")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "xc",
+        F.sum(F.col("xc") * F.col("n") - F.col("s"))
+        .over(w)
+        .cast("long")
+        .alias("cusum_scaled"),
+    ).localCheckpoint(eager=False)
+    peak = c.agg(F.max(F.abs(F.col("cusum_scaled"))).alias("_peak"))
+    first_peak_day = (
+        c.crossJoin(F.broadcast(peak))
+        .filter(F.abs(F.col("cusum_scaled")) == F.col("_peak"))
+        .agg(F.min("day").alias("_pday"))
+    )
+    return (
+        c.crossJoin(F.broadcast(first_peak_day))
+        .select(
+            "day",
+            "xc",
+            "cusum_scaled",
+            (F.col("day") == F.col("_pday")).alias("is_change_point"),
+        )
+    )

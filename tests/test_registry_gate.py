@@ -133,7 +133,10 @@ REQUIRED_VISIBLE = [
     # are pinned in tests/test_packing.py
     "bm25_search",
     "chunk_documents",
-    "repetition_gates",
+    # repetition_gates demoted for phase-8 (cusum_change_point):
+    # dsir_importance_weights keeps heuristic scoring in-window and the
+    # Gopher gates stay pinned in pytest + the tail oracle
+    "cusum_change_point",
     # stratified_sample_docs demoted mid-r5 for similarity_ivf_pq; its
     # portable-hash ticket family is covered by corpus_mix_temperature
     # lm_bigram_cross_entropy demoted for phase-8: lm_cross_entropy
@@ -183,7 +186,6 @@ CHANGED_THIS_ROUND = [
     "dedup_substring_windows",  # reassembly pruned to affected docs (r5)
     "dedup_embedding_cosine_lsh",  # auto-sized planes/tables (r5)
     "chunk_documents",  # new context-window chunking (r5)
-    "repetition_gates",  # new Gopher-style n-gram gates (r5)
     "lm_cross_entropy",  # new unigram-LM quality scoring (r5)
     "corpus_mix_temperature",  # new temperature rebalancing (r5)
     "bloom_novel_docs",  # new portable Bloom novelty gate (r5)
@@ -229,6 +231,7 @@ CHANGED_THIS_ROUND = [
     "bloom_join_lineitem_urgent",  # new Bloom semi-join reduction (r5 phase 8)
     "correlated_sample_join",  # new join-consistent sampling (r5 phase 8)
     "series_correlation_events",  # new pairwise series correlation (r5 phase 8)
+    "cusum_change_point",  # new CUSUM change-point detector (r5 phase 8)
 ]
 
 
