@@ -42,6 +42,8 @@ HEADLINE = [
     "parse_props_json",
     "top_customers_per_segment",
     "prepare_training_corpus",
+    "revenue_cube",
+    "ivm_orders_by_status",
 ]
 
 LOCAL_RESULTS = os.path.join(
