@@ -840,6 +840,17 @@ _DEMOTED: tuple[str, ...] = (
     # inside the in-window prepare_training_corpus composite, and the
     # Gopher n-gram gate arithmetic is pinned in tests plus the tail
     # oracle; demoted for the NEW cusum_change_point window slot
+    "corpus_mix_temperature",  # portable-hash sampling family: the NEW
+    # in-window quota_sample_docs ranks on the same portable hash, the
+    # temperature rebalancing runs inside prepare_training_corpus_v2
+    # (tail oracle) with α endpoints pinned in pytest; demoted for the
+    # quota_sample_docs window slot
+    "bloom_novel_docs",  # portable-Bloom family: the NEW in-window
+    # bloom_join_lineitem_urgent drives the same bloom_sketch /
+    # bloom_positions machinery (as a join reduction), the novelty gate
+    # is soak-tested in test_streaming_novelty.py, and the filter state
+    # stays cell-replayed in the tail oracle; demoted for the NEW
+    # trend_by_segment window slot
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -822,3 +822,130 @@ def cusum_change_point(spark, sf_dir):
             (F.col("day") == F.col("_pday")).alias("is_change_point"),
         )
     )
+
+
+@query(
+    "trend_by_segment",
+    oracle="""
+    WITH daily AS (
+      SELECT c.c_mktsegment AS seg,
+             strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) // 100 AS yd
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), days AS (
+      SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS xi
+      FROM (SELECT DISTINCT day FROM daily)
+    ), m AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xi) AS BIGINT) AS sx,
+             CAST(sum(yd) AS BIGINT) AS sy,
+             CAST(sum(xi * xi) AS BIGINT) AS sxx,
+             CAST(sum(xi * yd) AS BIGINT) AS sxy
+      FROM daily JOIN days USING (day) GROUP BY 1
+    )
+    SELECT seg, n, sx, sy, sxx, sxy,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+           (CAST(sy AS DOUBLE)
+            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+              * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+    FROM m
+    """,
+)
+def trend_by_segment(spark, sf_dir):
+    """Per-segment revenue trend: ordinary-least-squares slope and
+    intercept of daily revenue against a dense day index, fitted per
+    market segment from five exact integer moments — the trend-detection
+    query behind every 'is this segment growing?' dashboard.
+
+    The day index comes from ONE ranking over the distinct-day frame
+    (tiny; broadcast back), revenue rides the cents bridge quantized to
+    whole dollars, and slope/intercept are identical-text double
+    expressions over the exact moments.  One fact aggregate; everything
+    downstream is segment × days sized."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100"
+                " AS BIGINT) div 100"
+            ).alias("yd")
+        )
+        .localCheckpoint(eager=False)
+    )
+    days = daily.select("day").distinct()
+    wd = Window.orderBy("day")
+    idx = days.select(
+        "day", F.row_number().over(wd).cast("long").alias("xi")
+    )
+    m = (
+        daily.join(F.broadcast(idx), "day")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xi").alias("sx"),
+            F.sum("yd").alias("sy"),
+            F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+            F.sum(F.col("xi") * F.col("yd")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return m.select(
+        "seg", "n", "sx", "sy", "sxx", "sxy",
+        slope.alias("slope"),
+        ((sy - slope * sx) / nd).alias("intercept"),
+    )
+
+
+@query(
+    "quota_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang, rk
+    FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_portable_hash_sql("CAST(doc_id AS VARCHAR)")},
+                        doc_id
+             ) AS INT) AS rk
+      FROM documents
+    ) WHERE rk <= 50
+    """,
+)
+def quota_sample_docs(spark, sf_dir):
+    """Exact-k quota sampling: EXACTLY 50 documents per language (or all
+    of them for smaller strata), chosen by ranking on the portable hash
+    — rate-based sampling (stratified_sample, corpus_mix_temperature)
+    cannot promise exact counts, but eval-set construction needs them.
+    Deterministic across engines, runs, and partitionings; the hash
+    order is uniform so the quota is an unbiased without-replacement
+    draw.  One rank window per stratum — the shuffle is by stratum, and
+    at scale a two-phase top-k (partial per partition, then merge)
+    bounds memory per group."""
+    from cdc_data_lake_pyspark_spark.operators.relational import (
+        portable_id_hash,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        portable_id_hash(F.col("doc_id")), F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id", "lang", F.row_number().over(w).cast("int").alias("rk")
+    ).filter(F.col("rk") <= 50)

@@ -143,8 +143,12 @@ REQUIRED_VISIBLE = [
     # keeps the quantized-LM machinery in-window, bigram parity pinned
     # in tests/test_lm_quality.py
     "lm_cross_entropy",
-    "corpus_mix_temperature",
-    "bloom_novel_docs",
+    # corpus_mix_temperature + bloom_novel_docs demoted for phase-8:
+    # quota_sample_docs covers portable-hash sampling and
+    # bloom_join_lineitem_urgent drives the same Bloom machinery
+    # in-window; both keep tail oracles + pytest/soak pins
+    "quota_sample_docs",
+    "trend_by_segment",
     # skew mitigation (skew_salted_agg + skew_salted_join demoted —
     # ≡-plain equalities pinned in test_skew.py; key_skew_report stays)
     "key_skew_report",
@@ -187,8 +191,6 @@ CHANGED_THIS_ROUND = [
     "dedup_embedding_cosine_lsh",  # auto-sized planes/tables (r5)
     "chunk_documents",  # new context-window chunking (r5)
     "lm_cross_entropy",  # new unigram-LM quality scoring (r5)
-    "corpus_mix_temperature",  # new temperature rebalancing (r5)
-    "bloom_novel_docs",  # new portable Bloom novelty gate (r5)
     "price_quantile_sketch",  # new mergeable histogram quantiles (r5)
     "embedding_quantize",  # new int8 quantization (r5)
     "dedup_semantic_clusters",  # new SemDeDup cluster-scoped prune (r5)
@@ -232,6 +234,8 @@ CHANGED_THIS_ROUND = [
     "correlated_sample_join",  # new join-consistent sampling (r5 phase 8)
     "series_correlation_events",  # new pairwise series correlation (r5 phase 8)
     "cusum_change_point",  # new CUSUM change-point detector (r5 phase 8)
+    "trend_by_segment",  # new per-segment OLS trend (r5 phase 8)
+    "quota_sample_docs",  # new exact-k quota sampling (r5 phase 8)
 ]
 
 
