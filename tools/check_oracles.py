@@ -4,7 +4,10 @@ Runs every ``queries()`` entry on Spark and the matching ``oracle_sql()``
 on DuckDB over the same parquet tables, then compares row count, column
 names/types, and order-insensitive values.  Usage::
 
-    python tools/check_oracles.py [sf_dir] [query ...]
+    python tools/check_oracles.py [--window] [sf_dir] [query ...]
+
+``--window`` restricts the run to the FIRST 50 registry entries in
+registry order — exactly the slice the external driver samples.
 """
 
 from __future__ import annotations
@@ -56,8 +59,12 @@ def normalize(df):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:]]
+    window = "--window" in argv
+    if window:  # replicate EXACTLY the driver's view: first 50 entries
+        argv.remove("--window")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     from cdc_data_lake_pyspark_spark.session import build_session
     from cdc_data_lake_pyspark_spark import queries as q
@@ -69,7 +76,9 @@ def main():
         if os.path.exists(path):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
-    names = sorted(q.queries())
+    names = (
+        list(q.queries())[:50] if window else sorted(q.queries())
+    )
     failures = []
     for name in names:
         if only and name not in only:
