@@ -121,8 +121,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     state = {"sf": sf, "queries": timings, "errors": errors, "done": False}
-    for _ in range(2):
+    # headline queries get min-of-two timed passes (stable round-over-round
+    # numbers); the long tail gets one warm pass each — at a 123-entry
+    # registry a second full sweep doubles wall time for numbers nobody
+    # compares, and a bounded runtime protects the driver-captured artifact
+    for pass_no in range(2):
         for name in names:
+            if pass_no == 1 and name not in HEADLINE:
+                continue
             elapsed, err = timed_attempt(spark, name, sf_dir, prepared_env)
             if elapsed is None:
                 elapsed, err = timed_attempt(spark, name, sf_dir, prepared_env)
