@@ -272,3 +272,33 @@ def histogram_quantile(
         cum += n
     top = max(cells)
     return (top + 1) * width
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """K-minimum-values distinct sketch (Beyer et al. 2007): the ``k``
+    smallest DISTINCT portable-hash values of ``value_col`` — a
+    fixed-size, mergeable summary of the column's key set.
+
+    The KMV estimator: if the k-th smallest of uniformly-hashed distinct
+    values is ``h_k``, the distinct count ≈ ``(k-1) · H / h_k`` for hash
+    space ``H``.  Sketches MERGE by taking the k smallest of the union,
+    and the overlap of two sketches estimates Jaccard — which is what
+    makes KMV the standard join-cardinality estimator: planners size
+    ``|A ⋈ B|`` from two tiny sketches instead of scanning either side.
+
+    State is exact integers over the portable hash, so any engine
+    reproduces the identical sketch (the cross-engine contract every
+    sketch in this module keeps).  One distinct + one global
+    TakeOrdered(k) — no full sort at scale.
+    """
+    hv = portable_id_hash(F.col(value_col).cast("string"))
+    return (
+        df.select(hv.alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )

@@ -851,6 +851,12 @@ _DEMOTED: tuple[str, ...] = (
     # is soak-tested in test_streaming_novelty.py, and the filter state
     # stays cell-replayed in the tail oracle; demoted for the NEW
     # trend_by_segment window slot
+    "price_quantile_sketch",  # sketch family: the NEW in-window
+    # kmv_join_estimate keeps an integer-state sketch under the gate
+    # (plus the Bloom machinery via bloom_join_lineitem_urgent); the
+    # histogram state stays cell-replayed in the tail oracle and
+    # error/merge-bounded in tests/test_sketch.py; demoted for the
+    # kmv_join_estimate window slot
     # --- stay demoted (coverage rationale unchanged since r3/r4) ---
     "dedup_jaccard_pairs",  # provably equal to dedup_jaccard_prefix (property test)
     "doc_rolling_hash",  # fingerprint family: doc_fingerprint

@@ -949,3 +949,92 @@ def quota_sample_docs(spark, sf_dir):
     return docs.select(
         "doc_id", "lang", F.row_number().over(w).cast("int").alias("rk")
     ).filter(F.col("rk") <= 50)
+
+
+#: KMV sketch size for the join-estimate entry.
+_KMV_K = 256
+#: The portable hash is 60-bit: hash space size for the KMV estimator.
+_KMV_H = float(2**60)
+
+
+@query(
+    "kmv_join_estimate",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT {_portable_hash_sql("CAST(o_custkey AS VARCHAR)")}
+               AS hv
+      FROM orders
+    ), ka AS (SELECT hv FROM ha ORDER BY hv LIMIT {_KMV_K}),
+    hb AS (
+      SELECT DISTINCT {_portable_hash_sql("CAST(c_custkey AS VARCHAR)")}
+               AS hv
+      FROM customer
+    ), kb AS (SELECT hv FROM hb ORDER BY hv LIMIT {_KMV_K}),
+    ku AS (
+      SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+      ORDER BY hv LIMIT {_KMV_K}
+    ), stats AS (
+      SELECT
+        (SELECT CAST(count(*) AS BIGINT) FROM ka) AS k_a,
+        (SELECT CAST(count(*) AS BIGINT) FROM kb) AS k_b,
+        (SELECT CAST(count(*) AS BIGINT) FROM ku) AS k_u,
+        (SELECT CAST(max(hv) AS BIGINT) FROM ku) AS kth_u,
+        (SELECT CAST(count(*) AS BIGINT) FROM ku
+         WHERE hv IN (SELECT hv FROM ka) AND hv IN (SELECT hv FROM kb))
+          AS overlap
+    )
+    SELECT k_a, k_b, k_u, kth_u, overlap,
+           (CAST(k_u AS DOUBLE) - 1.0) * {_KMV_H} / CAST(kth_u AS DOUBLE)
+             AS est_union,
+           CAST(overlap AS DOUBLE) / CAST(k_u AS DOUBLE) AS est_jaccard,
+           (CAST(overlap AS DOUBLE) / CAST(k_u AS DOUBLE))
+           * ((CAST(k_u AS DOUBLE) - 1.0) * {_KMV_H}
+              / CAST(kth_u AS DOUBLE)) AS est_intersection
+    FROM stats
+    """,
+)
+def kmv_join_estimate(spark, sf_dir):
+    """Join-cardinality estimation from two KMV sketches: the distinct
+    key sets of orders.o_custkey and customer.c_custkey summarize to 256
+    minimum hash values each; merging them estimates the union size, and
+    the sketch overlap estimates Jaccard — together, the expected join
+    key overlap, WITHOUT joining or scanning either side twice.  This is
+    the planner-side primitive for sizing a 100 TB join before running
+    it.  Sketch state is exact integers (identical in any engine); the
+    three estimates are identical-text double expressions over them."""
+    from cdc_data_lake_pyspark_spark.functions.sketch import kmv_sketch
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    ka = kmv_sketch(orders, "o_custkey", k=_KMV_K).localCheckpoint(
+        eager=False
+    )
+    kb = kmv_sketch(cust, "c_custkey", k=_KMV_K).localCheckpoint(eager=False)
+    ku = (
+        ka.unionAll(kb).distinct().orderBy("hv").limit(_KMV_K)
+    ).localCheckpoint(eager=False)
+    both = (
+        ku.join(ka.withColumnRenamed("hv", "ha"), ku.hv == F.col("ha"))
+        .join(kb.withColumnRenamed("hv", "hb"), ku.hv == F.col("hb"))
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    stats = (
+        ku.agg(
+            F.count(F.lit(1)).alias("k_u"),
+            F.max("hv").alias("kth_u"),
+        )
+        .crossJoin(F.broadcast(ka.agg(F.count(F.lit(1)).alias("k_a"))))
+        .crossJoin(F.broadcast(kb.agg(F.count(F.lit(1)).alias("k_b"))))
+        .crossJoin(F.broadcast(both))
+    )
+    kud = F.col("k_u").cast("double")
+    est_union = (kud - F.lit(1.0)) * F.lit(_KMV_H) / F.col("kth_u").cast(
+        "double"
+    )
+    est_jac = F.col("overlap").cast("double") / kud
+    return stats.select(
+        "k_a", "k_b", "k_u", "kth_u", "overlap",
+        est_union.alias("est_union"),
+        est_jac.alias("est_jaccard"),
+        (est_jac * est_union).alias("est_intersection"),
+    )

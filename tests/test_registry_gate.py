@@ -152,9 +152,11 @@ REQUIRED_VISIBLE = [
     # skew mitigation (skew_salted_agg + skew_salted_join demoted —
     # ≡-plain equalities pinned in test_skew.py; key_skew_report stays)
     "key_skew_report",
-    # sketches / composites (cms_user_counts demoted mid-r5: family
-    # covered by the new in-window bloom_novel_docs + price_quantile_sketch)
-    "price_quantile_sketch",
+    # sketches / composites (cms_user_counts, bloom_novel_docs and
+    # price_quantile_sketch all demoted across r5: kmv_join_estimate +
+    # the Bloom join keep integer-state sketches in-window; every
+    # sketch's state stays cell-replayed in tail oracles + pytest)
+    "kmv_join_estimate",
     # tfidf_top_term demoted mid-r5 for dedup_semantic_clusters; its
     # tf/df-aggregation family is covered by the in-window LM entries
     "dedup_semantic_clusters",
@@ -191,7 +193,6 @@ CHANGED_THIS_ROUND = [
     "dedup_embedding_cosine_lsh",  # auto-sized planes/tables (r5)
     "chunk_documents",  # new context-window chunking (r5)
     "lm_cross_entropy",  # new unigram-LM quality scoring (r5)
-    "price_quantile_sketch",  # new mergeable histogram quantiles (r5)
     "embedding_quantize",  # new int8 quantization (r5)
     "dedup_semantic_clusters",  # new SemDeDup cluster-scoped prune (r5)
     "dedup_exact_normalized",  # new RefinedWeb fuzzy-exact dedup (r5)
@@ -236,6 +237,7 @@ CHANGED_THIS_ROUND = [
     "cusum_change_point",  # new CUSUM change-point detector (r5 phase 8)
     "trend_by_segment",  # new per-segment OLS trend (r5 phase 8)
     "quota_sample_docs",  # new exact-k quota sampling (r5 phase 8)
+    "kmv_join_estimate",  # new KMV join-cardinality estimation (r5 phase 8)
 ]
 
 

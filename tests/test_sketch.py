@@ -180,3 +180,32 @@ def test_histogram_merges_by_cell_sum(spark):
         .collect()
     }
     assert whole == merged
+
+
+# ---------------------------------------------------------------- KMV
+def test_kmv_estimates_distinct_and_join_overlap(spark):
+    from pyspark.sql import Row
+    import pyspark.sql.functions as SF
+
+    from cdc_data_lake_pyspark_spark.functions.sketch import kmv_sketch
+
+    # A = 0..3999, B = 2000..5999: |A|=|B|=4000, |A∪B|=6000, J=1/3
+    a = spark.createDataFrame([Row(k=i) for i in range(4000)])
+    b = spark.createDataFrame([Row(k=i) for i in range(2000, 6000)])
+    ka, kb = kmv_sketch(a, "k", k=256), kmv_sketch(b, "k", k=256)
+    assert ka.count() == 256 and kb.count() == 256
+    ku = ka.unionAll(kb).distinct().orderBy("hv").limit(256)
+    rows = ku.collect()
+    kth = max(r.hv for r in rows)
+    est_union = 255 * float(2**60) / kth
+    assert 0.75 * 6000 < est_union < 1.25 * 6000  # ~1/sqrt(k) rel. error
+    sa = {r.hv for r in ka.collect()}
+    sb = {r.hv for r in kb.collect()}
+    overlap = sum(1 for r in rows if r.hv in sa and r.hv in sb)
+    est_j = overlap / 256
+    assert 0.2 < est_j < 0.5  # true Jaccard 1/3
+    # sketch of the union equals the merge of the sketches (mergeability)
+    direct = kmv_sketch(a.unionAll(b), "k", k=256)
+    assert sorted(r.hv for r in direct.collect()) == sorted(
+        r.hv for r in rows
+    )
