@@ -117,3 +117,78 @@ def test_label_encode_is_rank_of_count_then_value(spark, values):
     counts = {v: values.count(v) for v in set(values)}
     order = sorted(counts, key=lambda v: (-counts[v], v))
     assert got == {v: i for i, v in enumerate(order)}
+
+
+# Bloom pre-filtered join must equal the plain join on ANY inputs —
+# including empty sides, full overlap, and hash-collision-prone keys
+from cdc_data_lake_pyspark_spark.operators.joinopt import (
+    bloom_prefiltered_join,
+    correlated_sample,
+)
+
+_keys = st.lists(st.integers(min_value=0, max_value=30), max_size=25)
+
+
+@given(probe_keys=_keys, build_keys=_keys)
+@settings(**_SETTINGS)
+def test_bloom_join_equals_plain_join(spark, probe_keys, build_keys):
+    probe = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(probe_keys)] or [], schema="k int, p int"
+    )
+    build = spark.createDataFrame(
+        [(k, -i) for i, k in enumerate(set(build_keys))] or [],
+        schema="k int, b int",
+    )
+    got = sorted(
+        map(tuple, bloom_prefiltered_join(probe, build, "k").collect())
+    )
+    want = sorted(map(tuple, probe.join(build, "k").collect()))
+    assert got == want
+
+
+@given(keys=_keys, pct=st.integers(min_value=0, max_value=100))
+@settings(**_SETTINGS)
+def test_correlated_sample_is_pure_key_function(spark, keys, pct):
+    df = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)] or [], schema="k int, v int"
+    )
+    kept = {r.k for r in correlated_sample(df, "k", keep_pct=pct).collect()}
+    # a key is kept for ALL its rows or none: re-sampling a shuffled
+    # frame keeps exactly the same key set
+    kept2 = {
+        r.k
+        for r in correlated_sample(df.repartition(7), "k", keep_pct=pct).collect()
+    }
+    assert kept == kept2
+    assert pct == 0 and kept == set() or pct > 0 or kept == set()
+    if pct == 100:
+        assert kept == set(keys)
+
+
+# EWMA 8-term dyadic kernel vs a pure-Python model over a random series
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=20)
+)
+@settings(**_SETTINGS)
+def test_ewma_terms_match_python_model(spark, vals):
+    from cdc_data_lake_pyspark_spark.queries_phase8 import _ewma_terms
+
+    rows = [(f"d{i:03d}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, schema="day string, rev_cents long")
+    num, den = _ewma_terms(
+        "rev_cents", lambda v, k: f"lag({v}, {k}) OVER (ORDER BY day)"
+    )
+    from pyspark.sql import functions as SF
+
+    got = {
+        r.day: (r.n, r.d)
+        for r in df.selectExpr(
+            "day", f"CAST({num} AS BIGINT) AS n", f"CAST({den} AS BIGINT) AS d"
+        ).collect()
+    }
+    for i, (day, _) in enumerate(rows):
+        n = sum(
+            vals[i - k] * 2 ** (7 - k) for k in range(8) if i - k >= 0
+        )
+        d = sum(2 ** (7 - k) for k in range(8) if i - k >= 0)
+        assert got[day] == (n, d)
