@@ -430,8 +430,9 @@ def daily_revenue_ma7(spark, sf_dir):
     "shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,2)))
-                AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -462,11 +463,18 @@ def shipping_priority(spark, sf_dir):
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
-    rev = F.sum(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-            "decimal(18,2)"
-        )
-    ).cast("double")
+    # round-to-cents BIGINT bridge: both engines compute the identical
+    # double product, and round() is half-away-from-zero in both for
+    # positive values — unlike the double->DECIMAL cast, whose tie rule
+    # differs (Spark HALF_UP vs DuckDB half-even; bit at sf0.001)
+    rev = (
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).cast("double")
+        / 100
+    )
     return (
         orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
         .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -482,8 +490,9 @@ def shipping_priority(spark, sf_dir):
     "returned_item_customers",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,2)))
-                AS DOUBLE) AS revenue
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                               * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -505,11 +514,18 @@ def returned_item_customers(spark, sf_dir):
         "c_custkey", "c_name", "c_nationkey"
     )
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    rev = F.sum(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-            "decimal(18,2)"
-        )
-    ).cast("double")
+    # round-to-cents BIGINT bridge: both engines compute the identical
+    # double product, and round() is half-away-from-zero in both for
+    # positive values — unlike the double->DECIMAL cast, whose tie rule
+    # differs (Spark HALF_UP vs DuckDB half-even; bit at sf0.001)
+    rev = (
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).cast("double")
+        / 100
+    )
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
