@@ -30,6 +30,8 @@ side; rank vectors are #nodes rows — tiny next to edges.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -176,6 +178,7 @@ def bfs_distances(
     src_col: str = "src",
     dst_col: str = "dst",
     max_hops: int = 4,
+    seed_col: Optional[str] = None,
 ) -> DataFrame:
     """Multi-source breadth-first shortest hop distance over a directed
     edge list: every node reachable from ``sources`` within ``max_hops``
@@ -209,9 +212,20 @@ def bfs_distances(
         edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
         .localCheckpoint(eager=False)
     )
-    settled = (
-        sources.select(F.col(sources.columns[0]).alias("node"))
+    # Seeds: an explicit column (seed_col) rather than a silent positional
+    # pick, restricted to the graph's node inventory so a caller passing
+    # out-of-graph seeds agrees with the oracle (which can only seed from
+    # nodes in the edge list) by construction.
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionAll(e.select(F.col("_dst").alias("node")))
         .distinct()
+    )
+    seed_name = seed_col if seed_col is not None else sources.columns[0]
+    settled = (
+        sources.select(F.col(seed_name).alias("node"))
+        .distinct()
+        .join(nodes, "node", "left_semi")
         .select("node", F.lit(0).cast("int").alias("dist"))
         .localCheckpoint(eager=False)
     )

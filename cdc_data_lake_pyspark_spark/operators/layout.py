@@ -134,15 +134,28 @@ def compact_files(
     from urllib.parse import urlparse
 
     df = spark.read.parquet(path)
+    files = df.inputFiles()
     total = 0
-    for f in df.inputFiles():
+    n_sized = 0
+    for f in files:
         local = urlparse(f).path or f
         try:
             total += os.path.getsize(local)
+            n_sized += 1
         except OSError:
-            pass  # non-local URI: fall back to one file per input file
-    n_in = len(df.inputFiles())
-    n_out = max(1, math.ceil(total / target_bytes)) if total else n_in
+            pass  # non-local / unstat-able URI
+    n_in = len(files)
+    if n_sized == n_in and total:
+        sized_total = total
+    elif n_sized:
+        # A mix of local and unstat-able inputs: extrapolate the missing
+        # files from the sized files' mean instead of silently
+        # undersizing n_out (which would pack everything into far
+        # fewer/larger files than target_bytes intends).
+        sized_total = math.ceil(total * n_in / n_sized)
+    else:
+        sized_total = 0
+    n_out = max(1, math.ceil(sized_total / target_bytes)) if sized_total else n_in
     if sort_cols:
         out = df.repartitionByRange(
             n_out, *[F.col(c) for c in sort_cols]

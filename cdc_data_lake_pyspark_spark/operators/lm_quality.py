@@ -33,7 +33,7 @@ count aggregate broadcast back over a map-only filter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdc_data_lake_pyspark_spark.functions.text import tokens
@@ -494,10 +494,16 @@ def bm25_top_k(
         .groupBy(id_col)
         .agg(F.sum("_s").alias("score_micro"))
     )
-    w = Window.orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    # Top-k via ranked_topk → TakeOrderedAndProject: each partition keeps
+    # a k-row heap and the driver merges, so the corpus-sized scored frame
+    # never lands on one partition (a bare row_number() window with no
+    # PARTITION BY would).  Deterministic tiebreak on id preserved.
+    from .relational import ranked_topk
+
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        ranked_topk(
+            scored, [F.col("score_micro").desc(), F.col(id_col).asc()], k
+        )
         .select(
             id_col,
             "rank",

@@ -163,6 +163,30 @@ def quantile_buckets(
     return df.withColumn("bucket", F.ntile(n_buckets).over(w))
 
 
+def ranked_topk(
+    df: DataFrame, order: Sequence[Column], k: int, rank_col: str = "rank"
+) -> DataFrame:
+    """Global top-``k`` with a dense ``rank`` column and NO unpartitioned
+    window: ``orderBy().limit(k)`` plans a TakeOrderedAndProject
+    (per-partition ``k``-row heaps merged on the driver), then rank is a
+    ``monotonically_increasing_id`` over the single ``k``-row partition
+    re-sorted in place.  The unbounded alternative — ``row_number() OVER
+    (ORDER BY ...)`` — moves the ENTIRE input to one partition; at corpus
+    scale that is the plan-killer this helper exists to avoid.
+
+    ``order`` must be a deterministic total order (include a unique
+    tiebreak column) or ranks are not reproducible.
+    """
+    order = list(order)
+    return (
+        df.orderBy(*order)
+        .limit(k)
+        .coalesce(1)
+        .sortWithinPartitions(*order)
+        .withColumn(rank_col, (F.monotonically_increasing_id() + 1).cast("int"))
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

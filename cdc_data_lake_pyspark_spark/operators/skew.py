@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "_salt"
@@ -92,17 +92,23 @@ def key_skew_report(
     percent of the table, or above one executor's memory, is hot).
 
     One aggregation on the key (map-side combined) + one broadcast of
-    the single-row total; the per-key frame is #distinct-keys rows, so
-    the top-N window is cheap at any corpus size.  ``share`` is one IEEE
-    divide of exact counts — reproducible across engines.
+    the single-row total.  The per-key frame is #distinct-keys rows —
+    billions for a user-id key — so the top-N selection uses
+    ``orderBy().limit(top_n)`` (TakeOrderedAndProject: per-partition
+    ``top_n``-row heaps merged on the driver) rather than an
+    unpartitioned rank window, which would move every distinct key to
+    one partition.  The ``rank`` column is then derived over only the
+    ``top_n`` survivors.  ``share`` is one IEEE divide of exact counts —
+    reproducible across engines.
     """
+    from .relational import ranked_topk
+
     keys = list(keys)
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     total = df.agg(F.count(F.lit(1)).alias("_t"))
-    w = Window.orderBy(F.col("n").desc(), *[F.col(k).asc() for k in keys])
+    order = [F.col("n").desc(), *[F.col(k).asc() for k in keys]]
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_n)
+        ranked_topk(counts, order, top_n)
         .crossJoin(F.broadcast(total))
         .select(
             *keys,

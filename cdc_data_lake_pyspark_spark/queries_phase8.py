@@ -111,7 +111,7 @@ def bfs_part_distances(spark, sf_dir):
         .distinct()
     )
     seeds = nodes.filter(F.col("node") % 13 == 0)
-    return bfs_distances(edges, seeds, max_hops=4)
+    return bfs_distances(edges, seeds, max_hops=4, seed_col="node")
 
 
 @query(

@@ -20,9 +20,15 @@ Scale: the stored state is a CONSTANT ``depth × width`` cell grid no
 matter the stream's cardinality; each micro-batch shuffles once to
 build its own sketch (map-side combined) plus one broadcast-sized join
 of the batch's distinct keys against the grid.  The flagged-keys store
-appends only newly-hot keys.  Idempotence under checkpoint replay comes
-from the batch-id ledger: a replayed batch id is skipped before any
-state mutation (the same convergence argument as the novelty gate).
+appends only newly-hot keys.  Idempotence under checkpoint replay is
+two-layered: the batch-id ledger skips fully-applied batches before any
+state mutation, and — because the three state writes (cells, hot,
+ledger) are separate appends, not one atomic commit — each layer is
+individually replay-safe for a PARTIALLY applied batch: cells rows are
+stamped with their batch id and deduped per (batch_id, cell) on read,
+and the newly-hot append anti-joins against keys already flagged.  A
+crash between any two of the appends therefore converges to the same
+state once the batch replays.
 """
 
 from __future__ import annotations
@@ -43,6 +49,7 @@ CELLS_SCHEMA = T.StructType(
         T.StructField("hash_row", T.IntegerType(), False),
         T.StructField("bucket", T.LongType(), False),
         T.StructField("n", T.LongType(), False),
+        T.StructField("batch_id", T.LongType(), False),
     ]
 )
 
@@ -87,11 +94,22 @@ class StreamingHeavyHitters:
 
     def cells(self, spark: SparkSession) -> DataFrame:
         """Merged CMS grid: element-wise sum over every appended batch
-        sketch — identical to one cms_sketch over the whole history."""
+        sketch — identical to one cms_sketch over the whole history.
+
+        Each appended cells row is stamped with its batch id, and the
+        merge first collapses duplicate ``(batch_id, hash_row, bucket)``
+        rows to one copy.  That makes the grid idempotent under the one
+        non-atomic failure the ledger alone cannot cover: a crash AFTER
+        the cells append but BEFORE the ledger append means the replayed
+        batch re-appends an identical batch sketch (same checkpointed
+        offsets → same rows → same deterministic sketch); without the
+        stamp those cells would double-count forever."""
         return (
             self._read(spark, self.cells_dir, CELLS_SCHEMA)
+            .groupBy("batch_id", "hash_row", "bucket")
+            .agg(F.max("n").alias("_n1"))
             .groupBy("hash_row", "bucket")
-            .agg(F.sum("n").alias("n"))
+            .agg(F.sum("_n1").alias("n"))
         )
 
     def hot_keys(self, spark: SparkSession) -> DataFrame:
@@ -115,7 +133,7 @@ class StreamingHeavyHitters:
         #    read side merges by sum, so no read-modify-write race)
         sketch = cms_sketch(
             batch, "key", depth=self.depth, width=self.width
-        )
+        ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
         sketch.write.mode("append").parquet(self.cells_dir)
 
         # 2. flag this batch's keys whose cumulative estimate crossed

@@ -94,3 +94,38 @@ def test_stream_wiring_end_to_end(spark, tmp_path):
     )
     flagged = {r.key for r in gate.hot_keys(spark).collect()}
     assert flagged == {f"k{i}" for i in range(5)}  # each key count 40 >= 30
+
+
+def test_partial_batch_replay_does_not_double_count(spark, tmp_path):
+    """Crash AFTER the cells append but BEFORE the ledger append: the
+    replayed batch re-appends an identical batch sketch.  The batch_id
+    stamp + per-(batch_id, cell) dedupe must collapse the two copies, so
+    the merged grid equals the one-shot sketch (no permanent
+    double-count)."""
+    rows = [Row(key=f"k{i % 7}") for i in range(140)]
+    df = spark.createDataFrame(rows)
+    gate = StreamingHeavyHitters(
+        str(tmp_path / "hh3"), threshold=15, depth=4, width=64
+    )
+    b0 = df.filter(F.col("key") != "k6").select("key")
+    b1 = df.filter(F.col("key") == "k6").select("key")
+    gate.process_batch(b0, batch_id=0)
+
+    # simulate the partially-applied batch 1: cells landed, ledger did not
+    sketch = cms_sketch(b1, "key", depth=4, width=64).withColumn(
+        "batch_id", F.lit(1).cast("long")
+    )
+    sketch.write.mode("append").parquet(gate.cells_dir)
+
+    # checkpoint replay of batch 1 runs the full process_batch
+    gate.process_batch(b1, batch_id=1)
+
+    merged = _cells_map(gate.cells(spark))
+    oneshot = _cells_map(
+        cms_sketch(df.select("key"), "key", depth=4, width=64)
+    )
+    assert merged == oneshot
+    # every key truly >= threshold is flagged exactly once
+    assert gate.hot_keys(spark).groupBy("key").count().filter(
+        F.col("count") > 1
+    ).count() == 0
