@@ -248,6 +248,14 @@ def lm_bigram_cross_entropy(spark, sf_dir):
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+#: approx decile-gate sketch geometry: cross-entropy is bits/token
+#: (single digits for natural text); 0.005-bit cells over [0, 20) bound
+#: the gate-threshold error at one cell while the state stays 4000 rows
+#: from ANY corpus size.
+_V2_HIST_WIDTH = 0.005
+_V2_HIST_BUCKETS = 4000
+
+
 @query(
     "prepare_training_corpus_v2",
     oracle=f"""
@@ -302,7 +310,7 @@ def lm_bigram_cross_entropy(spark, sf_dir):
     FROM mixed
     """,
 )
-def prepare_training_corpus_v2(spark, sf_dir):
+def prepare_training_corpus_v2(spark, sf_dir, approx: bool = False):
     """The r5 data-prep composition: unigram-LM cross-entropy decile gate
     (drop decile 1 — boilerplate — and decile 10 — rare-token noise, the
     CCNet head/tail trim) → exact-dedup keeper selection → XLM-R
@@ -310,10 +318,22 @@ def prepare_training_corpus_v2(spark, sf_dir):
     POST-gate corpus) → deterministic 80/10/10 split.  Complements
     ``prepare_training_corpus`` (quality gate → near-dup clustering →
     decontamination): between them every §2.6 stage family appears inside
-    a verified composition.  The decile cut is the one global sort
-    (documented cost of exact quantiles, `relational.quantile_buckets`);
-    at 100 TB swap it for a `histogram_sketch` threshold — every other
-    stage is aggregation/broadcast/map-only."""
+    a verified composition.
+
+    Decile gate, two modes:
+
+    * ``approx=False`` (default, the oracle-checked mode): exact ntile
+      deciles — ONE global sort (`relational.quantile_buckets`), the
+      documented cost of exact quantiles.
+    * ``approx=True`` (the 100 TB path): `histogram_sketch` over
+      cross-entropy — a map-side-combined constant-state aggregation
+      (``_V2_HIST_BUCKETS`` rows from any corpus size, measured flat in
+      `SCALE_MEASURED.json`) decoded to p10/p90 thresholds, then a
+      map-only filter.  NO global sort anywhere in the composite.  Gate
+      disagreement vs exact is confined to documents within one sketch
+      cell (``_V2_HIST_WIDTH`` bits) of the decile boundary — pinned in
+      ``tests/test_v2_approx.py``.
+    """
     from cdc_data_lake_pyspark_spark.operators.dedup_text import exact_dedup
     from cdc_data_lake_pyspark_spark.operators.lm_quality import (
         temperature_mix,
@@ -325,11 +345,32 @@ def prepare_training_corpus_v2(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    deciles = quantile_buckets(
-        unigram_lm_scores(docs).select("doc_id", "cross_entropy"),
-        "cross_entropy",
-        n_buckets=10,
-    )
+    scores = unigram_lm_scores(docs).select("doc_id", "cross_entropy")
+    if approx:
+        from cdc_data_lake_pyspark_spark.functions.sketch import (
+            histogram_quantile,
+            histogram_sketch,
+        )
+
+        cells_df = histogram_sketch(
+            scores,
+            "cross_entropy",
+            width=_V2_HIST_WIDTH,
+            n_buckets=_V2_HIST_BUCKETS,
+        )
+        # constant-size state (<= n_buckets rows) → driver decode is the
+        # sketch contract, not a scale hazard
+        cells = {r["bucket"]: r["n"] for r in cells_df.collect()}
+        lo = histogram_quantile(cells, 0.1, width=_V2_HIST_WIDTH)
+        hi = histogram_quantile(cells, 0.9, width=_V2_HIST_WIDTH)
+        gate_ids = scores.filter(
+            (F.col("cross_entropy") >= lo) & (F.col("cross_entropy") <= hi)
+        ).select("doc_id")
+    else:
+        deciles = quantile_buckets(scores, "cross_entropy", n_buckets=10)
+        gate_ids = deciles.filter(F.col("bucket").between(2, 9)).select(
+            "doc_id"
+        )
     # gated feeds both the keeper aggregation and the keeper join, and
     # base feeds both the mix-rate aggregation and the mix filter — stage
     # each once (lazy local checkpoint, the dedup_text staging pattern)
@@ -337,7 +378,7 @@ def prepare_training_corpus_v2(spark, sf_dir):
     # consumer.
     gated = (
         docs.join(
-            deciles.filter(F.col("bucket").between(2, 9)).select("doc_id"),
+            gate_ids,
             "doc_id",
         )
         .select("doc_id", "lang", "text")

@@ -1,0 +1,246 @@
+"""Phase-9 inventory (round 6): raw-web main-content extraction and the
+streaming gates' single-batch reductions under the value-check gate.
+
+* ``html_extract_main`` — the missing FIRST stage of the LLM data
+  pipeline: HTML → visible main content (boilerplate removal) before any
+  quality gate or dedup runs.  The extractor
+  (:mod:`~cdc_data_lake_pyspark_spark.functions.html`) is one map-only
+  scalar expression generated for both dialects from one template, so
+  the oracle hash-compares every extracted string.  The entry builds a
+  deterministic HTML page around each ``documents`` row (nav boilerplate,
+  script/style/comment noise, entity-encoded suffix, link-dense and
+  too-short lines) in BOTH engines and extracts — a planted-fixture
+  roundtrip at corpus scale.
+
+* ``novelty_gate_batch`` / ``semantic_gate_batch`` — the pure
+  ``(batch, index) → novel`` reductions of
+  :class:`~cdc_data_lake_pyspark_spark.streaming.novelty.StreamingNoveltyGate`
+  and
+  :class:`~cdc_data_lake_pyspark_spark.streaming.semantic.StreamingSemanticGate`
+  (every other streaming property — slicing invariance, replay
+  idempotence, Bloom-path equality — stays pinned in the soak tests;
+  these entries put the per-batch VALUE semantics under the DuckDB
+  oracle).  Index/batch are carved from the driver tables by id residue,
+  so both engines derive identical state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.functions.html import (
+    extract_main_text,
+    main_text_sql,
+)
+from cdc_data_lake_pyspark_spark.queries import _t, query
+
+# --------------------------------------------------------------------------
+# html_extract_main
+# --------------------------------------------------------------------------
+
+#: page template in ANSI SQL (identical text in both dialects): nav bar
+#: (pure links → dropped), short heading (dropped), the document text in
+#: a paragraph with an entity-encoded suffix (kept, entities decoded), a
+#: mostly-text paragraph with one small link (kept), comment/script/style
+#: noise (removed before segmentation), tiny footer (dropped).
+_PAGE_SQL = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS STRING) || "
+    "'</title><style>body{margin:0}</style>"
+    "<script>if(1<2){track()}</script></head><body>"
+    "<nav><a href=\"/\">Home</a> <a href=\"/docs\">All documents</a> "
+    "<a href=\"/help\">Help center</a></nav>"
+    "<h1>Doc ' || CAST(doc_id AS STRING) || '</h1>"
+    "<p>' || text || ' &amp; trailing &lt;entities&gt; decoded.</p>"
+    "<p>Visit the <a href=\"/next\">next page</a> for more of the corpus "
+    "text stream and related entries.</p>"
+    "<!-- build 1234 --><div>x</div>"
+    "<footer>(c) corpus</footer></body></html>'"
+)
+
+
+@query(
+    "html_extract_main",
+    oracle=f"""
+    SELECT doc_id,
+           {main_text_sql(_PAGE_SQL, duck=True)} AS main_text,
+           CAST(length({main_text_sql(_PAGE_SQL, duck=True)}) AS INT)
+             AS n_chars
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+)
+def html_extract_main(spark, sf_dir):
+    """Boilerplate removal over a planted-HTML corpus: wrap every
+    document in the deterministic page template above, then extract the
+    main content (Readability/jusText-style min-length + link-density
+    line filter; ``functions/html.py``).  Expected survivors per page:
+    the document paragraph (entities decoded) and the mostly-text link
+    paragraph; nav/heading/footer/comment/script/style all drop.
+
+    Plan shape: ONE projection — template concat + the generated
+    extraction expression — inside whole-stage codegen; zero shuffle,
+    zero UDF, trivially parallel at any corpus size."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return docs.select(
+        "doc_id",
+        extract_main_text(f"({_PAGE_SQL})").alias("main_text"),
+    ).select(
+        "doc_id",
+        "main_text",
+        F.length("main_text").cast("int").alias("n_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# novelty_gate_batch
+# --------------------------------------------------------------------------
+
+
+@query(
+    "novelty_gate_batch",
+    oracle="""
+    WITH firsts AS (
+      SELECT md5(lower(trim(text))) AS fp,
+             CAST(min(doc_id) AS BIGINT) AS doc_id
+      FROM documents
+      WHERE doc_id % 3 = 0 AND text IS NOT NULL
+      GROUP BY 1
+    ), idx AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS fp
+      FROM documents
+      WHERE doc_id % 3 <> 0 AND text IS NOT NULL
+    )
+    SELECT f.fp, f.doc_id
+    FROM firsts f LEFT JOIN idx i ON f.fp = i.fp
+    WHERE i.fp IS NULL
+    """,
+)
+def novelty_gate_batch(spark, sf_dir):
+    """The streaming novelty gate's single-batch reduction
+    (``streaming/novelty.py::StreamingNoveltyGate.batch_reduce``) on a
+    deterministic state split: documents with ``doc_id % 3 != 0`` form
+    the ingested fingerprint index, the rest arrive as one micro-batch.
+    Output = the batch's novel fingerprints with their keeper ids —
+    exactly what ``process_batch`` would append.
+
+    Scale: one digest groupBy on the batch (map-side first-per-fp
+    combine) + one anti-join against an index of 32-byte digests; the
+    corpus text never re-shuffles."""
+    from cdc_data_lake_pyspark_spark.streaming.novelty import (
+        StreamingNoveltyGate,
+        document_fingerprint,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    index = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(document_fingerprint().alias("fp"))
+        .distinct()
+    )
+    gate = StreamingNoveltyGate(index_dir="/nonexistent-unused")
+    return gate.batch_reduce(batch, index)
+
+
+# --------------------------------------------------------------------------
+# semantic_gate_batch
+# --------------------------------------------------------------------------
+
+_SEM_THRESHOLD = 0.4
+_SEM_PLANES = 6
+_SEM_TABLES = 8
+_SEM_SEED = 42
+_SEM_DIM = 64
+
+
+def _semantic_gate_batch_oracle() -> str:
+    """Replay the semantic gate's batch reduction with the seeded
+    hyperplanes pinned as literals (the ``dedup_embedding_cosine_lsh``
+    oracle technique): within-batch banded min-id prune, then bucket
+    probe + exact rescore against the index slice."""
+    from cdc_data_lake_pyspark_spark.queries_phase2 import _planes_values_sql
+
+    planes = _planes_values_sql(
+        _SEM_DIM, _SEM_PLANES, _SEM_TABLES, _SEM_SEED
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), planes(tbl, plane, h) AS (
+      VALUES {planes}
+    ), sig AS (
+      SELECT e.vec_id, p.tbl,
+             SUM(CASE WHEN list_dot_product(e.v, p.h) >= 0
+                      THEN 1 << p.plane ELSE 0 END) AS bkt
+      FROM e CROSS JOIN planes p
+      GROUP BY e.vec_id, p.tbl
+    ), batch AS (SELECT vec_id FROM e WHERE vec_id % 5 = 0),
+    idx AS (SELECT vec_id FROM e WHERE vec_id % 5 <> 0),
+    in_batch_pairs AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM sig a JOIN sig b
+        ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+      JOIN batch ba ON a.vec_id = ba.vec_id
+      JOIN batch bb ON b.vec_id = bb.vec_id
+    ), dropped AS (
+      SELECT DISTINCT p.b_id AS vec_id FROM in_batch_pairs p
+      JOIN e ea ON p.a_id = ea.vec_id
+      JOIN e eb ON p.b_id = eb.vec_id
+      WHERE list_dot_product(ea.v, eb.v)
+            / (sqrt(list_dot_product(ea.v, ea.v))
+             * sqrt(list_dot_product(eb.v, eb.v))) >= {_SEM_THRESHOLD}
+    ), survivors AS (
+      SELECT vec_id FROM batch
+      WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    ), matched AS (
+      SELECT DISTINCT s.vec_id
+      FROM survivors s
+      JOIN sig ss ON s.vec_id = ss.vec_id
+      JOIN sig si ON ss.tbl = si.tbl AND ss.bkt = si.bkt
+      JOIN idx i ON si.vec_id = i.vec_id
+      JOIN e es ON s.vec_id = es.vec_id
+      JOIN e ei ON si.vec_id = ei.vec_id
+      WHERE list_dot_product(es.v, ei.v)
+            / (sqrt(list_dot_product(es.v, es.v))
+             * sqrt(list_dot_product(ei.v, ei.v))) >= {_SEM_THRESHOLD}
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id FROM survivors
+    WHERE vec_id NOT IN (SELECT vec_id FROM matched)
+    """
+
+
+@query("semantic_gate_batch", oracle=_semantic_gate_batch_oracle)
+def semantic_gate_batch(spark, sf_dir):
+    """The streaming semantic gate's single-batch reduction
+    (``streaming/semantic.py::StreamingSemanticGate.batch_reduce``) on a
+    deterministic state split: vectors with ``vec_id % 5 != 0`` are the
+    ingested index (bucketed under the gate's fixed seeded hyperplanes),
+    the rest arrive as one micro-batch.  Output = the batch's
+    semantically-novel vector ids — exactly what ``process_batch`` would
+    append (modulo the per-bucket explosion).
+
+    Scale: banded candidate generation + one co-located (table, bucket)
+    join against the index — never an all-pairs scan; the oracle replays
+    bucketing and rescoring end-to-end with the planes as literals."""
+    from cdc_data_lake_pyspark_spark.streaming.semantic import (
+        StreamingSemanticGate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    gate = StreamingSemanticGate(
+        index_dir="/nonexistent-unused",
+        threshold=_SEM_THRESHOLD,
+        dim=_SEM_DIM,
+        n_planes=_SEM_PLANES,
+        n_tables=_SEM_TABLES,
+        seed=_SEM_SEED,
+    )
+    index = gate._with_buckets(
+        emb.filter(F.col("vec_id") % 5 != 0), "vec_id", "v"
+    ).select("tbl", "bkt", F.col("vec_id").cast("long"), "v")
+    return (
+        gate.batch_reduce(batch, index)
+        .select(F.col("vec_id").cast("long").alias("vec_id"))
+    )

@@ -115,6 +115,25 @@ class StreamingNoveltyGate:
         except Exception:
             return spark.createDataFrame([], BLOOM_SCHEMA)
 
+    def batch_reduce(self, batch_df: DataFrame, index: DataFrame) -> DataFrame:
+        """The gate's pure single-batch reduction: fingerprint →
+        first-per-fingerprint within the batch → anti-join the given
+        index — no state I/O, so the reduction is value-checkable
+        against a SQL oracle exactly like every batch operator.
+        ``process_batch`` wraps it with state plumbing (and the optional
+        Bloom pre-filter, whose results are pinned equal to this plain
+        path in the soak tests)."""
+        fp = document_fingerprint(self.text_col, self.normalize)
+        firsts = (
+            batch_df.select(
+                fp.alias("fp"), F.col(self.id_col).cast("long").alias("doc_id")
+            )
+            .filter(F.col("fp").isNotNull())
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        return firsts.join(index.select("fp"), "fp", "left_anti")
+
     def process_batch(self, batch_df: DataFrame, batch_id: int = -1) -> None:
         spark = batch_df.sparkSession
         fp = document_fingerprint(self.text_col, self.normalize)
@@ -127,7 +146,7 @@ class StreamingNoveltyGate:
             .agg(F.min("doc_id").alias("doc_id"))
         )
         if self.bloom_dir is None:
-            novel = firsts.join(self.index(spark).select("fp"), "fp", "left_anti")
+            novel = self.batch_reduce(batch_df, self.index(spark))
         else:
             # Bloom pre-filter: a fingerprint MISSING from the filter is
             # guaranteed novel (no false negatives) and skips the exact

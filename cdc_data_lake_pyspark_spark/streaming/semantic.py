@@ -129,10 +129,14 @@ class StreamingSemanticGate:
         )
 
     # -- the gate -------------------------------------------------------
-    def process_batch(self, batch_df: DataFrame, batch_id: int = -1) -> None:
-        spark = batch_df.sparkSession
-        batch = batch_df.select(self.id_col, self.vec_col).localCheckpoint()
-
+    def batch_reduce(self, batch: DataFrame, index: DataFrame) -> DataFrame:
+        """The gate's pure single-batch reduction: ``(batch, index) →
+        novel rows`` with no state I/O — steps 1–2 of the micro-batch
+        loop (within-batch min-id prune over banded pairs, then
+        bucket-probe + exact-rescore against the index).  Exposed so the
+        reduction is value-checkable against a SQL oracle exactly like
+        every batch operator; ``process_batch`` wraps it with the
+        read/append state plumbing."""
         # 1) within-batch min-id prune over banded pairs
         pairs = cosine_near_dup_pairs_lsh(
             batch,
@@ -149,7 +153,7 @@ class StreamingSemanticGate:
 
         # 2) probe the index on (table, bucket), exact-rescore candidates
         sig = self._with_buckets(survivors, "_sid", "_sv")
-        idx = self.index(spark).select(
+        idx = index.select(
             "tbl",
             "bkt",
             F.col("vec_id").alias("_iid"),
@@ -164,7 +168,12 @@ class StreamingSemanticGate:
             .select(F.col("_sid").alias(self.id_col))
             .distinct()
         )
-        novel = survivors.join(matched, self.id_col, "left_anti")
+        return survivors.join(matched, self.id_col, "left_anti")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int = -1) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(self.id_col, self.vec_col).localCheckpoint()
+        novel = self.batch_reduce(batch, self.index(spark))
 
         # 3) append novel rows, exploded per (table, bucket)
         out = self._with_buckets(novel, "vec_id", "v").select(
