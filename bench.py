@@ -30,7 +30,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from cdc_data_lake_pyspark_spark.session import build_session
 from cdc_data_lake_pyspark_spark import queries as q
 
-HEADLINE = [
+#: the STABLE r4 core: these 10 have been benched identically since r4,
+#: so their sum (``core_headline_sec``) is comparable round-over-round
+#: even as the registry grows (VERDICT r5 next-round #6)
+CORE = [
     "cdc_orders_apply",
     "agg_pricing_summary",
     "orders_revenue_by_nation",
@@ -41,9 +44,13 @@ HEADLINE = [
     "delete_where_exists",
     "parse_props_json",
     "top_customers_per_segment",
+]
+
+HEADLINE = CORE + [
     "prepare_training_corpus",
     "revenue_cube",
     "ivm_orders_by_status",
+    "html_extract_main",
 ]
 
 LOCAL_RESULTS = os.path.join(
@@ -178,10 +185,17 @@ def main() -> None:
     state["dataprep_docs_per_sec"] = dataprep_dps
     flush_partial(state)
 
+    core = round(sum(timings[n] for n in CORE if n in timings), 3)
+    state["core_headline_sec"] = core
+    flush_partial(state)
     summary = {
         "metric": "headline query wall time (sum)",
         "value": total,
         "unit": "sec",
+        # the stable r4 10-query core sum — the ONLY number comparable
+        # round-over-round as the registry grows (r5 recomputed: 5.475 s
+        # from BENCH_r05's per-query map)
+        "core_headline_sec": core,
         # compact: headline timings only; full 64-query map in BENCH_local.json
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "sf": sf,

@@ -79,6 +79,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="drain what's available, then stop (backfill/testing)",
     )
     p.add_argument(
+        "--quarantine",
+        help="dead-letter dir: rows with missing/blank or unparseable "
+        "JSON envelopes append here (stamped with check name + batch "
+        "id) while clean rows apply — J3 log-and-continue with data "
+        "retention instead of loss",
+    )
+    p.add_argument(
         "--ts-guard",
         default=None,
         help="column name enabling the cross-batch out-of-order merge guard",
@@ -219,6 +226,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         trigger_seconds=args.trigger_seconds,
         query_name=args.jobname,
         available_now=args.available_now,
+        quarantine_dir=args.quarantine,
     )
     query.awaitTermination()
 

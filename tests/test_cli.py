@@ -166,3 +166,59 @@ def test_cli_streaming_still_requires_config_flags():
 
     with _pytest.raises(SystemExit):
         main(["--catalogtype", "none"])  # no tablejsonfile/checkpointpath
+
+
+def test_cli_quarantine_end_to_end(spark, sf_dir, tmp_path):
+    """Planted bad envelopes (blank line, malformed JSON) land in the
+    quarantine store with their check names while every good row still
+    applies — J3 log-and-continue with retention instead of loss."""
+    from cdc_data_lake_pyspark_spark.fixtures import (
+        ORDERS_TABLE_CONFIG,
+        debezium_orders_envelopes,
+    )
+    from cdc_data_lake_pyspark_spark.streaming.quarantine import (
+        read_quarantine,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    env = debezium_orders_envelopes(spark, sf_dir)
+    with open(src / "batch.jsonl", "w") as f:
+        for r in env.collect():
+            f.write(r.value + "\n")
+        f.write(" \n")  # blank -> null_or_empty_value
+        f.write('{"this is": not json}\n')  # -> unparseable_json
+        f.write("also not json at all\n")  # -> unparseable_json
+    conf = tmp_path / "tables.json"
+    conf.write_text(json.dumps(ORDERS_TABLE_CONFIG))
+    sink_root = tmp_path / "lake"
+    qdir = tmp_path / "quarantine"
+
+    main(
+        [
+            "--tablejsonfile", str(conf),
+            "--checkpointpath", str(tmp_path / "cp"),
+            "--sourcetype", "file",
+            "--source-path", str(src),
+            "--sink", "parquet",
+            "--sink-root", str(sink_root),
+            "--available-now",
+            "--quarantine", str(qdir),
+        ]
+    )
+    # clean rows applied exactly as the quarantine-less run would
+    out = spark.read.parquet(str(sink_root / "testdb" / "orders"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    expected = orders.filter("o_orderkey % 10 <> 9").count()
+    assert out.count() == expected
+    # bad rows retained with their violation labels
+    quarantined = read_quarantine(spark, str(qdir))
+    by_label = {
+        r["_violations"]: r["n"]
+        for r in quarantined.groupBy("_violations").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert by_label.get("unparseable_json") == 2
+    assert sum(
+        n for lbl, n in by_label.items() if "null_or_empty_value" in lbl
+    ) == 1

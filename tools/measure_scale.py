@@ -845,13 +845,207 @@ def measure_phase8b(spark, sf_dir: str, replicas: int) -> dict:
     return out
 
 
+def derived_big(spark, sf_dir: str, replicas: int):
+    """crossJoin-based derivations for LARGE replica counts (a 100-branch
+    union is a planning hazard; one crossJoin against spark.range is not).
+    Same invariants as the 10x builders: salted docs decorrelate replicas
+    to Jaccard ~0.5 (near-dup structure linear, volume Nx); unique-token
+    docs add volume with ZERO duplicated spans; sign-flipped embeddings
+    preserve within-replica cosines exactly and decorrelate across."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    reps = spark.range(1, replicas).select(F.col("id").alias("_r"))
+
+    salt = F.array_join(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(
+                    (F.size(F.split(F.col("text"), " ")) / 2).cast("int"),
+                    F.lit(4),
+                ),
+            ),
+            lambda i: F.concat(
+                F.lit("z"), F.col("doc_id"), F.lit("x"), F.col("_r"),
+                F.lit("q"), i
+            ),
+        ),
+        " ",
+    )
+    docs_salted = docs.unionByName(
+        docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" "), salt).alias("text"),
+        )
+    )
+
+    uniq = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda x, i: F.concat(
+                x, F.lit("x"), F.col("_r"), F.lit("q"), F.col("doc_id"),
+                F.lit("p"), i
+            ),
+        ),
+        " ",
+    )
+    docs_unique = docs.unionByName(
+        docs.crossJoin(reps).select(
+            (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+            uniq.alias("text"),
+        )
+    )
+
+    flipped = F.transform(
+        F.col("embedding"),
+        lambda x, i: x
+        * F.when(F.pmod(F.xxhash64(i, F.col("_r")), F.lit(2)) == 0, F.lit(1.0))
+        .otherwise(F.lit(-1.0))
+        .cast("float"),
+    )
+    emb_big = emb.unionByName(
+        emb.crossJoin(reps).select(
+            (F.col("vec_id") + F.col("_r") * 10_000_000).alias("vec_id"),
+            flipped.alias("embedding"),
+        )
+    )
+    return docs_salted, docs_unique, emb_big
+
+
+def measure_scale100(spark, sf_dir: str, replicas: int = 100) -> dict:
+    """Extend the measured scaling evidence to ~100x for the flagship
+    scale paths (VERDICT r5 next-round #5): minhash LSH, sparse TF-IDF
+    cosine, IVF-PQ, ExactSubstr election/reassembly — plus the v2 decile
+    gate's approx-vs-exact contrast (VERDICT #3: the sketch path's
+    shuffle must stay ~FLAT in corpus size while the exact ntile path
+    grows with it).
+
+    Expected laws at 100x: shuffle tracks candidates/spans (linear-ish in
+    rows for the banded/bucketed designs, ~flat for the reassembly on a
+    zero-duplicated-span corpus and for the histogram sketch), never
+    corpus^2."""
+    from cdc_data_lake_pyspark_spark.functions.sketch import (
+        histogram_quantile,
+        histogram_sketch,
+    )
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        minhash_near_duplicates,
+        substring_duplicate_positions,
+        substring_window_dedup,
+    )
+    from cdc_data_lake_pyspark_spark.operators.relational import (
+        quantile_buckets,
+    )
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        ivf_pq_top_k,
+    )
+    from cdc_data_lake_pyspark_spark.operators.sparse_sim import (
+        sparse_cosine_pairs,
+    )
+
+    dp = f"{WORK_DIR}/documents_x{replicas}.parquet"
+    up = f"{WORK_DIR}/docs_unique_x{replicas}.parquet"
+    ep = f"{WORK_DIR}/embeddings_x{replicas}.parquet"
+    if not (os.path.exists(dp) and os.path.exists(up) and os.path.exists(ep)):
+        d, u, e = derived_big(spark, sf_dir, replicas)
+        if not os.path.exists(dp):
+            d.write.mode("overwrite").parquet(dp)
+        if not os.path.exists(up):
+            u.write.mode("overwrite").parquet(up)
+        if not os.path.exists(ep):
+            e.write.mode("overwrite").parquet(ep)
+
+    out = {}
+    for label, n_rep in (("1x", 1), (f"{replicas}x", replicas)):
+        if n_rep == 1:
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            )
+            docs_u = docs
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            )
+        else:
+            docs = spark.read.parquet(dp)
+            docs_u = spark.read.parquet(up)
+            emb = spark.read.parquet(ep)
+        queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # synthetic per-doc score for the decile-gate machinery contrast
+        # (token count as double; both paths consume the identical frame)
+        scores = docs.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("double").alias("val"),
+        )
+
+        def gate_exact():
+            return quantile_buckets(
+                scores, "val", n_buckets=10, id_col="doc_id"
+            ).filter(F.col("bucket").between(2, 9))
+
+        def gate_approx():
+            cells_df = histogram_sketch(
+                scores, "val", width=25.0, n_buckets=400
+            )
+            cells = {r["bucket"]: r["n"] for r in cells_df.collect()}
+            lo = histogram_quantile(cells, 0.1, width=25.0)
+            hi = histogram_quantile(cells, 0.9, width=25.0)
+            return scores.filter(
+                (F.col("val") >= lo) & (F.col("val") <= hi)
+            )
+
+        row = {"n_docs": docs.count(), "n_vectors": emb.count(), "ops": {}}
+        for op, build in (
+            ("minhash_lsh_verify", lambda: minhash_near_duplicates(docs)),
+            (
+                "sparse_cosine",
+                lambda: sparse_cosine_pairs(
+                    docs_u.filter(F.col("doc_id") % 7 == 0), threshold=0.85
+                ),
+            ),
+            (
+                "ivf_pq",
+                lambda: ivf_pq_top_k(
+                    emb, queries, k=3, n_probe=4, shortlist=50,
+                    exclude_self=True,
+                ),
+            ),
+            (
+                "substr_election",
+                lambda: substring_duplicate_positions(docs_u, k=8),
+            ),
+            ("substr_full", lambda: substring_window_dedup(docs_u, k=8)),
+            ("decile_gate_exact", gate_exact),
+            ("decile_gate_approx", gate_approx),
+        ):
+            r0, w0 = shuffle_totals(spark)
+            t0 = time.time()
+            out_rows = build().count()
+            elapsed = round(time.time() - t0, 2)
+            r1, w1 = shuffle_totals(spark)
+            row["ops"][op] = {
+                "sec": elapsed,
+                "out_rows": out_rows,
+                "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+            }
+            print("scale100", label, op, row["ops"][op], flush=True)
+        out[label] = row
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--out", default="SCALE_MEASURED.json")
     ap.add_argument(
         "--only",
-        choices=["family", "substring", "textpipe", "temporal", "phase7", "phase8", "phase8b"],
+        choices=["family", "substring", "textpipe", "temporal", "phase7", "phase8", "phase8b", "scale100"],
         default=None,
         help="measure one section and merge into an existing --out file",
     )
@@ -868,10 +1062,14 @@ def main():
     if args.only and os.path.exists(args.out):
         with open(args.out) as f:
             prior = json.load(f)
-        if prior.get("sf_dir") == SF_DIR and prior.get("replicas") == args.replicas:
+        # scale100 runs with its own replica count; merge into the prior
+        # artifact instead of discarding the 10x sections
+        if prior.get("sf_dir") == SF_DIR and (
+            prior.get("replicas") == args.replicas or args.only == "scale100"
+        ):
             results = prior
 
-    if args.only in ("substring", "textpipe", "temporal", "phase7", "phase8", "phase8b"):
+    if args.only in ("substring", "textpipe", "temporal", "phase7", "phase8", "phase8b", "scale100"):
         key = {
             "substring": "substring_dedup",
             "textpipe": "textpipe",
@@ -879,6 +1077,7 @@ def main():
             "phase7": "phase7",
             "phase8": "phase8",
             "phase8b": "phase8b",
+            "scale100": "scale100",
         }[args.only]
         fn = {
             "substring": measure_substring,
@@ -887,8 +1086,11 @@ def main():
             "phase7": measure_phase7,
             "phase8": measure_phase8,
             "phase8b": measure_phase8b,
+            "scale100": measure_scale100,
         }[args.only]
         results[key] = fn(spark, SF_DIR, args.replicas)
+        if args.only == "scale100":
+            results["scale100_replicas"] = args.replicas
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
         print(json.dumps({"written": args.out}))
