@@ -676,6 +676,11 @@ _DEMOTED: tuple[str, ...] = (
     "frequent_part_pairs",
     # co-occurrence self-join family: triangle_part_cliques stays in-
     # window; support floors pinned in pytest; driver-green r5
+    "feature_hash_docs",
+    # one-aggregate feature-encoding family: label_encode_docs stays
+    # in-window; hashing-trick bucket bounds + determinism pinned in
+    # pytest and the tail oracle; driver-green r5 (demoted mid-r6 for
+    # the NEW prepare_web_corpus window slot)
     # --- stay demoted (sibling-coverage rationale recorded in the
     # --- r3-r5 history; see COVERAGE.md for the rotation ledger) ---
     "route_upsert",

@@ -70,7 +70,6 @@ REQUIRED_VISIBLE = [
     "sparse_cosine_docs",
     # features / encodings
     "label_encode_docs",
-    "feature_hash_docs",
     # IVM / layout / stats
     "ivm_orders_by_status",
     "compact_orders_roundtrip",
@@ -83,6 +82,7 @@ CHANGED_THIS_ROUND = [
     "html_extract_main",  # NEW r6: HTML main-content extraction
     "novelty_gate_batch",  # NEW r6: novelty gate's batch core oracled
     "semantic_gate_batch",  # NEW r6: semantic gate's batch core oracled
+    "prepare_web_corpus",  # NEW r6: raw-web extract->gate->dedup->split
     "bm25_search",  # r6: top-k via TakeOrderedAndProject (plan fix)
     "key_skew_report",  # r6: same top-N plan fix
     "bfs_part_distances",  # r6: explicit seed col + node semi-join
