@@ -40,6 +40,10 @@ def _bfs_model(edges, seeds, max_hops):
     adj = {}
     for s, d in edges:
         adj.setdefault(s, set()).add(d)
+    # r6 contract (ADVICE r5): seeds are restricted to the graph's node
+    # inventory, so operator and oracle agree on out-of-graph seeds
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    seeds = [s for s in seeds if s in nodes]
     dist = {s: 0 for s in seeds}
     q = deque(seeds)
     while q:

@@ -949,6 +949,7 @@ def measure_scale100(spark, sf_dir: str, replicas: int = 100) -> dict:
 
     dp = f"{WORK_DIR}/documents_x{replicas}.parquet"
     up = f"{WORK_DIR}/docs_unique_x{replicas}.parquet"
+    tp = f"{WORK_DIR}/docs_tagged_x{replicas}.parquet"
     ep = f"{WORK_DIR}/embeddings_x{replicas}.parquet"
     if not (os.path.exists(dp) and os.path.exists(up) and os.path.exists(ep)):
         d, u, e = derived_big(spark, sf_dir, replicas)
@@ -958,6 +959,34 @@ def measure_scale100(spark, sf_dir: str, replicas: int = 100) -> dict:
             u.write.mode("overwrite").parquet(up)
         if not os.path.exists(ep):
             e.write.mode("overwrite").parquet(ep)
+    if not os.path.exists(tp):
+        # replica-TAGGED corpus: every token suffixed with the replica id
+        # only — within a replica the original cross-doc shingle overlap
+        # (and so the original near-dup pair structure) is preserved
+        # exactly, across replicas nothing collides.  This is the
+        # REALISTIC growth axis for near-dup dedup ("the corpus gains
+        # more documents"): families stay the 1x size, family COUNT
+        # scales Nx, so candidates/output/shuffle must scale ~linearly.
+        # (The salted corpus above is the ADVERSARIAL axis: each doc's
+        # family grows to N members at Jaccard ~0.5, so LSH candidate
+        # pairs grow ~N^2 * p(0.5) per family by construction.)
+        docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        reps = spark.range(1, replicas).select(F.col("id").alias("_r"))
+        tagged = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x: F.concat(x, F.lit("x"), F.col("_r")),
+            ),
+            " ",
+        )
+        docs0.unionByName(
+            docs0.crossJoin(reps).select(
+                (F.col("doc_id") + F.col("_r") * 10_000_000).alias("doc_id"),
+                tagged.alias("text"),
+            )
+        ).write.mode("overwrite").parquet(tp)
 
     out = {}
     for label, n_rep in (("1x", 1), (f"{replicas}x", replicas)):
@@ -966,12 +995,14 @@ def measure_scale100(spark, sf_dir: str, replicas: int = 100) -> dict:
                 "doc_id", "text"
             )
             docs_u = docs
+            docs_t = docs
             emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
                 "vec_id", "embedding"
             )
         else:
             docs = spark.read.parquet(dp)
             docs_u = spark.read.parquet(up)
+            docs_t = spark.read.parquet(tp)
             emb = spark.read.parquet(ep)
         queries = emb.filter(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
@@ -1001,7 +1032,14 @@ def measure_scale100(spark, sf_dir: str, replicas: int = 100) -> dict:
 
         row = {"n_docs": docs.count(), "n_vectors": emb.count(), "ops": {}}
         for op, build in (
-            ("minhash_lsh_verify", lambda: minhash_near_duplicates(docs)),
+            (
+                "minhash_lsh_salted_families",
+                lambda: minhash_near_duplicates(docs),
+            ),
+            (
+                "minhash_lsh_disjoint",
+                lambda: minhash_near_duplicates(docs_t),
+            ),
             (
                 "sparse_cosine",
                 lambda: sparse_cosine_pairs(
