@@ -22,6 +22,12 @@ streaming gates' single-batch reductions under the value-check gate.
   these entries put the per-batch VALUE semantics under the DuckDB
   oracle).  Index/batch are carved from the driver tables by id residue,
   so both engines derive identical state.
+
+* ``prepare_web_corpus`` — the raw-web capstone DAG: page → extraction →
+  minimum-content gate → exact-dedup keeper election on the EXTRACTED
+  text → deterministic split.  Duplicate pages are planted by an
+  id-residue rule in both engines; they collapse only because extraction
+  strips the per-page boilerplate first.
 """
 
 from __future__ import annotations
