@@ -1047,10 +1047,12 @@ def measure_scale100(spark, sf_dir: str, replicas: int = 100) -> dict:
                 ),
             ),
             (
+                # auto-sized layout (r6): nlist ~ 4*sqrt(N), probes
+                # nlist/8 — per-query candidate work sublinear in the
+                # corpus instead of the frozen 16-cell 1/4-of-corpus
                 "ivf_pq",
                 lambda: ivf_pq_top_k(
-                    emb, queries, k=3, n_probe=4, shortlist=50,
-                    exclude_self=True,
+                    emb, queries, k=3, shortlist=50, exclude_self=True
                 ),
             ),
             (
