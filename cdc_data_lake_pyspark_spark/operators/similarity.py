@@ -720,7 +720,10 @@ def fit_ivf_pq(
 
 
 def ivf_pq_query_lut(
-    queries_np: np.ndarray, centers: np.ndarray, codebooks: np.ndarray
+    queries_np: np.ndarray,
+    centers: np.ndarray,
+    codebooks: np.ndarray,
+    probe_cells: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Per-(query, cell) asymmetric-distance table over residual
     codebooks, micro-quantized: ``lut[q, cell, j, c] = round(1e6 *
@@ -728,15 +731,32 @@ def ivf_pq_query_lut(
     is exact float64 arithmetic; quantizing each entry before summation
     makes every ADC distance an exact integer sum (the
     :func:`pq_query_lut` contract, extended by the cell axis).  Shared
-    by :func:`ivf_pq_top_k` and its oracle generator."""
+    by :func:`ivf_pq_top_k` and its oracle generator.
+
+    With ``probe_cells`` (shape ``(n_q, n_probe)``), only each query's
+    probed cells are materialized — shape ``(n_q, n_probe, m_sub,
+    n_codes)``, indexed by probe SLOT instead of cell id.  At an
+    auto-sized nlist the full table is ``Q × nlist × 128`` int64s
+    (gigabytes shipped into every task closure); the probed slice is
+    ``nlist/n_probe``× smaller with bit-identical entries."""
     n_q = len(queries_np)
-    n_cells = len(centers)
     m_sub, n_codes, ds = codebooks.shape
-    lut = np.empty((n_q, n_cells, m_sub, n_codes), dtype=np.int64)
-    for cell in range(n_cells):
-        QR = queries_np - centers[cell]
+    if probe_cells is None:
+        n_cells = len(centers)
+        lut = np.empty((n_q, n_cells, m_sub, n_codes), dtype=np.int64)
+        for cell in range(n_cells):
+            QR = queries_np - centers[cell]
+            for j in range(m_sub):
+                lut[:, cell, j, :] = np.rint(
+                    1e6 * _sq_dists(QR[:, j * ds : (j + 1) * ds], codebooks[j])
+                ).astype(np.int64)
+        return lut
+    n_probe = probe_cells.shape[1]
+    lut = np.empty((n_q, n_probe, m_sub, n_codes), dtype=np.int64)
+    for slot in range(n_probe):
+        QR = queries_np - centers[probe_cells[:, slot]]
         for j in range(m_sub):
-            lut[:, cell, j, :] = np.rint(
+            lut[:, slot, j, :] = np.rint(
                 1e6 * _sq_dists(QR[:, j * ds : (j + 1) * ds], codebooks[j])
             ).astype(np.int64)
     return lut
@@ -808,10 +828,15 @@ def ivf_pq_top_k(
     ).toPandas()
     qids = q_pdf["query_id"].to_numpy()
     Q = np.vstack(q_pdf["_qv"].to_numpy()).astype(np.float64)
-    lut = ivf_pq_query_lut(Q, centers, books)
     probe_cells = np.argsort(_sq_dists(Q, centers), axis=1, kind="stable")[
         :, :n_probe
     ]
+    # LUT restricted to each query's probed cells (bit-identical entries,
+    # nlist/n_probe x smaller closure) + a (query, cell) -> probe-slot map
+    lut = ivf_pq_query_lut(Q, centers, books, probe_cells=probe_cells)
+    slot_of = np.full((len(Q), len(centers)), -1, dtype=np.int32)
+    for i in range(len(Q)):
+        slot_of[i, probe_cells[i]] = np.arange(n_probe, dtype=np.int32)
     qindex = {qid: i for i, qid in enumerate(qids.tolist())}
 
     id_type = vectors.schema[id_col].dataType.simpleString()
@@ -853,11 +878,13 @@ def ivf_pq_top_k(
     @pandas_udf("long")
     def _adist(qid: pd.Series, cell: pd.Series, codes: pd.Series) -> pd.Series:
         qi = qid.map(qindex).to_numpy()
-        ci = cell.to_numpy()
+        # candidates exist only for probed (query, cell) pairs (the join
+        # is ON the probes frame), so every slot lookup is valid
+        si = slot_of[qi, cell.to_numpy()]
         C = np.vstack(codes.to_numpy())
         s = np.zeros(len(qi), dtype=np.int64)
         for j in range(m_sub):
-            s += lut[qi, ci, j, C[:, j]]
+            s += lut[qi, si, j, C[:, j]]
         return pd.Series(s)
 
     cand = encoded.join(F.broadcast(probes), "_cell")
