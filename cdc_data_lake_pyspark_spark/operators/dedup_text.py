@@ -22,6 +22,8 @@ Scale design:
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -228,7 +230,10 @@ def _signatures_from_ex(ex: DataFrame, num_hashes: int) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    star_bucket_cap: Optional[int] = None,
 ) -> DataFrame:
     """LSH banding: docs agreeing on ALL rows of any band become a
     candidate pair ``(a_id, b_id)``.
@@ -236,8 +241,20 @@ def lsh_candidate_pairs(
     Shuffle key is ``(band_index, band_hash)`` — at 100 TB each bucket is
     tiny, so the pair-join materializes only genuine collision groups
     instead of the full cross product.
-    """
-    n = bands * rows_per_band
+
+    ``star_bucket_cap`` bounds the HOT-FAMILY pathology measured in
+    `SCALE.md` §8 (`minhash_lsh_salted_families`): a corpus whose
+    duplicate-cluster size grows with the corpus makes within-bucket
+    candidates quadratic no matter how the banding is tuned.  With a cap,
+    buckets of ≤ cap members still emit every pair (exact semantics),
+    while larger buckets emit only STAR edges — each member against the
+    bucket's minimum id — so a family of n costs n−1 verifications
+    instead of n(n−2)/2.  Downstream connected components recover the
+    same clusters whenever each member's similarity to the family
+    representative clears the threshold (true for genuine duplicate
+    families; a near-threshold CHAIN through a hot bucket may split —
+    the documented recall trade of representative-based dedup, cf. the
+    cluster-then-verify mitigation sketched in SCALE.md)."""
     banded = signatures.select(
         "doc_id",
         F.explode(
@@ -257,18 +274,45 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if star_bucket_cap is None:
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+            .distinct()
         )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .distinct()
+    # Size-capped hybrid.  One aggregation per (band, bucket) yields the
+    # member count and the representative; both downstream joins reuse the
+    # same (band, bucket) partitioning.  The banded frame is staged so the
+    # signature pipeline evaluates once for all three consumers.
+    banded = _stage(banded)
+    stats = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_rep")
     )
+    small_keys = stats.filter(F.col("_n") <= star_bucket_cap).select("band", "bucket")
+    in_small = banded.join(small_keys, ["band", "bucket"], "left_semi")
+    a = in_small.alias("a")
+    b = in_small.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+    # _rep = min(doc_id) over the bucket, so a_id < b_id holds by
+    # construction on the star side too.
+    star = (
+        banded.join(stats.filter(F.col("_n") > star_bucket_cap), ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("_rep"))
+        .select(F.col("_rep").alias("a_id"), F.col("doc_id").alias("b_id"))
+    )
+    return pairs.unionByName(star).distinct()
 
 
 def minhash_near_duplicates(
@@ -280,19 +324,24 @@ def minhash_near_duplicates(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    star_bucket_cap: Optional[int] = None,
 ) -> DataFrame:
     """The full scale path: MinHash → LSH candidates → EXACT Jaccard
     verification of candidates only.  Returns ``(a_id, b_id, jaccard)``.
 
     Exact verification makes the output precision-1; LSH only affects
     recall (tunable via bands/rows: threshold ≈ (1/b)^(1/r)).
+    ``star_bucket_cap`` additionally bounds hot-bucket candidates to star
+    edges (see :func:`lsh_candidate_pairs`) — every emitted pair still
+    carries its true Jaccard, but pairs whose only collisions happen in
+    over-cap buckets are represented through the bucket representative.
 
     The exploded shingle set is STAGED (lazy local checkpoint) and shared
     by the signature aggregation and the verification joins — one
     evaluation of the shingle pipeline for the whole operator."""
     ex = _stage(_exploded_shingles(docs, id_col, text_col, k))
     sigs = _signatures_from_ex(ex, num_hashes)
-    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band, star_bucket_cap)
     counts = _shingle_counts(ex)
     return _verify_candidate_pairs(cand, ex, counts, threshold)
 

@@ -591,6 +591,13 @@ _DEMOTED: tuple[str, ...] = (
     # --- their place (VERDICT r5 next-round #1), alongside the three
     # --- NEW r6 entries (html_extract_main, novelty_gate_batch,
     # --- semantic_gate_batch — new ops sit in-window per policy).
+    "dedup_minhash_lsh",
+    # MinHash-LSH family: dedup_minhash_star_clusters (NEW in r6,
+    # in-window per policy) runs the same signature/banding/exact-verify
+    # pipeline PLUS the size-capped star path and connected components;
+    # the pair-set contract stays pinned in
+    # tests/test_phase2.py::test_minhash_lsh_matches_exact_jaccard;
+    # driver-green r2-r5
     "route_delete",
     # P6 route predicates execute inside all in-window CDC flagships;
     # driver-green r1, r5

@@ -15,7 +15,10 @@ from cdc_data_lake_pyspark_spark.operators.clusters import (
     connected_components,
     dedup_keep_canonical,
 )
-from cdc_data_lake_pyspark_spark.operators.dedup_text import jaccard_similar_pairs
+from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+    jaccard_similar_pairs,
+    minhash_near_duplicates,
+)
 from cdc_data_lake_pyspark_spark.operators.packing import pack_documents
 from cdc_data_lake_pyspark_spark.operators.sampling import stratified_sample
 from cdc_data_lake_pyspark_spark.queries import _t, query
@@ -83,6 +86,35 @@ def dedup_clusters(spark, sf_dir):
     graph with a recursive CTE; both sides emit cluster_id = min member."""
     docs = _t(spark, sf_dir, "documents")
     pairs = jaccard_similar_pairs(docs, threshold=0.8).select("a_id", "b_id")
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+@query(
+    "dedup_minhash_star_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTES}
+    SELECT node AS doc_id, cluster_id FROM comp
+    """,
+)
+def dedup_minhash_star_clusters(spark, sf_dir):
+    """Near-duplicate clusters via the HOT-FAMILY-bounded LSH path:
+    MinHash → size-capped banding (buckets over the cap emit only star
+    edges against the bucket representative, so a duplicate family of n
+    costs n−1 exact verifications instead of n²/2) → exact Jaccard
+    verification → connected components.
+
+    star_bucket_cap=2 forces the star path on every ≥3-member bucket of
+    this corpus, yet the resulting components equal the exact-Jaccard
+    clusters (the ``dedup_clusters`` oracle): each member's similarity to
+    its family representative clears the threshold, which is exactly the
+    regime the cap is designed for.  SCALE.md §8 measures the shuffle
+    this bounds (minhash_lsh_salted_families' 40 GB verify traffic)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, threshold=0.8, star_bucket_cap=2
+    ).select("a_id", "b_id")
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "cluster_id"
     )

@@ -50,6 +50,59 @@ def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall too low: {recall}"
 
 
+def test_star_cap_preserves_clusters(spark, sf_dir):
+    """Size-capped banding (star edges in over-cap buckets) emits a
+    SUBSET of the exact pair set, yet connected components over the two
+    edge sets agree — the contract dedup_minhash_star_clusters' oracle
+    relies on."""
+    from cdc_data_lake_pyspark_spark.operators.clusters import (
+        connected_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    exact = minhash_near_duplicates(docs, threshold=0.8)
+    star = minhash_near_duplicates(docs, threshold=0.8, star_bucket_cap=2)
+    ep = {(r.a_id, r.b_id) for r in exact.select("a_id", "b_id").collect()}
+    sp = {(r.a_id, r.b_id) for r in star.select("a_id", "b_id").collect()}
+    assert sp <= ep
+    ec = {tuple(r) for r in connected_components(exact.select("a_id", "b_id")).collect()}
+    sc = {tuple(r) for r in connected_components(star.select("a_id", "b_id")).collect()}
+    assert sc == ec
+
+
+def test_star_cap_bounds_hot_family_candidates(spark):
+    """A 40-member duplicate family: uncapped banding verifies every
+    within-bucket pair (O(n²) candidates — the salted-families pathology
+    in SCALE.md §8), the cap bounds candidates to n−1 star edges while
+    the family still collapses to ONE cluster."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        _exploded_shingles,
+        _signatures_from_ex,
+        _stage,
+        lsh_candidate_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [Row(doc_id=i, text=base) for i in range(40)]
+    docs = spark.createDataFrame(rows)
+    ex = _stage(_exploded_shingles(docs, "doc_id", "text", 3))
+    sigs = _signatures_from_ex(ex, 64).cache()
+    full = lsh_candidate_pairs(sigs).count()
+    capped = lsh_candidate_pairs(sigs, star_bucket_cap=8).count()
+    assert full == 40 * 39 // 2, "family is all-pairs quadratic uncapped"
+    assert capped == 39, "cap bounds candidates to n-1 star edges"
+
+    from cdc_data_lake_pyspark_spark.operators.clusters import (
+        connected_components,
+    )
+
+    star = minhash_near_duplicates(docs, threshold=0.5, star_bucket_cap=8)
+    comp = connected_components(star.select("a_id", "b_id"))
+    n_clusters = comp.select("cluster_id").distinct().count()
+    n_members = comp.count()
+    assert n_members == 40 and n_clusters == 1
+
+
 def test_prefix_filtering_is_exact(spark, sf_dir):
     """Prefix filtering must lose NO pairs: identical output (ids and
     jaccard values) to the unfiltered shingle self-join."""

@@ -20,8 +20,9 @@ REQUIRED_VISIBLE = [
     "cdc_orders_apply",
     "cdc_multi_table_apply",
     "cdc_orders_apply_sql",  # executed-SQL MERGE/DELETE via LocalLake
-    # dedup family
-    "dedup_minhash_lsh",
+    # dedup family (dedup_minhash_lsh rotated out mid-r6 for its NEW
+    # star-capped sibling, which runs the same pipeline plus the cap)
+    "dedup_minhash_star_clusters",
     "dedup_substring_windows",
     # the r6 rotation batch: never driver-sampled before this round
     "bloom_novel_docs",
@@ -88,6 +89,7 @@ CHANGED_THIS_ROUND = [
     "bfs_part_distances",  # r6: explicit seed col + node semi-join
     "compact_orders_roundtrip",  # r6: sizing fallback for unstat-able files
     "prepare_training_corpus_v2",  # r6: approx sketch-threshold gate mode
+    "dedup_minhash_star_clusters",  # NEW r6: hot-family star-capped LSH
 ]
 
 

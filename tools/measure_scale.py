@@ -916,7 +916,13 @@ def derived_big(spark, sf_dir: str, replicas: int):
     return docs_salted, docs_unique, emb_big
 
 
-def measure_scale100(spark, sf_dir: str, replicas: int = 100) -> dict:
+def measure_scale100(
+    spark,
+    sf_dir: str,
+    replicas: int = 100,
+    only_ops=None,
+    prior=None,
+) -> dict:
     """Extend the measured scaling evidence to ~100x for the flagship
     scale paths (VERDICT r5 next-round #5): minhash LSH, sparse TF-IDF
     cosine, IVF-PQ, ExactSubstr election/reassembly — plus the v2 decile
@@ -1031,10 +1037,22 @@ def measure_scale100(spark, sf_dir: str, replicas: int = 100) -> dict:
             )
 
         row = {"n_docs": docs.count(), "n_vectors": emb.count(), "ops": {}}
+        if prior and label in prior:
+            # keep previously-measured rows so an --ops subset run merges
+            # instead of discarding the expensive history (e.g. the
+            # frozen-16 IVF contrast row)
+            row["ops"].update(prior[label].get("ops", {}))
         for op, build in (
             (
                 "minhash_lsh_salted_families",
                 lambda: minhash_near_duplicates(docs),
+            ),
+            (
+                # the hot-family mitigation: buckets over the cap emit
+                # star edges only, so the adversarial axis's verify
+                # traffic is bounded ~linearly in family size
+                "minhash_lsh_salted_star",
+                lambda: minhash_near_duplicates(docs, star_bucket_cap=32),
             ),
             (
                 "minhash_lsh_disjoint",
@@ -1050,7 +1068,9 @@ def measure_scale100(spark, sf_dir: str, replicas: int = 100) -> dict:
                 # auto-sized layout (r6): nlist ~ 4*sqrt(N), probes
                 # nlist/8 — per-query candidate work sublinear in the
                 # corpus instead of the frozen 16-cell 1/4-of-corpus
-                "ivf_pq",
+                # (the frozen contrast row lives on in the artifact as
+                # ivf_pq_frozen16)
+                "ivf_pq_auto",
                 lambda: ivf_pq_top_k(
                     emb, queries, k=3, shortlist=50, exclude_self=True
                 ),
@@ -1063,6 +1083,8 @@ def measure_scale100(spark, sf_dir: str, replicas: int = 100) -> dict:
             ("decile_gate_exact", gate_exact),
             ("decile_gate_approx", gate_approx),
         ):
+            if only_ops and op not in only_ops:
+                continue
             r0, w0 = shuffle_totals(spark)
             t0 = time.time()
             out_rows = build().count()
@@ -1088,6 +1110,12 @@ def main():
         choices=["family", "substring", "textpipe", "temporal", "phase7", "phase8", "phase8b", "scale100"],
         default=None,
         help="measure one section and merge into an existing --out file",
+    )
+    ap.add_argument(
+        "--ops",
+        default=None,
+        help="comma-separated op subset (scale100 only); prior rows for "
+        "unmeasured ops are kept",
     )
     args = ap.parse_args()
 
@@ -1128,9 +1156,17 @@ def main():
             "phase8b": measure_phase8b,
             "scale100": measure_scale100,
         }[args.only]
-        results[key] = fn(spark, SF_DIR, args.replicas)
         if args.only == "scale100":
+            results[key] = fn(
+                spark,
+                SF_DIR,
+                args.replicas,
+                only_ops=set(args.ops.split(",")) if args.ops else None,
+                prior=results.get("scale100"),
+            )
             results["scale100_replicas"] = args.replicas
+        else:
+            results[key] = fn(spark, SF_DIR, args.replicas)
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
         print(json.dumps({"written": args.out}))
