@@ -96,10 +96,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default=8,
         help="tables applied concurrently per batch (1 = sequential)",
     )
-    # table-maintenance mode (no streaming): OPTIMIZE-style compaction
+    # table-maintenance mode (no streaming): OPTIMIZE-style compaction /
+    # corpus near-duplicate removal
     p.add_argument(
         "--maintenance",
-        choices=["compact"],
+        choices=["compact", "dedup"],
         help="run a maintenance task instead of the streaming pipeline",
     )
     p.add_argument("--compact-src", help="parquet dir to compact")
@@ -115,10 +116,33 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="comma-separated columns to range-sort during the rewrite "
         "(restores min/max locality)",
     )
+    # --maintenance dedup: MinHash-LSH near-duplicate removal over a
+    # parquet corpus (keep the canonical member per duplicate cluster)
+    p.add_argument("--dedup-src", help="parquet corpus dir to deduplicate")
+    p.add_argument("--dedup-dst", help="output dir for the deduped corpus")
+    p.add_argument("--dedup-id-col", default="doc_id")
+    p.add_argument("--dedup-text-col", default="text")
+    p.add_argument(
+        "--dedup-threshold",
+        type=float,
+        default=0.8,
+        help="Jaccard threshold for near-duplicate pairs",
+    )
+    p.add_argument(
+        "--star-bucket-cap",
+        default="auto",
+        help="hot-LSH-bucket bound: 'auto' (default, "
+        "operators.dedup_text.DEFAULT_STAR_BUCKET_CAP), 'none' "
+        "(unconditional all-pairs verification — quadratic in hot "
+        "duplicate families), or an integer cap",
+    )
     return p
 
 
 def run_maintenance(spark, args) -> None:
+    if args.maintenance == "dedup":
+        run_dedup_maintenance(spark, args)
+        return
     if not (args.compact_src and args.compact_dst):
         raise SystemExit(
             "--compact-src and --compact-dst are required for "
@@ -136,6 +160,45 @@ def run_maintenance(spark, args) -> None:
         ),
     )
     print(f"compacted {args.compact_src} -> {args.compact_dst} ({n} files)")
+
+
+def run_dedup_maintenance(spark, args) -> None:
+    """Near-duplicate corpus maintenance: MinHash → LSH (star-capped by
+    default) → exact-Jaccard verify → keep the canonical member per
+    duplicate cluster, written as parquet."""
+    if not (args.dedup_src and args.dedup_dst):
+        raise SystemExit(
+            "--dedup-src and --dedup-dst are required for "
+            "--maintenance dedup"
+        )
+    cap = args.star_bucket_cap
+    if isinstance(cap, str):
+        cap = None if cap.lower() == "none" else (
+            "auto" if cap.lower() == "auto" else int(cap)
+        )
+    from cdc_data_lake_pyspark_spark.operators.clusters import (
+        dedup_keep_canonical,
+    )
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        minhash_near_duplicates,
+    )
+
+    docs = spark.read.parquet(args.dedup_src)
+    pairs = minhash_near_duplicates(
+        docs,
+        threshold=args.dedup_threshold,
+        id_col=args.dedup_id_col,
+        text_col=args.dedup_text_col,
+        star_bucket_cap=cap,
+    )
+    kept = dedup_keep_canonical(docs, pairs, id_col=args.dedup_id_col)
+    kept.write.mode("overwrite").parquet(args.dedup_dst)
+    n_in = docs.count()
+    n_out = spark.read.parquet(args.dedup_dst).count()
+    print(
+        f"deduped {args.dedup_src} -> {args.dedup_dst} "
+        f"({n_in} docs in, {n_out} kept, cap={cap})"
+    )
 
 
 def catalog_session_conf(args) -> dict[str, str]:

@@ -315,6 +315,15 @@ def lsh_candidate_pairs(
     return pairs.unionByName(star).distinct()
 
 
+#: Default hot-bucket bound for :func:`minhash_near_duplicates`.  Healthy
+#: corpora keep LSH collision groups far below this (a bucket's members
+#: all agree on a full band of minhashes), so the default is a NO-OP on
+#: non-hot data (parity pinned in tests/test_phase2.py) while bounding
+#: the adversarial hot-family pathology measured in SCALE_MEASURED.json
+#: → scale100.minhash_lsh_salted_{families,star}.
+DEFAULT_STAR_BUCKET_CAP = 64
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -324,7 +333,7 @@ def minhash_near_duplicates(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    star_bucket_cap: Optional[int] = None,
+    star_bucket_cap: Optional[int] | str = "auto",
 ) -> DataFrame:
     """The full scale path: MinHash → LSH candidates → EXACT Jaccard
     verification of candidates only.  Returns ``(a_id, b_id, jaccard)``.
@@ -335,10 +344,16 @@ def minhash_near_duplicates(
     edges (see :func:`lsh_candidate_pairs`) — every emitted pair still
     carries its true Jaccard, but pairs whose only collisions happen in
     over-cap buckets are represented through the bucket representative.
+    The default ``"auto"`` applies :data:`DEFAULT_STAR_BUCKET_CAP` (a
+    no-op below 64-member buckets — exact pair semantics on healthy
+    corpora, bounded verify traffic on hot-family ones); pass ``None``
+    for the unconditional all-pairs semantics.
 
     The exploded shingle set is STAGED (lazy local checkpoint) and shared
     by the signature aggregation and the verification joins — one
     evaluation of the shingle pipeline for the whole operator."""
+    if star_bucket_cap == "auto":
+        star_bucket_cap = DEFAULT_STAR_BUCKET_CAP
     ex = _stage(_exploded_shingles(docs, id_col, text_col, k))
     sigs = _signatures_from_ex(ex, num_hashes)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band, star_bucket_cap)

@@ -166,24 +166,26 @@ def quantile_buckets(
 def ranked_topk(
     df: DataFrame, order: Sequence[Column], k: int, rank_col: str = "rank"
 ) -> DataFrame:
-    """Global top-``k`` with a dense ``rank`` column and NO unpartitioned
-    window: ``orderBy().limit(k)`` plans a TakeOrderedAndProject
-    (per-partition ``k``-row heaps merged on the driver), then rank is a
-    ``monotonically_increasing_id`` over the single ``k``-row partition
-    re-sorted in place.  The unbounded alternative — ``row_number() OVER
-    (ORDER BY ...)`` — moves the ENTIRE input to one partition; at corpus
-    scale that is the plan-killer this helper exists to avoid.
+    """Global top-``k`` with a ``row_number`` rank column and NO
+    unpartitioned window over the INPUT: ``orderBy().limit(k)`` plans a
+    TakeOrderedAndProject (per-partition ``k``-row heaps merged on the
+    driver), and only THEN does ``row_number() OVER (ORDER BY ...)`` run —
+    the single-partition window moves exactly ``k`` rows, so it is
+    scale-safe and contract-guaranteed (no reliance on partition-index or
+    id-contiguity implementation details).  Applying the window BEFORE the
+    limit — ``row_number()`` over the raw input — would move the ENTIRE
+    input to one partition; at corpus scale that is the plan-killer this
+    helper exists to avoid.
 
     ``order`` must be a deterministic total order (include a unique
     tiebreak column) or ranks are not reproducible.
     """
     order = list(order)
+    w = Window.orderBy(*order)
     return (
         df.orderBy(*order)
         .limit(k)
-        .coalesce(1)
-        .sortWithinPartitions(*order)
-        .withColumn(rank_col, (F.monotonically_increasing_id() + 1).cast("int"))
+        .withColumn(rank_col, F.row_number().over(w).cast("int"))
     )
 
 

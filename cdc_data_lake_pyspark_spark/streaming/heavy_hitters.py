@@ -103,10 +103,31 @@ class StreamingHeavyHitters:
         the cells append but BEFORE the ledger append means the replayed
         batch re-appends an identical batch sketch (same checkpointed
         offsets → same rows → same deterministic sketch); without the
-        stamp those cells would double-count forever."""
+        stamp those cells would double-count forever.
+
+        Migration guard: a cells directory written BEFORE the batch_id
+        stamp existed reads back with batch_id NULL.  Grouping those rows
+        under the literal NULL would collapse EVERY historical batch into
+        one (NULL, hash_row, bucket) group where max(n) silently replaces
+        the former sum — a permanent undercount.  Instead, NULL stamps
+        are substituted with a per-file surrogate id (hash of
+        ``input_file_name``): each pre-migration append wrote each cell
+        at most once per file, so per-file grouping preserves the exact
+        historical sums.  (Only the crash-replay dedup is weaker for
+        those legacy rows — exactly the guarantee the old format never
+        had anyway.)"""
+        raw = self._read(spark, self.cells_dir, CELLS_SCHEMA).withColumn(
+            "batch_id",
+            F.coalesce(
+                F.col("batch_id"),
+                # negative surrogate range: cannot collide with real
+                # (non-negative) micro-batch ids
+                -(F.abs(F.xxhash64(F.input_file_name())) % F.lit(2**62))
+                - F.lit(1),
+            ),
+        )
         return (
-            self._read(spark, self.cells_dir, CELLS_SCHEMA)
-            .groupBy("batch_id", "hash_row", "bucket")
+            raw.groupBy("batch_id", "hash_row", "bucket")
             .agg(F.max("n").alias("_n1"))
             .groupBy("hash_row", "bucket")
             .agg(F.sum("_n1").alias("n"))

@@ -27,7 +27,11 @@ def envelope_checks():
     whose ``value`` is missing/blank or is not parseable JSON can never
     apply and would otherwise fail the whole batch (or silently produce
     an all-null parse).  ``get_json_object(value, '$')`` returns NULL for
-    malformed JSON — a map-only validity probe."""
+    malformed JSON — a map-only validity probe.  It ALSO returns NULL for
+    the well-formed JSON literal ``null``, which is valid JSON but still
+    cannot apply (no envelope fields); that case gets its own
+    ``json_null_literal`` check so the quarantine label is honest, and is
+    excluded from ``unparseable_json``."""
     from pyspark.sql import functions as F
 
     return [
@@ -36,8 +40,13 @@ def envelope_checks():
             F.col("value").isNull() | (F.trim(F.col("value")) == ""),
         ),
         (
+            "json_null_literal",
+            F.col("value").isNotNull() & (F.trim(F.col("value")) == "null"),
+        ),
+        (
             "unparseable_json",
             F.col("value").isNotNull()
+            & ~F.trim(F.col("value")).isin("", "null")
             & F.get_json_object(F.col("value"), "$").isNull(),
         ),
     ]

@@ -222,3 +222,35 @@ def test_cli_quarantine_end_to_end(spark, sf_dir, tmp_path):
     assert sum(
         n for lbl, n in by_label.items() if "null_or_empty_value" in lbl
     ) == 1
+
+
+def test_cli_maintenance_dedup_end_to_end(spark, sf_dir, tmp_path, capsys):
+    """r7: --maintenance dedup runs the star-capped MinHash-LSH
+    near-duplicate removal over a parquet corpus and keeps exactly the
+    canonical member per duplicate cluster."""
+    from pyspark.sql import Row
+
+    from cdc_data_lake_pyspark_spark.cli import main
+
+    src, dst = str(tmp_path / "corpus"), str(tmp_path / "deduped")
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [Row(doc_id=i, text=base) for i in range(10)] + [
+        Row(doc_id=100 + i, text=f"unique document number {i} with its own distinct words body {i}")
+        for i in range(5)
+    ]
+    spark.createDataFrame(rows).write.parquet(src)
+    main(
+        [
+            "--maintenance", "dedup",
+            "--dedup-src", src,
+            "--dedup-dst", dst,
+            "--dedup-threshold", "0.5",
+            "--star-bucket-cap", "4",
+            "--catalogtype", "none",
+        ]
+    )
+    kept = {r.doc_id for r in spark.read.parquet(dst).collect()}
+    # the 10-member duplicate family collapses to its min id; the 5
+    # unique docs survive
+    assert kept == {0, 100, 101, 102, 103, 104}
+    assert "deduped" in capsys.readouterr().out

@@ -367,3 +367,29 @@ def test_semantic_dedup_subset_and_invariance(spark):
         ).collect()
     }
     assert rows == rows2
+
+
+def test_default_star_cap_is_noop_on_non_hot_corpus(spark, sf_dir):
+    """r7: the default star_bucket_cap ("auto" → DEFAULT_STAR_BUCKET_CAP)
+    must be a NO-OP on healthy corpora — identical pair set AND jaccard
+    values to the unconditional all-pairs (star_bucket_cap=None) run on
+    the documents table, whose LSH collision groups sit far below the
+    cap.  This is the parity contract that lets the cap default on in
+    every composite without touching their oracles."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        DEFAULT_STAR_BUCKET_CAP,
+    )
+
+    assert DEFAULT_STAR_BUCKET_CAP >= 32
+    docs = _docs(spark, sf_dir)
+    capped = {
+        (r.a_id, r.b_id, round(r.jaccard, 12))
+        for r in minhash_near_duplicates(docs, threshold=0.8).collect()
+    }
+    uncapped = {
+        (r.a_id, r.b_id, round(r.jaccard, 12))
+        for r in minhash_near_duplicates(
+            docs, threshold=0.8, star_bucket_cap=None
+        ).collect()
+    }
+    assert capped == uncapped

@@ -52,3 +52,42 @@ def test_quarantine_splits_and_labels(spark, tmp_path):
     gate(batch, batch_id=7)
     assert seen == [[1, 4], [1, 4]]
     assert read_quarantine(spark, qdir).distinct().count() == 2
+
+
+def test_envelope_checks_label_json_null_literal(spark, tmp_path):
+    """ADVICE r6: the well-formed JSON literal ``null`` is valid JSON but
+    cannot apply; it must quarantine under its own json_null_literal
+    label, not the misleading unparseable_json."""
+    from cdc_data_lake_pyspark_spark.streaming.runner import envelope_checks
+
+    qdir = str(tmp_path / "dlq_env")
+    clean_ids = []
+
+    def target(df, batch_id):
+        clean_ids.append(sorted(r["id"] for r in df.collect()))
+
+    gate = with_quarantine(target, envelope_checks(), qdir)
+    batch = spark.createDataFrame(
+        [
+            (1, '{"op": "c"}'),
+            (2, "null"),          # valid JSON, empty envelope
+            (3, "  null  "),      # same, padded
+            (4, "{not json"),
+            (5, None),
+            (6, "   "),
+        ],
+        "id long, value string",
+    )
+    gate(batch, batch_id=0)
+    assert clean_ids == [[1]]
+    q = {
+        r["id"]: r["_violations"]
+        for r in read_quarantine(spark, qdir).collect()
+    }
+    assert q == {
+        2: "json_null_literal",
+        3: "json_null_literal",
+        4: "unparseable_json",
+        5: "null_or_empty_value",
+        6: "null_or_empty_value",
+    }

@@ -129,3 +129,35 @@ def test_partial_batch_replay_does_not_double_count(spark, tmp_path):
     assert gate.hot_keys(spark).groupBy("key").count().filter(
         F.col("count") > 1
     ).count() == 0
+
+
+def test_legacy_cells_without_batch_id_still_sum(spark, tmp_path):
+    """Migration guard (ADVICE r6): a cells directory written BEFORE the
+    batch_id stamp reads back with batch_id NULL.  Those rows must be
+    grouped per source FILE (surrogate id), not collapsed into one NULL
+    group where max(n) replaces the historical sum."""
+    rows = [Row(key=f"k{i % 5}") for i in range(60)]
+    df = spark.createDataFrame(rows)
+    gate = StreamingHeavyHitters(
+        str(tmp_path / "hh4"), threshold=1000, depth=4, width=64
+    )
+    # two legacy appends (pre-migration format: no batch_id column),
+    # each a one-shot sketch over half the stream
+    b0 = df.limit(30)
+    b1 = df.subtract(df.limit(30)) if False else df.exceptAll(df.limit(30))
+    for part in (b0, b1):
+        cms_sketch(part, "key", depth=4, width=64).coalesce(1).write.mode(
+            "append"
+        ).parquet(gate.cells_dir)
+    merged = _cells_map(gate.cells(spark))
+    oneshot = _cells_map(cms_sketch(df, "key", depth=4, width=64))
+    assert merged == oneshot
+
+    # and a post-migration stamped batch folds in on top of legacy state
+    extra = spark.createDataFrame([Row(key="k0")] * 10)
+    gate.process_batch(extra, batch_id=5)
+    merged2 = _cells_map(gate.cells(spark))
+    oneshot2 = _cells_map(
+        cms_sketch(df.unionByName(extra), "key", depth=4, width=64)
+    )
+    assert merged2 == oneshot2

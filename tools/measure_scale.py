@@ -126,7 +126,7 @@ def family(docs, emb):
         semantic_dedup,
     )
 
-    pairs = lambda: minhash_near_duplicates(docs)
+    pairs = lambda: minhash_near_duplicates(docs, star_bucket_cap=None)
 
     def _queries():
         return emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -1044,8 +1044,10 @@ def measure_scale100(
             row["ops"].update(prior[label].get("ops", {}))
         for op, build in (
             (
+                # star_bucket_cap=None: this row measures the UNCAPPED
+                # pathology on purpose (the default is now the cap)
                 "minhash_lsh_salted_families",
-                lambda: minhash_near_duplicates(docs),
+                lambda: minhash_near_duplicates(docs, star_bucket_cap=None),
             ),
             (
                 # the hot-family mitigation: buckets over the cap emit
@@ -1055,8 +1057,10 @@ def measure_scale100(
                 lambda: minhash_near_duplicates(docs, star_bucket_cap=32),
             ),
             (
+                # disjoint replica axis: cap irrelevant (no hot buckets);
+                # uncapped keeps the row comparable to the r5 history
                 "minhash_lsh_disjoint",
-                lambda: minhash_near_duplicates(docs_t),
+                lambda: minhash_near_duplicates(docs_t, star_bucket_cap=None),
             ),
             (
                 "sparse_cosine",
