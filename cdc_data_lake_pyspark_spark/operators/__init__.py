@@ -6,6 +6,7 @@ from cdc_data_lake_pyspark_spark.operators.dedup_text import (
     minhash_signatures,
     lsh_candidate_pairs,
     minhash_near_duplicates,
+    minhash_near_dup_clusters_cv,
     simhash_signatures,
 )
 from cdc_data_lake_pyspark_spark.operators.similarity import (
@@ -20,6 +21,7 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "minhash_near_duplicates",
+    "minhash_near_dup_clusters_cv",
     "simhash_signatures",
     "cosine",
     "brute_force_top_k",

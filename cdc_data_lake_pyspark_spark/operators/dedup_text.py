@@ -229,6 +229,34 @@ def _signatures_from_ex(ex: DataFrame, num_hashes: int) -> DataFrame:
     )
 
 
+def _banded(
+    signatures: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """``(doc_id, band, bucket)`` — one row per (doc, band), where bucket
+    is the hash of the band's ``rows_per_band`` signature components."""
+    return signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[i]
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
@@ -255,25 +283,7 @@ def lsh_candidate_pairs(
     families; a near-threshold CHAIN through a hot bucket may split —
     the documented recall trade of representative-based dedup, cf. the
     cluster-then-verify mitigation sketched in SCALE.md)."""
-    banded = signatures.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[i]
-                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = _banded(signatures, bands, rows_per_band)
     if star_bucket_cap is None:
         a = banded.alias("a")
         b = banded.alias("b")
@@ -397,6 +407,182 @@ def _verify_candidate_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
+    )
+
+
+def minhash_near_dup_clusters_cv(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    star_bucket_cap: Optional[int] | str = "auto",
+    repair_rounds: int = 3,
+) -> DataFrame:
+    """Cluster-then-verify near-duplicate clustering for hot duplicate
+    families (SCALE.md §8's mitigation for the salted-families axis;
+    VERDICT r6 next-round #2).  Returns ``(doc_id, cluster_id)`` — the
+    contract of ``connected_components`` over verified pairs.
+
+    The star-capped pair path (:func:`minhash_near_duplicates` +
+    ``star_bucket_cap``) bounds CANDIDATES per hot (band, bucket) to n−1
+    star edges, but each band elects its own bucket representative, so a
+    hot family still ships ~``bands`` × n shingle sets through exact
+    verification (the measured 16.7 GB residual in
+    ``scale100.minhash_lsh_salted_star``), and a near-threshold CHAIN
+    splits whenever members clear the threshold only against their chain
+    neighbors, never the representative.  This operator verifies at the
+    CLUSTER level instead:
+
+    1. band + bucket-count exactly as the capped path, keeping small
+       buckets' all-pairs candidates (exact semantics below the cap);
+    2. over-cap buckets' star edges are reduced to a spanning FOREST
+       before verification — each hot-bucket member keeps ONE edge, to
+       the minimum representative over all its over-cap buckets — so
+       exact-verify traffic is ∝ #hot docs ONCE, not per band;
+    3. connected components over the UNVERIFIED candidate graph define
+       provisional clusters — the scope within which membership is even
+       possible (LSH collision ⇒ candidate ⇒ same provisional cluster);
+    4. repair rounds: within each provisional cluster, the current
+       verified subclusters (singletons included) are represented by
+       their minimum member, CONSECUTIVE representatives in id order are
+       exactly verified (≤ s−1 pairs per cluster per round, never s²/2),
+       and passing pairs merge their subclusters.  A chain the star path
+       split into singletons re-links through its consecutive
+       representatives; a round that attempts no new pair terminates the
+       loop early.
+
+    Verified-edge precision stays 1 (every merge is backed by an exact
+    Jaccard ≥ ``threshold`` pair); recall ≥ the star-capped path on the
+    same banding (its tree edges plus every repair pair are extra exact
+    checks).  Repair is representative-based: a merge that requires a
+    cross pair between two NON-minimum members of ≥2-member subclusters
+    can still be missed — the documented residual trade
+    (tests/test_phase2.py pins the chain-recovery case the star cap
+    provably splits).  Driver loop: ``repair_rounds`` × (one CC + one
+    bounded verify), each round one small count — the iterative pattern
+    of ``operators/clusters.py``."""
+    from cdc_data_lake_pyspark_spark.operators.clusters import (
+        connected_components,
+    )
+
+    if star_bucket_cap == "auto":
+        star_bucket_cap = DEFAULT_STAR_BUCKET_CAP
+    if star_bucket_cap is None:
+        raise ValueError(
+            "cluster-then-verify requires a star_bucket_cap (the uncapped "
+            "path is minhash_near_duplicates(star_bucket_cap=None))"
+        )
+    ex = _stage(_exploded_shingles(docs, id_col, text_col, k))
+    sigs = _signatures_from_ex(ex, num_hashes)
+    counts = _shingle_counts(ex)
+    banded = _stage(_banded(sigs, bands, rows_per_band))
+    stats = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_rep")
+    )
+    small_keys = stats.filter(F.col("_n") <= star_bucket_cap).select(
+        "band", "bucket"
+    )
+    in_small = banded.join(small_keys, ["band", "bucket"], "left_semi")
+    a = in_small.alias("a")
+    b = in_small.alias("b")
+    small_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .distinct()
+    )
+    star_full = (
+        banded.join(
+            stats.filter(F.col("_n") > star_bucket_cap), ["band", "bucket"]
+        )
+        .filter(F.col("doc_id") != F.col("_rep"))
+        .select(F.col("_rep").alias("a_id"), F.col("doc_id").alias("b_id"))
+        .distinct()
+    )
+    star_full = _stage(star_full)
+    # spanning-forest reduction: ONE verify edge per hot-bucket member
+    star_tree = star_full.groupBy("b_id").agg(F.min("a_id").alias("a_id"))
+    provisional = _stage(
+        connected_components(small_pairs.unionByName(star_full))
+    )
+
+    # distinct is REQUIRED, not cosmetic: a pair that is both a
+    # small-bucket candidate and a hot-bucket tree edge would otherwise
+    # appear twice in the verify join and double its intersection count
+    # (na + nb − 2·common can even hit zero for identical docs)
+    verify0 = _stage(
+        small_pairs.unionByName(star_tree.select("a_id", "b_id")).distinct()
+    )
+    passing = _stage(
+        _verify_candidate_pairs(verify0, ex, counts, threshold).select(
+            "a_id", "b_id"
+        )
+    )
+    attempted = verify0
+
+    for _ in range(max(repair_rounds, 0)):
+        vcc = connected_components(passing)
+        membership = (
+            provisional.withColumnRenamed("cluster_id", "_pcomp")
+            .join(vcc.withColumnRenamed("cluster_id", "_vlabel"), "node", "left")
+            .select(
+                "node",
+                "_pcomp",
+                F.coalesce("_vlabel", F.col("node")).alias("_vlabel"),
+            )
+        )
+        # one row per verified subcluster: its min member (= _vlabel, the
+        # representative) and its max member (the id-order boundary)
+        subs = membership.groupBy("_pcomp", "_vlabel").agg(
+            F.min("node").alias("_lo"), F.max("node").alias("_hi")
+        )
+        w = Window.partitionBy("_pcomp").orderBy("_lo")
+        ranked = subs.withColumn("_rn", F.row_number().over(w))
+        nxt = ranked.select(
+            "_pcomp",
+            F.col("_lo").alias("_r_lo"),
+            (F.col("_rn") - 1).alias("_rn"),
+        )
+        # per adjacent subcluster pair in id order, try BOTH the boundary
+        # pair (left's max vs right's min — the chain link when ids track
+        # similarity order) and the representative pair (min vs min)
+        adj = ranked.join(nxt, ["_pcomp", "_rn"])
+        consecutive = (
+            adj.select(F.col("_hi").alias("_x"), F.col("_r_lo").alias("_y"))
+            .unionByName(
+                adj.select(
+                    F.col("_lo").alias("_x"), F.col("_r_lo").alias("_y")
+                )
+            )
+            .select(
+                F.least("_x", "_y").alias("a_id"),
+                F.greatest("_x", "_y").alias("b_id"),
+            )
+            .distinct()
+        )
+        new_pairs = _stage(
+            consecutive.join(attempted, ["a_id", "b_id"], "left_anti")
+        )
+        if new_pairs.limit(1).count() == 0:
+            break
+        newly = _verify_candidate_pairs(new_pairs, ex, counts, threshold).select(
+            "a_id", "b_id"
+        )
+        passing = _stage(passing.unionByName(newly))
+        attempted = _stage(attempted.unionByName(new_pairs))
+
+    return connected_components(passing).select(
+        F.col("node").alias(id_col), "cluster_id"
     )
 
 

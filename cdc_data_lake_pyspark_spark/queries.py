@@ -585,57 +585,66 @@ def top_customers_per_segment(spark, sf_dir):
 # sibling covering its operator family; the policy is documented in
 # COVERAGE.md (§ gate window).
 _DEMOTED: tuple[str, ...] = (
+    # --- rotated OUT in r7.  Every entry below was driver-verified
+    # --- green in CORRECTNESS_r06.json; rotated-IN in their place
+    # --- (VERDICT r6 next-round #5 + ADVICE r6): the r6-demoted batch
+    # --- whose shared code changed in r6/r7 (dedup_minhash_lsh after
+    # --- the star-cap default, similarity_ivf_pq / similarity_ivf after
+    # --- the LUT/auto-sizing commits), nine more r6-demoted re-signs,
+    # --- and the NEW dedup_minhash_cv_clusters (in-window per policy).
+    "daily_revenue_ma7",
+    # time-bucketed-agg family: daily_gapfill_locf stays in-window on
+    # the same day-truncated spine; driver-green r6
+    "shipping_priority",
+    # TPC-H join+agg family: returned_item_customers stays in-window;
+    # revenue_cube (rotated in) drives the same join+aggregate shape
+    # through the Expand plan; driver-green r6
+    "embedding_normalize",
+    # embedding map-only family: embedding_pq_codes stays in-window and
+    # embedding_quantize rotates in; driver-green r6
+    "skew_salted_join",
+    # skew family: skew_salted_agg + key_skew_report stay in-window;
+    # driver-green r6
+    "bloom_novel_docs",
+    # Bloom family: novelty_gate_batch (in-window) replays the same
+    # bloom_sketch/bloom_probe cells cross-batch; driver-green r6
+    "price_quantile_sketch",
+    # integer-state sketch family: prepare_training_corpus_v2 (in-window,
+    # approx mode) drives histogram_sketch cells; KMV/CMS bounds pinned
+    # in tests/test_sketch.py; driver-green r6
+    "unpivot_part_metrics",
+    # Expand-plan family: revenue_cube (rotated in) replicates rows
+    # through the same Expand operator; driver-green r6
+    "funnel_conversion",
+    # keyed ordered-sequence family: event_transition_matrix stays
+    # in-window; driver-green r6
+    "snapshot_diff_orders",
+    # changelog/diff family: scd2_user_history (rotated in) materializes
+    # the same full-outer change detection; driver-green r6
+    "data_quality_report",
+    # quality-diagnostics family: outlier_mad_events stays in-window and
+    # the quality gates run inside prepare_training_corpus; dq_report
+    # checks pinned in pytest; driver-green r6
+    "lm_bigram_cross_entropy",
+    # LM-scoring family: lm_cross_entropy (rotated in) replays the
+    # quantized micro-log2 machinery one order lower; token_entropy
+    # stays in-window; driver-green r6
+    "repetition_gates",
+    # heuristic-scoring family: token_entropy stays in-window; Gopher
+    # gate regexes pinned in tests/test_text_gates.py; driver-green r6
+    "multimodal_audio_decode",
+    # codec family: multimodal_decode (BMP) stays in-window and drives
+    # the same mapInPandas plumbing; WAV golden bytes in
+    # tests/test_codecs.py; driver-green r6
     # --- rotated OUT in r6.  Every entry below was driver-verified
     # --- green in CORRECTNESS_r05.json (round noted per entry); the 22
     # --- never-driver-sampled tail entries rotated INTO the window in
     # --- their place (VERDICT r5 next-round #1), alongside the three
     # --- NEW r6 entries (html_extract_main, novelty_gate_batch,
     # --- semantic_gate_batch — new ops sit in-window per policy).
-    "dedup_minhash_lsh",
-    # MinHash-LSH family: dedup_minhash_star_clusters (NEW in r6,
-    # in-window per policy) runs the same signature/banding/exact-verify
-    # pipeline PLUS the size-capped star path and connected components;
-    # the pair-set contract stays pinned in
-    # tests/test_phase2.py::test_minhash_lsh_matches_exact_jaccard;
-    # driver-green r2-r5
     "route_delete",
     # P6 route predicates execute inside all in-window CDC flagships;
     # driver-green r1, r5
-    "dedup_latest_per_key",
-    # A2 dedup window runs inside every in-window CDC flagship; driver-
-    # green r1-r3, r5
-    "dedup_embedding_cosine_lsh",
-    # embedding near-dup family: similarity_pq_adc (rotated in) +
-    # semantic_gate_batch (NEW) drive the banded machinery; recall/auto-
-    # sizing pinned in tests/test_phase2.py + test_lsh_occupancy.py;
-    # driver-green r4, r5
-    "dedup_semantic_clusters",
-    # SemDeDup family: semantic_gate_batch (NEW, in-window) runs the same
-    # cell-scoped semantic pruning online; cluster replay pinned in its
-    # tail oracle; driver-green r5
-    "lm_cross_entropy",
-    # LM-scoring family: lm_bigram_cross_entropy (rotated in) drives the
-    # same quantized micro-log2 machinery one order higher; driver-green
-    # r5
-    "embedding_quantize",
-    # quantization family: embedding_pq_codes (rotated in) posexplodes the
-    # same code arithmetic; int8 roundtrip pinned in pytest; driver-green
-    # r5
-    "dedup_exact_normalized",
-    # digest-dedup family: the exact-dedup keeper stage runs inside
-    # prepare_training_corpus_v2 (rotated in) and the normalize regexes
-    # stay pinned in tests/test_text_gates.py; driver-green r5
-    "cohort_retention",
-    # keyed ordered-sequence family: event_transition_matrix +
-    # funnel_conversion (both rotated in); driver-green r5
-    "scd2_user_history",
-    # changelog/diff family: snapshot_diff_orders (rotated in)
-    # materializes the same full-outer change detection; SCD2 intervals
-    # pinned in pytest; driver-green r5
-    "similarity_ivf_pq",
-    # PQ-search family: similarity_pq_adc + embedding_pq_codes (both
-    # rotated in) cover the LUT/ADC/re-rank and coding stages; IVF recall
-    # floors pinned in tests/test_pq.py; driver-green r5
     "dsir_importance_weights",
     # heuristic-scoring family: token_entropy + repetition_gates (both
     # rotated in); DSIR bridge pinned in pytest; driver-green r5
@@ -649,10 +658,6 @@ _DEMOTED: tuple[str, ...] = (
     # temporal-join family: range_join_view_purchase (rotated in); as-of
     # composition pinned vs brute force in tests/test_relational.py;
     # driver-green r5
-    "revenue_cube",
-    # Expand-plan family: unpivot_part_metrics (rotated in) drives the
-    # same Expand replication; CUBE lattice pinned in
-    # tests/test_phase8.py; driver-green r5
     "quota_sample_docs",
     # portable-hash sampling family: corpus_mix_temperature (rotated in)
     # ranks on the same ticket; driver-green r5
@@ -729,7 +734,6 @@ _DEMOTED: tuple[str, ...] = (
     "sessionize_events",
     "join_customer_geo",
     "dedup_clusters",
-    "similarity_ivf",
     "cdc_orders_apply_dms",
     "quality_score",
     "dedup_jaccard_prefix",
@@ -742,6 +746,11 @@ _DEMOTED: tuple[str, ...] = (
     "quality_deciles",
     "vocab_top_tokens",
     "pipeline_clean_corpus",
+    "prepare_training_corpus_v2_exact",
+    # NEW r7 tail entry by design: the exact-ntile oracle bridge for the
+    # v2 composite; the in-window prepare_training_corpus_v2 runs the
+    # DEFAULT approx sketch gate (VERDICT r6 next-round #3) and the two
+    # modes' boundary agreement is pinned in tests/test_v2_approx.py
 )
 
 

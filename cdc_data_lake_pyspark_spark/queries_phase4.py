@@ -121,6 +121,38 @@ def dedup_minhash_star_clusters(spark, sf_dir):
 
 
 @query(
+    "dedup_minhash_cv_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTES}
+    SELECT node AS doc_id, cluster_id FROM comp
+    """,
+)
+def dedup_minhash_cv_clusters(spark, sf_dir):
+    """Near-duplicate clusters via CLUSTER-THEN-VERIFY (r7): MinHash →
+    size-capped banding → spanning-forest reduction of the hot-bucket
+    star edges (ONE exact verification per hot-bucket member, not one
+    per band) → connected components over the UNVERIFIED candidate graph
+    to scope provisional clusters → repair rounds that exactly verify
+    the id-order boundary pairs between verified subclusters, re-linking
+    near-threshold CHAINS the star path provably splits
+    (tests/test_phase2.py::test_cv_recovers_chain_the_star_cap_splits).
+
+    star_bucket_cap=2 forces the whole machinery on every ≥3-member
+    bucket of this corpus; the components still equal the exact-Jaccard
+    clusters (the ``dedup_clusters`` oracle).  At scale this bounds the
+    salted-families verify traffic to ~#hot docs per round instead of
+    bands × members (SCALE_MEASURED.json → scale100)."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        minhash_near_dup_clusters_cv,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_clusters_cv(
+        docs, threshold=0.8, star_bucket_cap=2
+    )
+
+
+@query(
     "dedup_keep_canonical",
     oracle=f"""
     WITH RECURSIVE {_PAIR_CTES}

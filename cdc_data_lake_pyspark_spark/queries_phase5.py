@@ -256,9 +256,12 @@ _V2_HIST_WIDTH = 0.005
 _V2_HIST_BUCKETS = 4000
 
 
-@query(
-    "prepare_training_corpus_v2",
-    oracle=f"""
+def _v2_oracle(gate_ctes: str) -> str:
+    """Shared oracle skeleton for the two prepare_training_corpus_v2
+    modes: unigram-LM cross-entropy → <decile gate> → exact-dedup →
+    temperature mix → split.  ``gate_ctes`` supplies the CTE chain that
+    ends in ``gated(doc_id, lang, text)``."""
+    return f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
       FROM documents
@@ -277,13 +280,7 @@ _V2_HIST_BUCKETS = 4000
                        AS DOUBLE)
                   / (CAST(sum(d.m) AS DOUBLE) * 1e6) AS DOUBLE) AS h
       FROM dt d JOIN vocab v USING (tok) GROUP BY d.doc_id
-    ), dec AS (
-      SELECT doc_id, ntile(10) OVER (ORDER BY h, doc_id) AS d FROM ce
-    ), gated AS (
-      SELECT doc.doc_id, doc.lang, doc.text
-      FROM documents doc JOIN dec ON doc.doc_id = dec.doc_id
-      WHERE dec.d BETWEEN 2 AND 9
-    ), keepers AS (
+    ), {gate_ctes}, keepers AS (
       SELECT min(doc_id) AS keeper FROM gated GROUP BY md5(lower(trim(text)))
     ), base AS (
       SELECT g.doc_id, g.lang FROM gated g
@@ -308,9 +305,53 @@ _V2_HIST_BUCKETS = 4000
                   THEN 'val'
                 ELSE 'test' END AS split
     FROM mixed
-    """,
-)
-def prepare_training_corpus_v2(spark, sf_dir, approx: bool = False):
+    """
+
+
+#: approx mode: replay the deterministic fixed-width histogram sketch and
+#: its interpolated p10/p90 decode (functions/sketch.py::histogram_sketch /
+#: histogram_quantile) in pure IEEE-double SQL — the same
+#: replay-the-deterministic-state pattern as novelty_gate_batch.
+_V2_GATE_APPROX = f"""hist AS (
+      SELECT CAST(least(greatest(floor(h / {_V2_HIST_WIDTH}), 0),
+                        {_V2_HIST_BUCKETS - 1}) AS INT) AS b,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ce GROUP BY 1
+    ), htot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS t FROM hist
+    ), cum AS (
+      SELECT b, n, sum(n) OVER (ORDER BY b) - n AS c FROM hist
+    ), qlo AS (
+      SELECT (b + (0.1 * (SELECT t FROM htot) - c) / n)
+               * {_V2_HIST_WIDTH} AS v
+      FROM cum
+      WHERE CAST(c + n AS DOUBLE) >= 0.1 * (SELECT t FROM htot)
+      ORDER BY b LIMIT 1
+    ), qhi AS (
+      SELECT (b + (0.9 * (SELECT t FROM htot) - c) / n)
+               * {_V2_HIST_WIDTH} AS v
+      FROM cum
+      WHERE CAST(c + n AS DOUBLE) >= 0.9 * (SELECT t FROM htot)
+      ORDER BY b LIMIT 1
+    ), gated AS (
+      SELECT doc.doc_id, doc.lang, doc.text
+      FROM documents doc JOIN ce ON doc.doc_id = ce.doc_id
+      WHERE ce.h >= (SELECT v FROM qlo) AND ce.h <= (SELECT v FROM qhi)
+    )"""
+
+#: exact mode: global ntile deciles with the deterministic (h, doc_id)
+#: tiebreak — the single-partition oracle bridge.
+_V2_GATE_EXACT = """dec AS (
+      SELECT doc_id, ntile(10) OVER (ORDER BY h, doc_id) AS d FROM ce
+    ), gated AS (
+      SELECT doc.doc_id, doc.lang, doc.text
+      FROM documents doc JOIN dec ON doc.doc_id = dec.doc_id
+      WHERE dec.d BETWEEN 2 AND 9
+    )"""
+
+
+@query("prepare_training_corpus_v2", oracle=_v2_oracle(_V2_GATE_APPROX))
+def prepare_training_corpus_v2(spark, sf_dir, approx: bool = True):
     """The r5 data-prep composition: unigram-LM cross-entropy decile gate
     (drop decile 1 — boilerplate — and decile 10 — rare-token noise, the
     CCNet head/tail trim) → exact-dedup keeper selection → XLM-R
@@ -322,17 +363,22 @@ def prepare_training_corpus_v2(spark, sf_dir, approx: bool = False):
 
     Decile gate, two modes:
 
-    * ``approx=False`` (default, the oracle-checked mode): exact ntile
-      deciles — ONE global sort (`relational.quantile_buckets`), the
-      documented cost of exact quantiles.
-    * ``approx=True`` (the 100 TB path): `histogram_sketch` over
+    * ``approx=True`` (DEFAULT since r7 — the 100 TB path, and the
+      oracle-checked registry mode): `histogram_sketch` over
       cross-entropy — a map-side-combined constant-state aggregation
       (``_V2_HIST_BUCKETS`` rows from any corpus size, measured flat in
-      `SCALE_MEASURED.json`) decoded to p10/p90 thresholds, then a
-      map-only filter.  NO global sort anywhere in the composite.  Gate
-      disagreement vs exact is confined to documents within one sketch
-      cell (``_V2_HIST_WIDTH`` bits) of the decile boundary — pinned in
-      ``tests/test_v2_approx.py``.
+      `SCALE_MEASURED.json` → scale100.decile_gate_approx) decoded to
+      p10/p90 thresholds, then a map-only filter.  NO global sort
+      anywhere in the composite.  The sketch and its interpolated decode
+      are deterministic IEEE arithmetic, so the DuckDB oracle replays
+      them exactly (the ``novelty_gate_batch`` pattern).
+    * ``approx=False`` (the exact-quantile bridge, registered as the
+      tail entry ``prepare_training_corpus_v2_exact``): exact ntile
+      deciles — ONE global sort through a single partition
+      (`relational.quantile_buckets`), the documented scale cost of
+      exact quantiles.  Gate disagreement vs approx is confined to
+      documents within one sketch cell (``_V2_HIST_WIDTH`` bits) of a
+      decile boundary — pinned in ``tests/test_v2_approx.py``.
     """
     from cdc_data_lake_pyspark_spark.operators.dedup_text import exact_dedup
     from cdc_data_lake_pyspark_spark.operators.lm_quality import (
@@ -396,6 +442,16 @@ def prepare_training_corpus_v2(spark, sf_dir, approx: bool = False):
         "doc_id", "lang"
     )
     return hash_split(mixed, id_col="doc_id").select("doc_id", "lang", "split")
+
+
+@query("prepare_training_corpus_v2_exact", oracle=_v2_oracle(_V2_GATE_EXACT))
+def prepare_training_corpus_v2_exact(spark, sf_dir):
+    """The exact-ntile decile-gate mode of ``prepare_training_corpus_v2``
+    kept as the oracle bridge (tail entry): identical composite, but the
+    gate is `relational.quantile_buckets` — one global sort through a
+    single partition, the documented exact-quantile scale cost the
+    default approx mode exists to avoid."""
+    return prepare_training_corpus_v2(spark, sf_dir, approx=False)
 
 
 @query(

@@ -393,3 +393,90 @@ def test_default_star_cap_is_noop_on_non_hot_corpus(spark, sf_dir):
         ).collect()
     }
     assert capped == uncapped
+
+
+def _chain_docs(spark, n=14, w=21, step=2):
+    """Sliding-window chain: doc i = w tokens starting at step*i, so
+    3-shingle Jaccard is (w-2-step)/(w-2+step) ≈ 0.81 for neighbors and
+    < 0.66 at distance 2 — a near-threshold chain."""
+    words = [f"w{j:04d}" for j in range(step * n + w + 10)]
+    rows = [
+        Row(doc_id=i, text=" ".join(words[step * i : step * i + w]))
+        for i in range(n)
+    ] + [
+        Row(
+            doc_id=100 + i,
+            text=" ".join(f"z{i}x{j}" for j in range(30)),
+        )
+        for i in range(3)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_cv_recovers_chain_the_star_cap_splits(spark):
+    """r7 cluster-then-verify contract: on a near-threshold chain whose
+    every mid-chain bucket is hot (single-row bands over sliding
+    windows), the star-capped pair path PROVABLY splits the chain —
+    members only clear the threshold against chain neighbors, never the
+    per-bucket representative — while minhash_near_dup_clusters_cv's
+    boundary-pair repair recovers exactly the exact-Jaccard clusters."""
+    from cdc_data_lake_pyspark_spark.operators.clusters import (
+        connected_components,
+    )
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        minhash_near_dup_clusters_cv,
+    )
+
+    docs = _chain_docs(spark)
+    kw = dict(threshold=0.8, num_hashes=16, bands=16, rows_per_band=1)
+    exact = {
+        tuple(r)
+        for r in connected_components(
+            jaccard_similar_pairs(docs, threshold=0.8).select("a_id", "b_id")
+        ).collect()
+    }
+    star = {
+        tuple(r)
+        for r in connected_components(
+            minhash_near_duplicates(docs, star_bucket_cap=2, **kw).select(
+                "a_id", "b_id"
+            )
+        ).collect()
+    }
+    cv = {
+        tuple(r)
+        for r in minhash_near_dup_clusters_cv(
+            docs, star_bucket_cap=2, **kw
+        ).collect()
+    }
+    assert len({c for _, c in exact}) == 1, "fixture: one exact chain cluster"
+    assert star != exact, "fixture must make the star cap split the chain"
+    assert len({c for _, c in star}) >= 2
+    assert cv == exact
+
+
+def test_cv_matches_exact_clusters_on_corpus(spark, sf_dir):
+    """cv with a forced tiny cap equals the exact-Jaccard connected
+    components on the real documents corpus — the contract behind the
+    dedup_minhash_cv_clusters oracle."""
+    from cdc_data_lake_pyspark_spark.operators.clusters import (
+        connected_components,
+    )
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        minhash_near_dup_clusters_cv,
+    )
+
+    docs = _docs(spark, sf_dir)
+    exact = {
+        tuple(r)
+        for r in connected_components(
+            jaccard_similar_pairs(docs, threshold=0.8).select("a_id", "b_id")
+        ).collect()
+    }
+    cv = {
+        tuple(r)
+        for r in minhash_near_dup_clusters_cv(
+            docs, threshold=0.8, star_bucket_cap=2
+        ).collect()
+    }
+    assert cv == exact

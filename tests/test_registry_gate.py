@@ -4,11 +4,13 @@ rotation policy holds (queries.py `_DEMOTED` rationale): new/changed
 operators sit inside the window, and previously demoted entries rotate
 back in so the driver re-verifies them round over round.
 
-Round-6 window: the 22 tail entries the driver had NEVER sampled
-(VERDICT r5 next-round #1) rotated in alongside the three NEW r6
-entries; 25 entries driver-verified green in CORRECTNESS_r05.json
-rotated out, each with a family sibling left in-window (rationales in
-queries._DEMOTED)."""
+Round-7 window: the r6-demoted entries whose shared code changed in
+r6/r7 rotated back in (dedup_minhash_lsh after the star-cap default;
+similarity_ivf_pq / similarity_ivf after the LUT/auto-sizing commits —
+ADVICE r6 medium), plus nine more r6-demoted re-signs and the NEW
+dedup_minhash_cv_clusters; 13 entries driver-verified green in
+CORRECTNESS_r06.json rotated out, each with a family sibling left
+in-window (rationales in queries._DEMOTED)."""
 
 from cdc_data_lake_pyspark_spark import queries as q
 
@@ -20,76 +22,81 @@ REQUIRED_VISIBLE = [
     "cdc_orders_apply",
     "cdc_multi_table_apply",
     "cdc_orders_apply_sql",  # executed-SQL MERGE/DELETE via LocalLake
-    # dedup family (dedup_minhash_lsh rotated out mid-r6 for its NEW
-    # star-capped sibling, which runs the same pipeline plus the cap)
+    # dedup family — incl. the r7 rotate-backs on the changed minhash path
+    "dedup_latest_per_key",
+    "dedup_minhash_lsh",
     "dedup_minhash_star_clusters",
+    "dedup_minhash_cv_clusters",  # NEW r7: cluster-then-verify
+    "dedup_embedding_cosine_lsh",
+    "dedup_semantic_clusters",
+    "dedup_exact_normalized",
     "dedup_substring_windows",
-    # the r6 rotation batch: never driver-sampled before this round
-    "bloom_novel_docs",
-    "corpus_mix_temperature",
-    "daily_gapfill_locf",
-    "daily_revenue_ma7",
-    "embedding_normalize",
-    "embedding_pq_codes",
-    "event_transition_matrix",
-    "funnel_conversion",
-    "lm_bigram_cross_entropy",
-    "multimodal_audio_decode",
-    "multimodal_decode",
-    "prepare_training_corpus_v2",
-    "price_quantile_sketch",
-    "range_join_view_purchase",
-    "repetition_gates",
-    "returned_item_customers",
+    # similarity / PQ family (r6-changed code re-signed per ADVICE r6)
+    "similarity_ivf",
+    "similarity_ivf_pq",
     "similarity_pq_adc",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "snapshot_diff_orders",
-    "token_entropy",
-    "unpivot_part_metrics",
-    # analytics / TPC-H
-    "shipping_priority",
-    "series_correlation_events",
-    "triangle_part_cliques",
+    "embedding_pq_codes",
+    "embedding_quantize",
     # composites
     "prepare_training_corpus",
-    # text / tokenizer / retrieval
+    "prepare_training_corpus_v2",
+    "prepare_web_corpus",
+    # LM / text scoring
+    "lm_cross_entropy",
+    "token_entropy",
     "bpe_learned_tokenize",
     "bm25_search",
     "chunk_documents",
+    "html_extract_main",
+    # sampling / mixing
+    "corpus_mix_temperature",
+    # changelog / ordered sequences
+    "scd2_user_history",
+    "cohort_retention",
+    "event_transition_matrix",
+    # analytics / TPC-H shapes
+    "returned_item_customers",
+    "revenue_cube",
+    "triangle_part_cliques",
+    "series_correlation_events",
+    "chisq_lang_source",
+    # temporal / time-bucketed
+    "range_join_view_purchase",
+    "daily_gapfill_locf",
+    "hopping_window_events",
     # linkage / quality / skew diagnostics
     "entity_resolution_customers",
     "outlier_mad_events",
-    "data_quality_report",
     "key_skew_report",
+    "skew_salted_agg",
     # graph
     "pagerank_parts",
     "bfs_part_distances",
-    # streaming-window rollups
-    "hopping_window_events",
-    # sparse similarity
+    # sparse similarity / features
     "sparse_cosine_docs",
-    # features / encodings
     "label_encode_docs",
-    # IVM / layout / stats
+    # IVM / layout
     "ivm_orders_by_status",
     "compact_orders_roundtrip",
-    "chisq_lang_source",
+    # multimodal codecs
+    "multimodal_decode",
+    # streaming gates
+    "novelty_gate_batch",
+    "semantic_gate_batch",
 ]
 
 # Operators added or materially changed this round: the rotation policy
 # requires them INSIDE the gated window (ADVICE r4).
 CHANGED_THIS_ROUND = [
-    "html_extract_main",  # NEW r6: HTML main-content extraction
-    "novelty_gate_batch",  # NEW r6: novelty gate's batch core oracled
-    "semantic_gate_batch",  # NEW r6: semantic gate's batch core oracled
-    "prepare_web_corpus",  # NEW r6: raw-web extract->gate->dedup->split
-    "bm25_search",  # r6: top-k via TakeOrderedAndProject (plan fix)
-    "key_skew_report",  # r6: same top-N plan fix
-    "bfs_part_distances",  # r6: explicit seed col + node semi-join
-    "compact_orders_roundtrip",  # r6: sizing fallback for unstat-able files
-    "prepare_training_corpus_v2",  # r6: approx sketch-threshold gate mode
-    "dedup_minhash_star_clusters",  # NEW r6: hot-family star-capped LSH
+    "dedup_minhash_cv_clusters",  # NEW r7: cluster-then-verify clustering
+    "dedup_minhash_lsh",  # r7: star_bucket_cap now defaults on
+    "dedup_minhash_star_clusters",  # r7: shares the re-defaulted minhash path
+    "similarity_ivf_pq",  # r6 LUT/auto-sizing commits (ADVICE r6 medium)
+    "similarity_ivf",  # r6 probed-cell LUT change
+    "similarity_pq_adc",  # r6 slot-indexed ADC path
+    "bm25_search",  # r7: ranked_topk rank derivation rewritten
+    "key_skew_report",  # r7: same ranked_topk rewrite
+    "prepare_training_corpus_v2",  # r7: approx decile gate is the default
 ]
 
 

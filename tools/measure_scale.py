@@ -939,6 +939,7 @@ def measure_scale100(
         histogram_sketch,
     )
     from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        minhash_near_dup_clusters_cv,
         minhash_near_duplicates,
         substring_duplicate_positions,
         substring_window_dedup,
@@ -1055,6 +1056,16 @@ def measure_scale100(
                 # traffic is bounded ~linearly in family size
                 "minhash_lsh_salted_star",
                 lambda: minhash_near_duplicates(docs, star_bucket_cap=32),
+            ),
+            (
+                # r7 cluster-then-verify: same banding and cap as the
+                # star row, but hot-bucket verification is one spanning-
+                # forest edge per member + bounded boundary repairs —
+                # verify traffic ∝ hot docs per round, not per band
+                "minhash_lsh_salted_cv",
+                lambda: minhash_near_dup_clusters_cv(
+                    docs, star_bucket_cap=32
+                ),
             ),
             (
                 # disjoint replica axis: cap irrelevant (no hot buckets);
