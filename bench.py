@@ -189,13 +189,14 @@ def main() -> None:
     state["core_headline_sec"] = core
     flush_partial(state)
     summary = {
+        # FIRST field by contract (VERDICT r6 next-round #7): the stable
+        # r4 10-query core sum — the ONLY number comparable round-over-
+        # round as the registry grows (r5 recomputed: 5.475 s; r6: 5.984 s
+        # from the driver artifacts).  tools/bench_compare.py diffs it.
+        "core_headline_sec": core,
         "metric": "headline query wall time (sum)",
         "value": total,
         "unit": "sec",
-        # the stable r4 10-query core sum — the ONLY number comparable
-        # round-over-round as the registry grows (r5 recomputed: 5.475 s
-        # from BENCH_r05's per-query map)
-        "core_headline_sec": core,
         # compact: headline timings only; full 64-query map in BENCH_local.json
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "sf": sf,

@@ -36,3 +36,22 @@ def test_summary_line_stays_tail_parseable():
         "full_results": "BENCH_local.json",
     }
     assert len(json.dumps(summary)) < 1024
+
+
+def test_core_is_frozen():
+    """core_headline_sec is only meaningful if the 10-query core NEVER
+    changes (VERDICT r6 #7: the round-over-round bench contract)."""
+    assert bench.CORE == [
+        "cdc_orders_apply",
+        "agg_pricing_summary",
+        "orders_revenue_by_nation",
+        "join_customer_geo",
+        "dedup_latest_per_key",
+        "dedup_composite_key",
+        "merge_upsert_customer",
+        "delete_where_exists",
+        "parse_props_json",
+        "top_customers_per_segment",
+    ]
+    reg = q.queries()
+    assert all(n in reg for n in bench.CORE)

@@ -56,6 +56,24 @@ def main():
         cells = [str(d.get(metric, "—")) for _, d in rounds]
         print(f"| {metric} | " + " | ".join(cells) + " |")
 
+    # the bench CONTRACT number: the stable 10-query core sum, with the
+    # round-over-round delta vs the previous artifact that has one
+    cores = [
+        (n, d.get("core_headline_sec")) for n, d in rounds
+    ]
+    cells = [f"{c:.3f}" if isinstance(c, (int, float)) else "—"
+             for _, c in cores]
+    print("| core_headline_sec | " + " | ".join(cells) + " |")
+    deltas, prev = [], None
+    for _, c in cores:
+        if isinstance(c, (int, float)) and isinstance(prev, (int, float)):
+            deltas.append(f"{100.0 * (c - prev) / prev:+.1f}%")
+        else:
+            deltas.append("—")
+        if isinstance(c, (int, float)):
+            prev = c
+    print("| core Δ vs prev round | " + " | ".join(deltas) + " |")
+
 
 if __name__ == "__main__":
     main()

@@ -916,6 +916,93 @@ def derived_big(spark, sf_dir: str, replicas: int):
     return docs_salted, docs_unique, emb_big
 
 
+def measure_cdcapply(spark, sf_dir: str, replicas: int = 10) -> dict:
+    """Scale the CDC flagship itself (VERDICT r6 next-round #4): apply a
+    replicated multi-table Debezium envelope batch (reads + updates +
+    within-batch duplicate updates + deletes over orders AND customer)
+    through the REAL pipeline surface — ``CdcPipeline.process_batch`` +
+    ``ParquetTableSink`` — at 1x (~220k events) and ``replicas``x (~2.2M
+    events), reporting events/s and shuffle.
+
+    The reference budget is per-60 s-trigger at one trigger's volume; at
+    100 TB a backlogged trigger hands the pipeline millions of events in
+    ONE batch, so apply throughput must scale ~linearly in batch size:
+    parse/route are map stages, the dedup is one map-side-combined
+    ``max_by`` per table, and the merge joins shuffle on the PK.  The
+    per-table driver loop is serial per table but each table's work is
+    fully distributed — the measurement exists to catch any super-linear
+    step.
+
+    Replicated orders shift ``o_orderkey`` by r*10M, preserving the
+    key % 10 / % 20 residues and so the exact op mix per replica; the
+    envelope batches are materialized to parquet UNTIMED so only the
+    apply is measured."""
+    import shutil
+
+    from cdc_data_lake_pyspark_spark.apply import ParquetTableSink
+    from cdc_data_lake_pyspark_spark.fixtures import (
+        MULTI_TABLE_CONFIG,
+        debezium_multi_table_envelopes,
+    )
+    from cdc_data_lake_pyspark_spark.pipeline import CdcPipeline
+
+    out = {}
+    for label, n_rep in (("1x", 1), (f"{replicas}x", replicas)):
+        env_path = f"{WORK_DIR}/cdc_env_x{n_rep}.parquet"
+        if not os.path.exists(env_path):
+            src_dir = sf_dir
+            if n_rep > 1:
+                src_dir = f"{WORK_DIR}/cdc_tables_x{n_rep}"
+                reps = spark.range(0, n_rep).select(F.col("id").alias("_r"))
+                if not os.path.exists(f"{src_dir}/orders.parquet"):
+                    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+                    orders.crossJoin(reps).withColumn(
+                        "o_orderkey",
+                        F.col("o_orderkey") + F.col("_r") * 10_000_000,
+                    ).drop("_r").write.mode("overwrite").parquet(
+                        f"{src_dir}/orders.parquet"
+                    )
+                if not os.path.exists(f"{src_dir}/customer.parquet"):
+                    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+                    cust.crossJoin(reps).withColumn(
+                        "c_custkey",
+                        F.col("c_custkey") + F.col("_r") * 10_000_000,
+                    ).drop("_r").write.mode("overwrite").parquet(
+                        f"{src_dir}/customer.parquet"
+                    )
+            debezium_multi_table_envelopes(spark, src_dir).write.mode(
+                "overwrite"
+            ).parquet(env_path)
+        env = spark.read.parquet(env_path)
+        n_events = env.count()
+
+        sink_root = f"{WORK_DIR}/cdc_sink_x{n_rep}"
+        shutil.rmtree(sink_root, ignore_errors=True)
+        pipeline = CdcPipeline(
+            config=MULTI_TABLE_CONFIG, sink=ParquetTableSink(sink_root)
+        )
+        r0, w0 = shuffle_totals(spark)
+        t0 = time.time()
+        pipeline.process_batch(env)
+        elapsed = round(time.time() - t0, 2)
+        r1, w1 = shuffle_totals(spark)
+        final_rows = sum(
+            spark.read.parquet(f"{sink_root}/testdb/{t}").count()
+            for t in ("orders", "customer")
+        )
+        out[label] = {
+            "n_events": n_events,
+            "sec": elapsed,
+            "events_per_sec": round(n_events / elapsed),
+            "final_rows": final_rows,
+            "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
+            "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+        }
+        print("cdcapply", label, out[label], flush=True)
+        shutil.rmtree(sink_root, ignore_errors=True)
+    return out
+
+
 def measure_scale100(
     spark,
     sf_dir: str,
@@ -1112,6 +1199,41 @@ def measure_scale100(
                 "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
             }
             print("scale100", label, op, row["ops"][op], flush=True)
+
+        if (not only_ops) or ("ivf_pq_recall" in only_ops):
+            # VERDICT r6 next-round #6: recall of the AUTO-sized IVF-PQ
+            # layout vs exact brute force on a sampled query set — the
+            # cells-per-probe ratio changes with nlist ≈ 4√N, so the
+            # small-N pytest floor needs an at-scale counterpart.
+            from cdc_data_lake_pyspark_spark.operators.similarity import (
+                brute_force_top_k,
+            )
+
+            qs = emb.filter(F.col("vec_id") % 500 == 0).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            t0 = time.time()
+            exact = {
+                (r.query_id, r.neighbor_id)
+                for r in brute_force_top_k(
+                    emb, qs, k=3, exclude_self=True
+                ).collect()
+            }
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in ivf_pq_top_k(
+                    emb, qs, k=3, shortlist=50, exclude_self=True
+                ).collect()
+            }
+            row["ops"]["ivf_pq_recall"] = {
+                "sec": round(time.time() - t0, 2),
+                "n_queries": qs.count(),
+                "recall_at_3": round(len(exact & got) / len(exact), 4),
+            }
+            print(
+                "scale100", label, "ivf_pq_recall",
+                row["ops"]["ivf_pq_recall"], flush=True,
+            )
         out[label] = row
     return out
 
@@ -1122,7 +1244,7 @@ def main():
     ap.add_argument("--out", default="SCALE_MEASURED.json")
     ap.add_argument(
         "--only",
-        choices=["family", "substring", "textpipe", "temporal", "phase7", "phase8", "phase8b", "scale100"],
+        choices=["family", "substring", "textpipe", "temporal", "phase7", "phase8", "phase8b", "scale100", "cdcapply"],
         default=None,
         help="measure one section and merge into an existing --out file",
     )
@@ -1152,7 +1274,7 @@ def main():
         ):
             results = prior
 
-    if args.only in ("substring", "textpipe", "temporal", "phase7", "phase8", "phase8b", "scale100"):
+    if args.only in ("substring", "textpipe", "temporal", "phase7", "phase8", "phase8b", "scale100", "cdcapply"):
         key = {
             "substring": "substring_dedup",
             "textpipe": "textpipe",
@@ -1161,6 +1283,7 @@ def main():
             "phase8": "phase8",
             "phase8b": "phase8b",
             "scale100": "scale100",
+            "cdcapply": "cdcapply",
         }[args.only]
         fn = {
             "substring": measure_substring,
@@ -1170,6 +1293,7 @@ def main():
             "phase8": measure_phase8,
             "phase8b": measure_phase8b,
             "scale100": measure_scale100,
+            "cdcapply": measure_cdcapply,
         }[args.only]
         if args.only == "scale100":
             results[key] = fn(
