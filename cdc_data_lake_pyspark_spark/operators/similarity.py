@@ -19,6 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
+import math
 import random
 from typing import Optional, Sequence
 
@@ -770,7 +771,7 @@ def ivf_pq_top_k(
     n_probe: Optional[int] = None,
     m_sub: int = 8,
     n_codes: int = 16,
-    shortlist: int = 50,
+    shortlist: Optional[int] = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -803,13 +804,25 @@ def ivf_pq_top_k(
     ``n_clusters``/``n_probe`` default to :func:`auto_ivf_params` of the
     corpus count — nlist ~ 4·sqrt(N) keeps per-query candidate work
     SUBLINEAR in the corpus; pass explicit values to pin a layout (the
-    oracle-checked registry entry pins the 16/4 default shape)."""
+    oracle-checked registry entry pins the 16/4 default shape).
+
+    ``shortlist`` defaults to ``max(50, 2·⌊√N⌋)`` — the r7 100x sweep
+    (SCALE.md §10) showed the recall ceiling at scale is NOT probe
+    coverage (n_probe 42→336 moved recall@3 only 0.31→0.34) but the
+    4-bit ADC noise floor crowding true neighbors out of a fixed-50
+    shortlist (50→800 moved recall 0.31→0.53 at +4% wall) — so the
+    re-rank budget must grow with the corpus like the cell layout does.
+    The exact re-rank gather stays ``Q·shortlist`` rows, sublinear in N."""
     from pyspark.sql.pandas.functions import pandas_udf
 
-    if n_clusters is None or n_probe is None:
-        auto_c, auto_p = auto_ivf_params(vectors.count())
-        n_clusters = auto_c if n_clusters is None else n_clusters
-        n_probe = auto_p if n_probe is None else n_probe
+    if n_clusters is None or n_probe is None or shortlist is None:
+        n_vec = vectors.count()
+        if n_clusters is None or n_probe is None:
+            auto_c, auto_p = auto_ivf_params(n_vec)
+            n_clusters = auto_c if n_clusters is None else n_clusters
+            n_probe = auto_p if n_probe is None else n_probe
+        if shortlist is None:
+            shortlist = max(50, 2 * int(math.isqrt(n_vec)))
 
     centers, books = fit_ivf_pq(
         vectors,

@@ -1155,6 +1155,22 @@ def measure_scale100(
                 ),
             ),
             (
+                # aggressive-cap contrast: at cap=8 nearly every salted-
+                # family bucket is over-cap, so the star path's verify
+                # traffic collapses to star edges — and cv's repair makes
+                # that recall-safe.  The pair answers "how low can the
+                # cap go": star8 shows the traffic floor, cv8 the cost of
+                # buying back the recall the tight cap gives up.
+                "minhash_lsh_salted_star8",
+                lambda: minhash_near_duplicates(docs, star_bucket_cap=8),
+            ),
+            (
+                "minhash_lsh_salted_cv8",
+                lambda: minhash_near_dup_clusters_cv(
+                    docs, star_bucket_cap=8
+                ),
+            ),
+            (
                 # disjoint replica axis: cap irrelevant (no hot buckets);
                 # uncapped keeps the row comparable to the r5 history
                 "minhash_lsh_disjoint",
@@ -1173,9 +1189,9 @@ def measure_scale100(
                 # (the frozen contrast row lives on in the artifact as
                 # ivf_pq_frozen16)
                 "ivf_pq_auto",
-                lambda: ivf_pq_top_k(
-                    emb, queries, k=3, shortlist=50, exclude_self=True
-                ),
+                # r7: function defaults — auto nlist/n_probe AND the
+                # auto shortlist (max(50, 2*sqrt(N)); SCALE.md §10)
+                lambda: ivf_pq_top_k(emb, queries, k=3, exclude_self=True),
             ),
             (
                 "substr_election",
@@ -1222,7 +1238,7 @@ def measure_scale100(
             got = {
                 (r.query_id, r.neighbor_id)
                 for r in ivf_pq_top_k(
-                    emb, qs, k=3, shortlist=50, exclude_self=True
+                    emb, qs, k=3, exclude_self=True
                 ).collect()
             }
             row["ops"]["ivf_pq_recall"] = {
