@@ -275,4 +275,4 @@ def test_scale100_recall_artifact_floor():
     if not row:
         _pytest.skip("scale100 ivf_pq_recall not measured yet")
     assert row["n_queries"] >= 100
-    assert row["recall_at_3"] >= 0.25, row
+    assert row["recall_at_3"] >= 0.45, row
