@@ -263,6 +263,20 @@ def auto_ivf_params(n: int) -> tuple[int, int]:
     return n_clusters, n_probe
 
 
+def auto_pq_codes(n: int) -> int:
+    """Per-sub-quantizer code count for the corpus size.  Small corpora
+    keep the 16-code (4-bit) books — cheap to fit, and at a few thousand
+    vectors the exact re-rank shortlist already covers most of each
+    probed cell.  At scale the r7 100x sweep (SCALE.md §10) showed the
+    recall ceiling is the 4-bit ADC noise floor, NOT probe coverage, so
+    once the bounded fit sample is deep enough to train them (FAISS
+    guidance: >= ~39 points per centroid, i.e. ~10k rows for 256 codes)
+    we move to the canonical FAISS 8-bit books: 16x lower quantization
+    noise per subspace at identical ADC query cost (the per-vector ADC
+    sum is m_sub LUT gathers regardless of the code count)."""
+    return 256 if n >= 50_000 else 16
+
+
 def fit_ivf_centroids(
     vectors: DataFrame,
     n_clusters: int,
@@ -770,7 +784,7 @@ def ivf_pq_top_k(
     n_clusters: Optional[int] = None,
     n_probe: Optional[int] = None,
     m_sub: int = 8,
-    n_codes: int = 16,
+    n_codes: Optional[int] = None,
     shortlist: Optional[int] = None,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -812,10 +826,20 @@ def ivf_pq_top_k(
     4-bit ADC noise floor crowding true neighbors out of a fixed-50
     shortlist (50→800 moved recall 0.31→0.53 at +4% wall) — so the
     re-rank budget must grow with the corpus like the cell layout does.
-    The exact re-rank gather stays ``Q·shortlist`` rows, sublinear in N."""
+    The exact re-rank gather stays ``Q·shortlist`` rows, sublinear in N.
+
+    ``n_codes`` defaults to :func:`auto_pq_codes`: 4-bit books on small
+    corpora, the canonical FAISS 8-bit books once the bounded fit sample
+    can train them — attacking the same ADC noise floor at the source
+    (16x finer residual quantization at identical per-vector ADC cost)."""
     from pyspark.sql.pandas.functions import pandas_udf
 
-    if n_clusters is None or n_probe is None or shortlist is None:
+    if (
+        n_clusters is None
+        or n_probe is None
+        or shortlist is None
+        or n_codes is None
+    ):
         n_vec = vectors.count()
         if n_clusters is None or n_probe is None:
             auto_c, auto_p = auto_ivf_params(n_vec)
@@ -823,6 +847,8 @@ def ivf_pq_top_k(
             n_probe = auto_p if n_probe is None else n_probe
         if shortlist is None:
             shortlist = max(50, 2 * int(math.isqrt(n_vec)))
+        if n_codes is None:
+            n_codes = auto_pq_codes(n_vec)
 
     centers, books = fit_ivf_pq(
         vectors,
@@ -847,6 +873,10 @@ def ivf_pq_top_k(
     # LUT restricted to each query's probed cells (bit-identical entries,
     # nlist/n_probe x smaller closure) + a (query, cell) -> probe-slot map
     lut = ivf_pq_query_lut(Q, centers, books, probe_cells=probe_cells)
+    if lut.max() < np.iinfo(np.int32).max:
+        # halve the task-closure bytes (matters at 256 codes); the ADC
+        # accumulator below stays int64, so sums are bit-identical
+        lut = lut.astype(np.int32)
     slot_of = np.full((len(Q), len(centers)), -1, dtype=np.int32)
     for i in range(len(Q)):
         slot_of[i, probe_cells[i]] = np.arange(n_probe, dtype=np.int32)

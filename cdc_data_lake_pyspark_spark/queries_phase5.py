@@ -1266,6 +1266,7 @@ def similarity_ivf_pq(spark, sf_dir):
         k=3,
         n_clusters=16,
         n_probe=4,
+        n_codes=16,  # the oracle generator pins 4-bit books as literals
         shortlist=50,
         exclude_self=True,
     )

@@ -222,6 +222,22 @@ def test_auto_ivf_params_clamps_and_growth():
     assert work(500_000) / work(5_000) < 35
 
 
+def test_auto_pq_codes_policy():
+    """4-bit books below the fit-depth threshold, canonical FAISS 8-bit
+    books above it (the r7 100x sweep showed the ADC noise floor, not
+    probe coverage, caps recall at scale — SCALE.md §10); the bounded
+    200k fit sample always gives 256-code books >= ~195 points per
+    centroid, well over the ~39 FAISS training floor."""
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        auto_pq_codes,
+    )
+
+    assert auto_pq_codes(500) == 16
+    assert auto_pq_codes(49_999) == 16
+    assert auto_pq_codes(50_000) == 256
+    assert auto_pq_codes(10**9) == 256
+
+
 def test_auto_ivf_pq_recall_not_worse_than_frozen_layout(spark):
     """At 2k vectors the auto layout (62 cells / 7 probes, ~11% coverage)
     must keep recall at least at the frozen 16/4 layout's level (~25%

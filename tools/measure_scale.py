@@ -154,7 +154,13 @@ def family(docs, emb):
             exclude_self=True,
         ),
         "ivf_pq": lambda: ivf_pq_top_k(
-            emb, _queries(), k=3, n_probe=4, shortlist=50, exclude_self=True
+            emb,
+            _queries(),
+            k=3,
+            n_probe=4,
+            n_codes=16,  # keep the historical 10x rows comparable
+            shortlist=50,
+            exclude_self=True,
         ),
     }
 
