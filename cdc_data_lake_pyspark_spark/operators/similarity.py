@@ -248,18 +248,24 @@ def auto_ivf_params(n: int) -> tuple[int, int]:
     between 4·sqrt(N) and 16·sqrt(N); we take the low end (cheapest fit)
     clamped so cells keep >= 32 members (tiny corpora degenerate to the
     16-cell default) and to 4096 total (the fit bound's budget).
-    ``n_probe`` is ~sqrt(nlist) (floor 4): candidate work per query is
-    ``n_probe · N / n_clusters`` ~ ``sqrt(nlist)·N/nlist`` ~
-    ``N^(3/4)/2`` — SUBLINEAR in the corpus — where a frozen 16-cell
-    layout keeps per-query work at a constant 1/4 of the corpus forever
-    (the r6 100x measurement caught exactly that: 200M candidate rows at
-    200k vectors × 4k queries).  Recall at the smaller probed fraction
-    is floor-pinned in tests/test_pq.py; the exact re-rank shortlist
-    absorbs most of the ADC ranking noise."""
+    ``n_probe`` is ``4·sqrt(nlist)`` (floor 4, capped at nlist):
+    candidate work per query is ``n_probe · N / n_clusters`` ~
+    ``4·sqrt(nlist)·N/nlist`` ~ ``2·N^(3/4)`` — still SUBLINEAR in the
+    corpus — where a frozen 16-cell layout keeps per-query work at a
+    constant 1/4 of the corpus forever (the r6 100x measurement caught
+    exactly that: 200M candidate rows at 200k vectors × 4k queries).
+    The 4x multiplier over plain sqrt(nlist) comes from the r7 100x
+    probe/code sweep (SCALE.md §10): with the auto shortlist, probe
+    coverage — NOT ADC code resolution — is the recall ceiling on a
+    decorrelated corpus (probes 42→168 moved recall@3 0.53→0.71 at ~5%
+    wall; 16x finer codebooks moved it +0.01), and the 4x probe budget
+    is still a ~9% corpus read at the auto nlist.  Recall at the probed
+    fraction is floor-pinned in tests/test_pq.py; the exact re-rank
+    shortlist absorbs the ADC ranking noise."""
     import math
 
     n_clusters = max(16, min(4096, 4 * int(math.isqrt(max(1, n))), n // 32))
-    n_probe = max(4, int(math.isqrt(n_clusters)))
+    n_probe = min(n_clusters, max(4, 4 * int(math.isqrt(n_clusters))))
     return n_clusters, n_probe
 
 

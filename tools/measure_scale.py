@@ -1289,10 +1289,11 @@ def main():
     if args.only and os.path.exists(args.out):
         with open(args.out) as f:
             prior = json.load(f)
-        # scale100 runs with its own replica count; merge into the prior
-        # artifact instead of discarding the 10x sections
+        # scale100/cdcapply run with their own replica counts; merge into
+        # the prior artifact instead of discarding the 10x sections
         if prior.get("sf_dir") == SF_DIR and (
-            prior.get("replicas") == args.replicas or args.only == "scale100"
+            prior.get("replicas") == args.replicas
+            or args.only in ("scale100", "cdcapply")
         ):
             results = prior
 
@@ -1318,14 +1319,27 @@ def main():
             "cdcapply": measure_cdcapply,
         }[args.only]
         if args.only == "scale100":
-            results[key] = fn(
-                spark,
-                SF_DIR,
-                args.replicas,
-                only_ops=set(args.ops.split(",")) if args.ops else None,
-                prior=results.get("scale100"),
+            # merge at the label level too, so a run at a different
+            # --replicas count can never drop the expensive 100x rows
+            results[key] = {
+                **results.get(key, {}),
+                **fn(
+                    spark,
+                    SF_DIR,
+                    args.replicas,
+                    only_ops=set(args.ops.split(",")) if args.ops else None,
+                    prior=results.get("scale100"),
+                ),
+            }
+            results["scale100_replicas"] = max(
+                args.replicas, results.get("scale100_replicas", 0)
             )
-            results["scale100_replicas"] = args.replicas
+        elif args.only == "cdcapply":
+            # keep rows from earlier replica counts (1x/10x/100x accrete)
+            results[key] = {
+                **results.get(key, {}),
+                **fn(spark, SF_DIR, args.replicas),
+            }
         else:
             results[key] = fn(spark, SF_DIR, args.replicas)
         with open(args.out, "w") as f:
