@@ -815,11 +815,16 @@ def ivf_pq_top_k(
     codes (Arrow matmuls, map-only); candidates come from a broadcast
     join on the cell id, so the corpus shuffles ONCE on its cell key —
     the IVF partition layout — and only ``(query, id, adist)`` integer
-    rows reach the shortlist window.  All ADC distances are exact
-    integer sums of micro-quantized LUT entries
-    (:func:`ivf_pq_query_lut`), so the oracle replays ranking
-    bit-for-bit from pinned centroids, codebooks, probes, and LUT
-    (oracle ``similarity_ivf_pq``).
+    rows reach the shortlist window.  The task closure ships only the
+    query matrix, centers, and codebooks (MBs); each Arrow batch
+    computes the micro-LUT rows for its own distinct (query, cell)
+    pairs executor-side — the FAISS search-time shape — instead of the
+    driver materializing the full ``Q·n_probe·m_sub·n_codes`` table
+    (gigabytes at serving query counts with 8-bit books).  All ADC
+    distances are exact integer sums of micro-quantized LUT entries —
+    the same numpy expression :func:`ivf_pq_query_lut` evaluates — so
+    the oracle replays ranking bit-for-bit from pinned centroids,
+    codebooks, probes, and LUT (oracle ``similarity_ivf_pq``).
 
     ``n_clusters``/``n_probe`` default to :func:`auto_ivf_params` of the
     corpus count — nlist ~ 4·sqrt(N) keeps per-query candidate work
@@ -876,16 +881,6 @@ def ivf_pq_top_k(
     probe_cells = np.argsort(_sq_dists(Q, centers), axis=1, kind="stable")[
         :, :n_probe
     ]
-    # LUT restricted to each query's probed cells (bit-identical entries,
-    # nlist/n_probe x smaller closure) + a (query, cell) -> probe-slot map
-    lut = ivf_pq_query_lut(Q, centers, books, probe_cells=probe_cells)
-    if lut.max() < np.iinfo(np.int32).max:
-        # halve the task-closure bytes (matters at 256 codes); the ADC
-        # accumulator below stays int64, so sums are bit-identical
-        lut = lut.astype(np.int32)
-    slot_of = np.full((len(Q), len(centers)), -1, dtype=np.int32)
-    for i in range(len(Q)):
-        slot_of[i, probe_cells[i]] = np.arange(n_probe, dtype=np.int32)
     qindex = {qid: i for i, qid in enumerate(qids.tolist())}
 
     id_type = vectors.schema[id_col].dataType.simpleString()
@@ -926,14 +921,29 @@ def ivf_pq_top_k(
 
     @pandas_udf("long")
     def _adist(qid: pd.Series, cell: pd.Series, codes: pd.Series) -> pd.Series:
+        # EXECUTOR-SIDE LUT: the closure ships only queries + centers +
+        # codebooks (~MBs); each Arrow batch computes the micro-LUT rows
+        # for ITS distinct (query, cell) pairs and gathers from them.
+        # The driver-built alternative — the full per-(query, probe) LUT
+        # in the closure — is Q·n_probe·m_sub·n_codes entries, gigabytes
+        # at serving query counts with 8-bit books.  Values come from
+        # the identical numpy expression :func:`ivf_pq_query_lut` pins
+        # as oracle literals (rint of 1e6x the float64 residual sq-dist),
+        # so ADC sums stay exact integer and bit-identical.
         qi = qid.map(qindex).to_numpy()
-        # candidates exist only for probed (query, cell) pairs (the join
-        # is ON the probes frame), so every slot lookup is valid
-        si = slot_of[qi, cell.to_numpy()]
+        cells = cell.to_numpy()
+        pair_key = qi.astype(np.int64) * len(centers) + cells
+        uniq, inv = np.unique(pair_key, return_inverse=True)
+        u_qi = (uniq // len(centers)).astype(np.int64)
+        u_cell = (uniq % len(centers)).astype(np.int64)
+        QR = Q[u_qi] - centers[u_cell]
         C = np.vstack(codes.to_numpy())
         s = np.zeros(len(qi), dtype=np.int64)
         for j in range(m_sub):
-            s += lut[qi, si, j, C[:, j]]
+            lut_j = np.rint(
+                1e6 * _sq_dists(QR[:, j * ds : (j + 1) * ds], books[j])
+            ).astype(np.int64)
+            s += lut_j[inv, C[:, j]]
         return pd.Series(s)
 
     cand = encoded.join(F.broadcast(probes), "_cell")

@@ -66,6 +66,12 @@ def main():
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
+    # seeded oracles (LSH planes, k-means centroids, PQ codebooks) re-fit
+    # on the checked corpus; the oracle_sql() dict is built eagerly before
+    # any Spark query runs, so pin the dir explicitly rather than relying
+    # on LAST_SF_DIR (unset in a fresh process -> silently sf0.01)
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
+
     from cdc_data_lake_pyspark_spark.session import build_session
     from cdc_data_lake_pyspark_spark import queries as q
 
