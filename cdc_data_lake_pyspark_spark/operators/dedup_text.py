@@ -134,10 +134,19 @@ def jaccard_similar_pairs(
     """
     ex = _stage(_exploded_shingles(docs, id_col, text_col, k))
     counts = _shingle_counts(ex)
-    a = ex.alias("a").hint("shuffle_hash")
-    b = ex.alias("b").hint("shuffle_hash")
+    # self-join on the xxhash64 of the shingle, not the string: the
+    # corpus-wide hashpartitioning exchange then carries 8-byte longs
+    # instead of k-gram strings (~6× fewer bytes at k=3).  A vocabulary
+    # collision (two distinct shingles, equal hash) could add 1 to one
+    # pair's intersection — expected colliding shingle pairs V²/2⁶⁵
+    # (~3e-4 at 100M distinct shingles), and a single +1 almost never
+    # crosses the threshold; the hash is projected BEFORE aliasing so
+    # both sides stay one ReuseExchange subplan.
+    exh = ex.select("_id", F.xxhash64("_s").alias("_h"))
+    a = exh.alias("a").hint("shuffle_hash")
+    b = exh.alias("b").hint("shuffle_hash")
     pairs = (
-        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
         .groupBy(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
         .agg(F.count(F.lit(1)).alias("_common"))
     )
@@ -367,39 +376,56 @@ def minhash_near_duplicates(
     ex = _stage(_exploded_shingles(docs, id_col, text_col, k))
     sigs = _signatures_from_ex(ex, num_hashes)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band, star_bucket_cap)
-    counts = _shingle_counts(ex)
-    return _verify_candidate_pairs(cand, ex, counts, threshold)
+    return _verify_candidate_pairs(cand, ex, threshold)
 
 
 def _verify_candidate_pairs(
-    cand: DataFrame, ex: DataFrame, counts: DataFrame, threshold: float
+    cand: DataFrame, ex: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard over candidate ``(a_id, b_id)`` pairs only: join both
-    docs' shingle sets, count the intersection, attach set sizes.
+    """Exact Jaccard over candidate ``(a_id, b_id)`` pairs only, computed
+    over per-doc HASHED shingle-set arrays instead of exploded shingle
+    strings.
 
     The shingle frame is first PRUNED to docs that appear in any candidate
     pair (semi-join; AQE broadcasts the distinct candidate-id frame at
-    runtime whenever duplicates are rare — the common case) — so the
-    verify join shuffles shingles proportional to the CANDIDATE
-    population, not the corpus.  The candidate frame is staged so its
-    (banding/prefix join) pipeline evaluates once for the id set and the
-    pair join both.
+    runtime whenever duplicates are rare — the common case), then each
+    surviving doc's distinct shingles are hashed to ``xxhash64`` longs
+    MAP-SIDE and gathered into one array row per doc.  The pair join then
+    moves TWO 8-byte-element arrays per candidate instead of
+    ``|a|+|b|`` exploded string rows (~6× fewer bytes and ~two orders of
+    magnitude fewer shuffle rows at 3-gram shingle sizes), and
+    ``size(array_intersect(...))`` computes the intersection inside
+    whole-stage codegen with no post-join aggregation exchange.  Set
+    sizes fall out of the same arrays, so no separate counts frame joins
+    in.
+
+    Exactness: equal to string-shingle Jaccard unless xxhash64 collides
+    WITHIN one candidate pair's shingle union — P ≈ (|a|+|b|)²/2⁶⁵ per
+    pair (~4e-15 at 400 shingles), vocabulary-wide collisions outside a
+    pair's two sets cannot affect its intersection count.  The DuckDB
+    oracles replay raw-string Jaccard and stay hash-identical.
     """
     cand = _stage(cand)
     cand_ids = (
         cand.select(F.explode(F.array("a_id", "b_id")).alias("_id")).distinct()
     )
-    ex = ex.join(cand_ids, "_id", "left_semi")
-    a = ex.alias("a").hint("shuffle_hash")
-    b = ex.alias("b").hint("shuffle_hash")
-    verified = (
-        cand.join(a, cand.a_id == F.col("a._id"))
-        .join(b, (cand.b_id == F.col("b._id")) & (F.col("a._s") == F.col("b._s")))
-        .groupBy("a_id", "b_id")
-        .agg(F.count(F.lit(1)).alias("_common"))
+    sets = (
+        ex.join(cand_ids, "_id", "left_semi")
+        .groupBy("_id")
+        .agg(F.collect_list(F.xxhash64("_s")).alias("_hs"))
     )
+    a = sets.alias("a").hint("shuffle_hash")
+    b = sets.alias("b").hint("shuffle_hash")
     return (
-        _join_set_sizes(verified, counts)
+        cand.join(a, cand.a_id == F.col("a._id"))
+        .join(b, cand.b_id == F.col("b._id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.size(F.array_intersect("a._hs", "b._hs")).alias("_common"),
+            F.size("a._hs").alias("_na"),
+            F.size("b._hs").alias("_nb"),
+        )
         .withColumn(
             "jaccard",
             F.col("_common").cast("double")
@@ -478,7 +504,6 @@ def minhash_near_dup_clusters_cv(
         )
     ex = _stage(_exploded_shingles(docs, id_col, text_col, k))
     sigs = _signatures_from_ex(ex, num_hashes)
-    counts = _shingle_counts(ex)
     banded = _stage(_banded(sigs, bands, rows_per_band))
     stats = banded.groupBy("band", "bucket").agg(
         F.count(F.lit(1)).alias("_n"), F.min("doc_id").alias("_rep")
@@ -524,9 +549,7 @@ def minhash_near_dup_clusters_cv(
         small_pairs.unionByName(star_tree.select("a_id", "b_id")).distinct()
     )
     passing = _stage(
-        _verify_candidate_pairs(verify0, ex, counts, threshold).select(
-            "a_id", "b_id"
-        )
+        _verify_candidate_pairs(verify0, ex, threshold).select("a_id", "b_id")
     )
     attempted = verify0
 
@@ -575,7 +598,7 @@ def minhash_near_dup_clusters_cv(
         )
         if new_pairs.limit(1).count() == 0:
             break
-        newly = _verify_candidate_pairs(new_pairs, ex, counts, threshold).select(
+        newly = _verify_candidate_pairs(new_pairs, ex, threshold).select(
             "a_id", "b_id"
         )
         passing = _stage(passing.unionByName(newly))
@@ -644,9 +667,8 @@ def jaccard_similar_pairs_prefix(
     bucket² (verified exact-equal to the plain join in
     tests/test_phase2.py::test_prefix_filtering_is_exact)."""
     ex = _stage(_exploded_shingles(docs, id_col, text_col, k))
-    counts = _shingle_counts(ex)
     cand = jaccard_prefix_candidates(ex, threshold)
-    return _verify_candidate_pairs(cand, ex, counts, threshold)
+    return _verify_candidate_pairs(cand, ex, threshold)
 
 
 def portable_token_hash(col) -> "F.Column":

@@ -70,6 +70,18 @@ def cosine_pandas_udf():
     return _cosine
 
 
+def _min_parallel(df: DataFrame) -> DataFrame:
+    """Raise a scan's partition count to the cluster's default parallelism
+    when the source has fewer splits (a compactly-written corpus can be
+    ONE parquet file, serializing every per-partition scorer onto one
+    core).  No-op — no added shuffle — whenever the input already has
+    enough splits, which is the normal state at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def brute_force_top_k(
     vectors: DataFrame,
     queries: DataFrame,
@@ -120,7 +132,9 @@ def brute_force_top_k(
                 }
             )
 
-    scored = vectors.select(id_col, vec_col).mapInPandas(_score, out_schema)
+    scored = _min_parallel(vectors.select(id_col, vec_col)).mapInPandas(
+        _score, out_schema
+    )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(
@@ -377,6 +391,11 @@ def ivf_top_k(
         F.col(vec_col).alias("_qv"),
         F.explode(_probe(F.col(vec_col))).alias("_cell"),
     )
+    # IVF layout shuffle: repartition the assigned corpus on its cell key
+    # so the probe join's candidate explosion parallelizes across the
+    # cluster instead of inheriting the scan's split count (one corpus
+    # pass; cells are near-uniform so no skew).
+    assigned = assigned.repartition("_cell")
     scored = assigned.join(F.broadcast(q), "_cell")
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -946,6 +965,14 @@ def ivf_pq_top_k(
             s += lut_j[inv, C[:, j]]
         return pd.Series(s)
 
+    # The IVF partition layout: shuffle the (tiny) encoded corpus ONCE on
+    # its cell key before the probe fan-out.  Without this the broadcast
+    # join inherits the SCAN's split count — a single-file corpus runs
+    # the whole ~(probes-per-cell)× candidate explosion in ONE task (the
+    # r7 100x re-measure caught exactly that: 31 of 32 cores idle).
+    # Rows are (id, cell, m_sub codes) ≈ tens of bytes, so the exchange
+    # is MBs even at 100x; cells are near-uniform so no skew.
+    encoded = encoded.repartition("_cell")
     cand = encoded.join(F.broadcast(probes), "_cell")
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1263,7 +1290,9 @@ def pq_top_k(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    scored = vectors.select(id_col, vec_col).mapInPandas(_score, out_schema)
+    scored = _min_parallel(vectors.select(id_col, vec_col)).mapInPandas(
+        _score, out_schema
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist_micro").asc(), F.col("neighbor_id").asc()
     )

@@ -592,16 +592,40 @@ _DEMOTED: tuple[str, ...] = (
     # --- the star-cap default, similarity_ivf_pq / similarity_ivf after
     # --- the LUT/auto-sizing commits), nine more r6-demoted re-signs,
     # --- and the NEW dedup_minhash_cv_clusters (in-window per policy).
+    # --- rotated OUT mid-r7: the hashed-shingle verify rewrite
+    # --- (operators/dedup_text.py::_verify_candidate_pairs) changed code
+    # --- shared by four TAIL entries (dedup_jaccard_pairs,
+    # --- dedup_jaccard_prefix, dedup_clusters, dedup_keep_canonical), so
+    # --- per policy those rotate back INTO the window and these four
+    # --- stable r6-green entries take their tail slots.
+    "returned_item_customers",
+    # TPC-H join+agg family: revenue_cube stays in-window and drives the
+    # same join+aggregate shape through the Expand plan; driver-green r6
+    "cohort_retention",
+    # time-bucketed keyed-agg family: daily_gapfill_locf and
+    # event_transition_matrix stay in-window; driver-green r6
+    "embedding_quantize",
+    # embedding map-only family: embedding_pq_codes stays in-window and
+    # similarity_pq_adc / similarity_ivf_pq drive the same codebooks;
+    # driver-green r6
+    "chisq_lang_source",
+    # sufficient-statistics family: series_correlation_events stays
+    # in-window; chi-square arithmetic pinned in pytest; driver-green r6
+    "hopping_window_events",
+    # windowed-agg family: daily_gapfill_locf + range_join_view_purchase
+    # stay in-window on the same time-bucket machinery; driver-green r6.
+    # Swapped for similarity_topk_bruteforce, whose scan gained the
+    # _min_parallel split-count floor this round.
+    # --- rotated OUT in r7 (start of round).
     "daily_revenue_ma7",
     # time-bucketed-agg family: daily_gapfill_locf stays in-window on
     # the same day-truncated spine; driver-green r6
     "shipping_priority",
-    # TPC-H join+agg family: returned_item_customers stays in-window;
-    # revenue_cube (rotated in) drives the same join+aggregate shape
-    # through the Expand plan; driver-green r6
+    # TPC-H join+agg family: revenue_cube (rotated in) drives the same
+    # join+aggregate shape through the Expand plan; driver-green r6
     "embedding_normalize",
-    # embedding map-only family: embedding_pq_codes stays in-window and
-    # embedding_quantize rotates in; driver-green r6
+    # embedding map-only family: embedding_pq_codes stays in-window;
+    # driver-green r6
     "skew_salted_join",
     # skew family: skew_salted_agg + key_skew_report stay in-window;
     # driver-green r6
@@ -702,7 +726,6 @@ _DEMOTED: tuple[str, ...] = (
     "dedup_simhash_pairs",
     "revenue_rollup",
     "multimodal_extract",
-    "similarity_topk_bruteforce",
     "dedup_embedding_cosine",
     "hll_distinct_users",
     "timestamp_roundtrip",
@@ -721,7 +744,6 @@ _DEMOTED: tuple[str, ...] = (
     "tfidf_top_term",
     "doc_fingerprint",
     "stratified_sample_docs",
-    "dedup_keep_canonical",
     "contamination_report",
     "incremental_novel_docs",
     "embedding_centroids",
@@ -733,15 +755,12 @@ _DEMOTED: tuple[str, ...] = (
     "distinct_fanout_inventory",
     "sessionize_events",
     "join_customer_geo",
-    "dedup_clusters",
     "cdc_orders_apply_dms",
     "quality_score",
-    "dedup_jaccard_prefix",
     "scrub_pii_docs",
     "pack_sequences",
     "top_customers_per_segment",
     "dedup_simhash",
-    "dedup_jaccard_pairs",
     "doc_rolling_hash",
     "quality_deciles",
     "vocab_top_tokens",

@@ -36,7 +36,12 @@ REQUIRED_VISIBLE = [
     "similarity_ivf_pq",
     "similarity_pq_adc",
     "embedding_pq_codes",
-    "embedding_quantize",
+    "similarity_topk_bruteforce",  # mid-r7 _min_parallel change
+    # dedup exact-verify family (mid-r7 hashed-shingle verify rewrite)
+    "dedup_jaccard_pairs",
+    "dedup_jaccard_prefix",
+    "dedup_clusters",
+    "dedup_keep_canonical",
     # composites
     "prepare_training_corpus",
     "prepare_training_corpus_v2",
@@ -52,18 +57,14 @@ REQUIRED_VISIBLE = [
     "corpus_mix_temperature",
     # changelog / ordered sequences
     "scd2_user_history",
-    "cohort_retention",
     "event_transition_matrix",
     # analytics / TPC-H shapes
-    "returned_item_customers",
     "revenue_cube",
     "triangle_part_cliques",
     "series_correlation_events",
-    "chisq_lang_source",
     # temporal / time-bucketed
     "range_join_view_purchase",
     "daily_gapfill_locf",
-    "hopping_window_events",
     # linkage / quality / skew diagnostics
     "entity_resolution_customers",
     "outlier_mad_events",
@@ -92,11 +93,20 @@ CHANGED_THIS_ROUND = [
     "dedup_minhash_lsh",  # r7: star_bucket_cap now defaults on
     "dedup_minhash_star_clusters",  # r7: shares the re-defaulted minhash path
     "similarity_ivf_pq",  # r6 LUT/auto-sizing commits (ADVICE r6 medium)
-    "similarity_ivf",  # r6 probed-cell LUT change
+    "similarity_ivf",  # r6 probed-cell LUT change + r7 cell repartition
     "similarity_pq_adc",  # r6 slot-indexed ADC path
     "bm25_search",  # r7: ranked_topk rank derivation rewritten
     "key_skew_report",  # r7: same ranked_topk rewrite
     "prepare_training_corpus_v2",  # r7: approx decile gate is the default
+    # mid-r7: hashed-shingle verify rewrite (_verify_candidate_pairs +
+    # the jaccard self-join hash key) — everything downstream of it
+    "dedup_jaccard_pairs",
+    "dedup_jaccard_prefix",
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    "prepare_training_corpus",
+    # mid-r7: _min_parallel split-count floor on the linear-scan ANN ops
+    "similarity_topk_bruteforce",
 ]
 
 
