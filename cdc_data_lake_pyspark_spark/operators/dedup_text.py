@@ -118,7 +118,14 @@ def jaccard_similar_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact n-gram Jaccard pairs ≥ threshold: ``(a_id, b_id, jaccard)``.
+    """N-gram Jaccard pairs ≥ threshold: ``(a_id, b_id, jaccard)``.
+
+    "Exact" up to shingle-hash collisions: the intersection is counted
+    over ``xxhash64(shingle)``, so two DISTINCT shingles colliding at 64
+    bits could inflate one pair's |∩| by 1 (expected colliding shingle
+    pairs ≈ V²/2⁶⁵ — ~3e-4 at 100M distinct shingles; a single +1 almost
+    never crosses the threshold).  Downstream tests and oracles treat
+    this as the exact baseline; this paragraph is the documented caveat.
 
     Self-equi-join on the shingle (not a cross join): only docs sharing at
     least one shingle ever meet.  |∩| via count, |∪| = na + nb − |∩|.
@@ -482,13 +489,18 @@ def minhash_near_dup_clusters_cv(
        loop early.
 
     Verified-edge precision stays 1 (every merge is backed by an exact
-    Jaccard ≥ ``threshold`` pair); recall ≥ the star-capped path on the
-    same banding (its tree edges plus every repair pair are extra exact
-    checks).  Repair is representative-based: a merge that requires a
-    cross pair between two NON-minimum members of ≥2-member subclusters
-    can still be missed — the documented residual trade
-    (tests/test_phase2.py pins the chain-recovery case the star cap
-    provably splits).  Driver loop: ``repair_rounds`` × (one CC + one
+    Jaccard ≥ ``threshold`` pair); recall is COMPARABLE to the
+    star-capped path on the same banding, not provably ≥ it: the
+    spanning-forest reduction verifies one edge per hot-bucket member
+    (to the MINIMUM representative over its over-cap buckets) where the
+    star path verifies every per-band representative edge, so a member
+    that clears the threshold only against some non-minimum band
+    representative relies on a repair round attempting that pair.
+    Conversely the repair rounds recover chains the star path provably
+    splits (tests/test_phase2.py pins that case).  Repair is
+    representative-based: a merge that requires a cross pair between two
+    NON-minimum members of ≥2-member subclusters can still be missed —
+    the documented residual trade.  Driver loop: ``repair_rounds`` × (one CC + one
     bounded verify), each round one small count — the iterative pattern
     of ``operators/clusters.py``."""
     from cdc_data_lake_pyspark_spark.operators.clusters import (

@@ -222,6 +222,31 @@ def _sq_dists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     )
 
 
+def _lut_block(QR_j: np.ndarray, book: np.ndarray) -> np.ndarray:
+    """Micro-quantized residual sq-dist LUT rows: ``round(1e6 *
+    ||QR_j[i] − book[c]||²)`` as int64, computed with a SHAPE-INVARIANT
+    expression — ``((row − book)²).sum(last axis)`` — never a GEMM.
+
+    The IVF-PQ oracle contract needs the driver-built oracle LUT (all
+    queries at once) and the executor-built micro-LUT (each Arrow batch's
+    distinct (query, cell) pairs) to agree bit-for-bit.  ``_sq_dists``'s
+    expanded-form BLAS matmul does NOT guarantee that: GEMM blocking and
+    threading may change summation order with the row count, so the same
+    logical row can round differently in differently-shaped calls
+    (ADVICE r7).  Here the reduction runs along the fixed-length
+    subspace axis only — numpy's pairwise summation over axis=-1 depends
+    on ds alone, so every row's bits are independent of how many rows
+    share the call.  Rows are processed in fixed 1024-row tiles to bound
+    the (rows, n_codes, ds) broadcast temporary."""
+    out = np.empty((len(QR_j), len(book)), dtype=np.int64)
+    for lo in range(0, len(QR_j), 1024):
+        d = QR_j[lo : lo + 1024, None, :] - book[None, :, :]
+        out[lo : lo + 1024] = np.rint(1e6 * (d * d).sum(axis=2)).astype(
+            np.int64
+        )
+    return out
+
+
 def fit_kmeans(X: np.ndarray, k: int, seed: int = 42, n_iter: int = 20) -> np.ndarray:
     """Deterministic Lloyd's k-means: seeded distinct-row init, fixed
     iteration count, first-index argmin ties.  Given the same rows in the
@@ -787,18 +812,18 @@ def ivf_pq_query_lut(
         for cell in range(n_cells):
             QR = queries_np - centers[cell]
             for j in range(m_sub):
-                lut[:, cell, j, :] = np.rint(
-                    1e6 * _sq_dists(QR[:, j * ds : (j + 1) * ds], codebooks[j])
-                ).astype(np.int64)
+                lut[:, cell, j, :] = _lut_block(
+                    QR[:, j * ds : (j + 1) * ds], codebooks[j]
+                )
         return lut
     n_probe = probe_cells.shape[1]
     lut = np.empty((n_q, n_probe, m_sub, n_codes), dtype=np.int64)
     for slot in range(n_probe):
         QR = queries_np - centers[probe_cells[:, slot]]
         for j in range(m_sub):
-            lut[:, slot, j, :] = np.rint(
-                1e6 * _sq_dists(QR[:, j * ds : (j + 1) * ds], codebooks[j])
-            ).astype(np.int64)
+            lut[:, slot, j, :] = _lut_block(
+                QR[:, j * ds : (j + 1) * ds], codebooks[j]
+            )
     return lut
 
 
@@ -959,9 +984,11 @@ def ivf_pq_top_k(
         C = np.vstack(codes.to_numpy())
         s = np.zeros(len(qi), dtype=np.int64)
         for j in range(m_sub):
-            lut_j = np.rint(
-                1e6 * _sq_dists(QR[:, j * ds : (j + 1) * ds], books[j])
-            ).astype(np.int64)
+            # _lut_block, NOT _sq_dists: the oracle LUT is built over a
+            # different row subset, and only the shape-invariant
+            # expression guarantees the same (query, cell) row rounds to
+            # the same bits in both calls (see _lut_block's docstring).
+            lut_j = _lut_block(QR[:, j * ds : (j + 1) * ds], books[j])
             s += lut_j[inv, C[:, j]]
         return pd.Series(s)
 

@@ -585,37 +585,38 @@ def top_customers_per_segment(spark, sf_dir):
 # sibling covering its operator family; the policy is documented in
 # COVERAGE.md (§ gate window).
 _DEMOTED: tuple[str, ...] = (
-    # --- rotated OUT in r7.  Every entry below was driver-verified
-    # --- green in CORRECTNESS_r06.json; rotated-IN in their place
-    # --- (VERDICT r6 next-round #5 + ADVICE r6): the r6-demoted batch
-    # --- whose shared code changed in r6/r7 (dedup_minhash_lsh after
-    # --- the star-cap default, similarity_ivf_pq / similarity_ivf after
-    # --- the LUT/auto-sizing commits), nine more r6-demoted re-signs,
-    # --- and the NEW dedup_minhash_cv_clusters (in-window per policy).
-    # --- rotated OUT mid-r7: the hashed-shingle verify rewrite
-    # --- (operators/dedup_text.py::_verify_candidate_pairs) changed code
-    # --- shared by four TAIL entries (dedup_jaccard_pairs,
-    # --- dedup_jaccard_prefix, dedup_clusters, dedup_keep_canonical), so
-    # --- per policy those rotate back INTO the window and these four
-    # --- stable r6-green entries take their tail slots.
-    "returned_item_customers",
-    # TPC-H join+agg family: revenue_cube stays in-window and drives the
-    # same join+aggregate shape through the Expand plan; driver-green r6
-    "cohort_retention",
-    # time-bucketed keyed-agg family: daily_gapfill_locf and
-    # event_transition_matrix stay in-window; driver-green r6
-    "embedding_quantize",
-    # embedding map-only family: embedding_pq_codes stays in-window and
-    # similarity_pq_adc / similarity_ivf_pq drive the same codebooks;
-    # driver-green r6
-    "chisq_lang_source",
-    # sufficient-statistics family: series_correlation_events stays
-    # in-window; chi-square arithmetic pinned in pytest; driver-green r6
-    "hopping_window_events",
-    # windowed-agg family: daily_gapfill_locf + range_join_view_purchase
-    # stay in-window on the same time-bucket machinery; driver-green r6.
-    # Swapped for similarity_topk_bruteforce, whose scan gained the
-    # _min_parallel split-count floor this round.
+    # --- rotated OUT in r8 (VERDICT r7 next-round #4): the five mid-r7
+    # --- demoted entries (returned_item_customers, cohort_retention,
+    # --- embedding_quantize, chisq_lang_source, hopping_window_events)
+    # --- rotate back INTO the window for a fresh driver re-sign, and the
+    # --- NEW prepare_training_corpus_lsh takes a window slot per the
+    # --- new-ops rule.  The six below — all driver-verified green in
+    # --- CORRECTNESS_r07.json — take their tail slots.
+    "dedup_jaccard_pairs",
+    # exact-Jaccard family: dedup_jaccard_prefix stays in-window with the
+    # IDENTICAL oracle (prefix ≡ all-pairs property-tested in
+    # tests/test_phase2.py), and the prefix path now runs inside the
+    # in-window prepare_training_corpus composite; driver-green r7
+    "dedup_keep_canonical",
+    # canonical-survivor selection runs inside BOTH in-window composites
+    # (prepare_training_corpus, prepare_training_corpus_lsh);
+    # driver-green r7
+    "dedup_clusters",
+    # connected-components family: dedup_minhash_cv_clusters stays
+    # in-window and both composites run the same pointer-jumping CC;
+    # driver-green r7
+    "dedup_minhash_star_clusters",
+    # star-capped LSH family: dedup_minhash_cv_clusters (in-window) runs
+    # the same star-cap banding PLUS the cluster-then-verify repair;
+    # dedup_minhash_lsh keeps the base banded path in-window;
+    # driver-green r7
+    "skew_salted_agg",
+    # skew family: key_skew_report stays in-window; salted ≡ plain pinned
+    # in tests/test_skew.py; driver-green r7
+    "lm_cross_entropy",
+    # LM-scoring family: token_entropy stays in-window and the quantized
+    # micro-log2 bridge runs inside the in-window
+    # prepare_training_corpus_v2 (DSIR/CE machinery); driver-green r7
     # --- rotated OUT in r7 (start of round).
     "daily_revenue_ma7",
     # time-bucketed-agg family: daily_gapfill_locf stays in-window on

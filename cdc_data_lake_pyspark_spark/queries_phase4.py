@@ -17,6 +17,7 @@ from cdc_data_lake_pyspark_spark.operators.clusters import (
 )
 from cdc_data_lake_pyspark_spark.operators.dedup_text import (
     jaccard_similar_pairs,
+    jaccard_similar_pairs_prefix,
     minhash_near_duplicates,
 )
 from cdc_data_lake_pyspark_spark.operators.packing import pack_documents
@@ -713,9 +714,7 @@ def incremental_novel_docs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "prepare_training_corpus",
-    oracle=f"""
+_PREPARE_CORPUS_ORACLE = f"""
     WITH RECURSIVE scored AS (
       SELECT doc_id, lang, text,
              0.5 * least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 64.0, 1.0)
@@ -784,17 +783,18 @@ def incremental_novel_docs(spark, sf_dir):
                 ELSE 'test' END AS split
     FROM canon
     WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-    """,
-)
-def prepare_training_corpus(spark, sf_dir):
-    """The whole prepare-training-data pipeline, composed from the
-    engine's operators: quality+language gate (map-only) → exact-dedup
-    keeper selection (one fingerprint groupBy) → near-dup clustering at
-    Jaccard ≥ 0.8 with canonical-member survival (connected components)
-    → 8-shingle benchmark decontamination (anti-join) → deterministic
-    80/10/10 split (portable hash, map-only).  One engine, one lazily-
-    planned DAG, every stage individually oracle-checked elsewhere — this
-    query checks their COMPOSITION."""
+    """
+
+
+def _prepare_training_corpus(spark, sf_dir, near_dup_pairs):
+    """Shared body of the flagship composite: quality+language gate
+    (map-only) → exact-dedup keeper selection (one fingerprint groupBy)
+    → near-dup clustering at Jaccard ≥ 0.8 with canonical-member
+    survival (connected components) → 8-shingle benchmark
+    decontamination (anti-join) → deterministic 80/10/10 split (portable
+    hash, map-only).  ``near_dup_pairs(base) -> (a_id, b_id, ...)``
+    selects the near-dup discovery strategy; every strategy offered is
+    result-identical on this corpus, so all variants share one oracle."""
     from cdc_data_lake_pyspark_spark.functions.text import (
         language_scores,
         quality_score,
@@ -822,7 +822,7 @@ def prepare_training_corpus(spark, sf_dir):
         F.broadcast(keepers), kept["doc_id"] == keepers["keeper_id"]
     ).select("doc_id", "lang", "text")
 
-    near_pairs = jaccard_similar_pairs(base, threshold=0.8).select("a_id", "b_id")
+    near_pairs = near_dup_pairs(base).select("a_id", "b_id")
     canon = dedup_keep_canonical(base, near_pairs)
 
     bench = docs.filter(F.col("doc_id") % 20 == 0)
@@ -838,6 +838,41 @@ def prepare_training_corpus(spark, sf_dir):
     )
     clean = canon.join(contaminated, "doc_id", "left_anti")
     return hash_split(clean, id_col="doc_id").select("doc_id", "lang", "split")
+
+
+@query("prepare_training_corpus", oracle=_PREPARE_CORPUS_ORACLE)
+def prepare_training_corpus(spark, sf_dir):
+    """The whole prepare-training-data pipeline in one lazily-planned
+    DAG (see :func:`_prepare_training_corpus`).  The near-dup stage is
+    the SSJoin/AllPairs prefix-filtered exact join — result-identical to
+    the plain shingle self-join (tests/test_phase2.py::
+    test_prefix_filtering_is_exact) but with candidates pruned to docs
+    sharing a RARE-prefix shingle, so a 100 TB corpus where a stop
+    shingle like "the end of" appears in every document cannot make the
+    composite's near-dup stage quadratic."""
+    return _prepare_training_corpus(
+        spark,
+        sf_dir,
+        lambda base: jaccard_similar_pairs_prefix(base, threshold=0.8),
+    )
+
+
+@query("prepare_training_corpus_lsh", oracle=_PREPARE_CORPUS_ORACLE)
+def prepare_training_corpus_lsh(spark, sf_dir):
+    """LSH-mode flagship composite: identical pipeline, but the near-dup
+    stage is MinHash → banded LSH (star-capped hot buckets, the default)
+    → exact Jaccard verification of candidates only.  Oracle-shared with
+    the exact variant because verification gives precision 1 and the
+    seeded 64-hash/16×4 banding has recall 1 on this corpus (P[miss] <
+    1e-7 per planted pair; equality asserted in tests/test_phase2.py::
+    test_minhash_lsh_matches_exact_jaccard).  This is the variant to run
+    when even the rare-prefix candidate space is too wide — cost scales
+    with LSH bucket collisions, never with shingle document frequency."""
+    return _prepare_training_corpus(
+        spark,
+        sf_dir,
+        lambda base: minhash_near_duplicates(base, threshold=0.8),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -49,7 +49,14 @@ CELLS_SCHEMA = T.StructType(
         T.StructField("hash_row", T.IntegerType(), False),
         T.StructField("bucket", T.LongType(), False),
         T.StructField("n", T.LongType(), False),
-        T.StructField("batch_id", T.LongType(), False),
+        # batch_id MUST stay nullable: pre-migration cells files carry no
+        # batch_id column and read back NULL, and cells() substitutes a
+        # per-file surrogate via coalesce().  Declared non-nullable,
+        # Catalyst is entitled to prune the coalesce (NullPropagation on a
+        # non-nullable child) and the legacy-migration path would silently
+        # disappear; today the file source forces user schemas nullable,
+        # but that is a version-dependent accident, not a contract.
+        T.StructField("batch_id", T.LongType(), True),
     ]
 )
 

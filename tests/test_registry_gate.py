@@ -4,13 +4,13 @@ rotation policy holds (queries.py `_DEMOTED` rationale): new/changed
 operators sit inside the window, and previously demoted entries rotate
 back in so the driver re-verifies them round over round.
 
-Round-7 window: the r6-demoted entries whose shared code changed in
-r6/r7 rotated back in (dedup_minhash_lsh after the star-cap default;
-similarity_ivf_pq / similarity_ivf after the LUT/auto-sizing commits —
-ADVICE r6 medium), plus nine more r6-demoted re-signs and the NEW
-dedup_minhash_cv_clusters; 13 entries driver-verified green in
-CORRECTNESS_r06.json rotated out, each with a family sibling left
-in-window (rationales in queries._DEMOTED)."""
+Round-8 window (VERDICT r7 next-round #4): the five mid-r7-demoted
+entries rotate back in for a fresh driver re-sign
+(returned_item_customers, cohort_retention, embedding_quantize,
+chisq_lang_source, hopping_window_events) and the NEW
+prepare_training_corpus_lsh enters per the new-ops rule; six entries
+driver-verified green in CORRECTNESS_r07.json rotated out, each with a
+family sibling left in-window (rationales in queries._DEMOTED)."""
 
 from cdc_data_lake_pyspark_spark import queries as q
 
@@ -25,8 +25,7 @@ REQUIRED_VISIBLE = [
     # dedup family — incl. the r7 rotate-backs on the changed minhash path
     "dedup_latest_per_key",
     "dedup_minhash_lsh",
-    "dedup_minhash_star_clusters",
-    "dedup_minhash_cv_clusters",  # NEW r7: cluster-then-verify
+    "dedup_minhash_cv_clusters",  # star-cap banding + repair (star sibling demoted r8)
     "dedup_embedding_cosine_lsh",
     "dedup_semantic_clusters",
     "dedup_exact_normalized",
@@ -37,17 +36,17 @@ REQUIRED_VISIBLE = [
     "similarity_pq_adc",
     "embedding_pq_codes",
     "similarity_topk_bruteforce",  # mid-r7 _min_parallel change
-    # dedup exact-verify family (mid-r7 hashed-shingle verify rewrite)
-    "dedup_jaccard_pairs",
+    # dedup exact-verify family (dedup_jaccard_pairs demoted r8 — the
+    # prefix sibling shares the IDENTICAL oracle; CC + canonical keeper
+    # run inside the two in-window composites)
     "dedup_jaccard_prefix",
-    "dedup_clusters",
-    "dedup_keep_canonical",
     # composites
     "prepare_training_corpus",
+    "prepare_training_corpus_lsh",  # NEW r8: LSH-mode flagship composite
     "prepare_training_corpus_v2",
     "prepare_web_corpus",
-    # LM / text scoring
-    "lm_cross_entropy",
+    # LM / text scoring (lm_cross_entropy demoted r8: token_entropy +
+    # the v2 composite's CE/DSIR machinery stay in-window)
     "token_entropy",
     "bpe_learned_tokenize",
     "bm25_search",
@@ -69,7 +68,6 @@ REQUIRED_VISIBLE = [
     "entity_resolution_customers",
     "outlier_mad_events",
     "key_skew_report",
-    "skew_salted_agg",
     # graph
     "pagerank_parts",
     "bfs_part_distances",
@@ -84,29 +82,26 @@ REQUIRED_VISIBLE = [
     # streaming gates
     "novelty_gate_batch",
     "semantic_gate_batch",
+    # r8 rotate-backs (mid-r7 demoted, fresh driver re-sign this round)
+    "returned_item_customers",
+    "cohort_retention",
+    "embedding_quantize",
+    "chisq_lang_source",
+    "hopping_window_events",
 ]
 
 # Operators added or materially changed this round: the rotation policy
 # requires them INSIDE the gated window (ADVICE r4).
 CHANGED_THIS_ROUND = [
-    "dedup_minhash_cv_clusters",  # NEW r7: cluster-then-verify clustering
-    "dedup_minhash_lsh",  # r7: star_bucket_cap now defaults on
-    "dedup_minhash_star_clusters",  # r7: shares the re-defaulted minhash path
-    "similarity_ivf_pq",  # r6 LUT/auto-sizing commits (ADVICE r6 medium)
-    "similarity_ivf",  # r6 probed-cell LUT change + r7 cell repartition
-    "similarity_pq_adc",  # r6 slot-indexed ADC path
-    "bm25_search",  # r7: ranked_topk rank derivation rewritten
-    "key_skew_report",  # r7: same ranked_topk rewrite
-    "prepare_training_corpus_v2",  # r7: approx decile gate is the default
-    # mid-r7: hashed-shingle verify rewrite (_verify_candidate_pairs +
-    # the jaccard self-join hash key) — everything downstream of it
-    "dedup_jaccard_pairs",
-    "dedup_jaccard_prefix",
-    "dedup_clusters",
-    "dedup_keep_canonical",
+    "prepare_training_corpus_lsh",  # NEW r8: LSH-mode flagship composite
+    # r8: near-dup stage switched to the prefix-filtered exact join
+    # (VERDICT r7 #2); the prefix operator itself sits in-window too
     "prepare_training_corpus",
-    # mid-r7: _min_parallel split-count floor on the linear-scan ANN ops
-    "similarity_topk_bruteforce",
+    "dedup_jaccard_prefix",
+    # r8: shape-invariant _lut_block on both the oracle-LUT and the
+    # executor micro-LUT paths (ADVICE r7)
+    "similarity_ivf_pq",
+    "similarity_pq_adc",
 ]
 
 
