@@ -57,6 +57,20 @@ LOCAL_RESULTS = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
 )
 
+#: Spark WARN lines the harness (and anyone reading its stderr) should
+#: treat as expected, with the reason each is bounded (VERDICT r7 #8).
+#: These are NOT scale hazards: each names the query/operator whose
+#: docstring documents the bound.
+KNOWN_BENIGN_WARNINGS = {
+    "WindowExec: No Partition Defined for Window operation": (
+        "ewma_daily_revenue / daily_revenue_ma7 / ranked_topk-backed "
+        "queries: the unpartitioned window runs AFTER a day-keyed "
+        "aggregate or a TakeOrderedAndProject limit, so the single "
+        "partition holds ~#distinct-days (or k) rows, never the input "
+        "table — see the ewma_daily_revenue and ranked_topk docstrings"
+    ),
+}
+
 
 def materialize(df) -> None:
     """Force full execution JVM-side (noop sink: no driver collect)."""

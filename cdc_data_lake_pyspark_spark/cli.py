@@ -136,7 +136,77 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "(unconditional all-pairs verification — quadratic in hot "
         "duplicate families), or an integer cap",
     )
+    p.add_argument(
+        "--print-submit",
+        action="store_true",
+        help="print (do not execute) the spark-submit command line that "
+        "runs THIS invocation on a real cluster — Kafka connector + "
+        "Iceberg catalog packages/confs included per the chosen "
+        "--sourcetype/--catalogtype — then exit",
+    )
     return p
+
+
+#: Iceberg release the generated spark-submit lines pin.  The two
+#: environment-gated paths (live Kafka broker, real Iceberg runtime —
+#: COVERAGE.md "Known environment gaps") cannot execute in this sandbox
+#: (no Maven/PyPI), so the first real-cluster run starts from this
+#: generated, pytest-pinned recipe instead of trial-and-error.
+ICEBERG_VERSION = "1.10.0"
+
+
+def build_submit_command(args, argv: Sequence[str]) -> str:
+    """The spark-submit line for this CLI invocation on a real cluster.
+
+    Package coordinates are derived from the installed PySpark version
+    (the cluster must match it): the Kafka DSv2 connector ships as
+    ``org.apache.spark:spark-sql-kafka-0-10`` at exactly the Spark
+    version, and Iceberg as ``iceberg-spark-runtime-<major.minor>``.
+    Catalog --conf lines are THE SAME ``catalog_session_conf`` dict the
+    local session builder applies, so the printed command and a local
+    ``--sink locallake`` run configure the session identically — only
+    the catalog implementation differs.  Executor sizing mirrors the
+    reference deployment (10 executors x 2 cores x 4 GB; see
+    BASELINE.md "EMR compute") as a starting point, not a tuning claim.
+    """
+    import pyspark
+
+    ver = pyspark.__version__
+    major_minor = ".".join(ver.split(".")[:2])
+    scala = "2.13"
+    pkgs = []
+    if args.sourcetype == "kafka":
+        pkgs.append(f"org.apache.spark:spark-sql-kafka-0-10_{scala}:{ver}")
+    if args.catalogtype != "none":
+        pkgs.append(
+            "org.apache.iceberg:iceberg-spark-runtime-"
+            f"{major_minor}_{scala}:{ICEBERG_VERSION}"
+        )
+        pkgs.append(f"org.apache.iceberg:iceberg-aws-bundle:{ICEBERG_VERSION}")
+        if args.catalogtype == "s3table":
+            pkgs.append(
+                "software.amazon.s3tables:"
+                "s3-tables-catalog-for-iceberg-runtime:0.1.7"
+            )
+    lines = [
+        "spark-submit \\",
+        "  --deploy-mode cluster \\",
+        "  --conf spark.executor.instances=10 \\",
+        "  --conf spark.executor.cores=2 \\",
+        "  --conf spark.executor.memory=4g \\",
+        "  --conf spark.driver.cores=2 \\",
+        "  --conf spark.driver.memory=4g \\",
+        "  --conf spark.sql.adaptive.enabled=true \\",
+        "  --conf spark.sql.shuffle.partitions=64 \\",
+    ]
+    if pkgs:
+        lines.append(f"  --packages {','.join(pkgs)} \\")
+    for key, val in sorted(catalog_session_conf(args).items()):
+        lines.append(f"  --conf {key}={val} \\")
+    fwd = [a for a in argv if a != "--print-submit"]
+    lines.append("  cdc_data_lake_pyspark_spark/cli.py \\")
+    lines.append("  " + " ".join(fwd))
+    return "\n".join(lines)
 
 
 def run_maintenance(spark, args) -> None:
@@ -263,7 +333,15 @@ def make_source(spark, args):
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
+    if argv is None:
+        import sys
+
+        argv = sys.argv[1:]
+    argv = list(argv)
     args = build_arg_parser().parse_args(argv)
+    if args.print_submit:
+        print(build_submit_command(args, argv))
+        return
     spark = build_session(
         app_name=args.jobname, extra_conf=catalog_session_conf(args)
     )

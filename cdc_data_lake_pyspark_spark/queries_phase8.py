@@ -208,9 +208,16 @@ def ewma_daily_revenue(spark, sf_dir):
 
     Scale: the heavy step is the one day-keyed aggregate (map-side
     combined); the window runs over per-day rows, tiny by construction.
-    The alternative recursive EWMA cannot be windowed at all without a
-    sequential scan — the bounded kernel is the distributed encoding
-    (the tail truncation error, (1/2)^8, is below the cents quantum)."""
+    Spark logs ``WindowExec: No Partition Defined`` here — expected and
+    BOUNDED, not a scale hazard: the unpartitioned ``ORDER BY day`` lag
+    window executes over the aggregated per-day series, whose row count
+    is the number of distinct days (~365/year of data), never the orders
+    table (same bounded-single-partition pattern as
+    :func:`~cdc_data_lake_pyspark_spark.operators.relational.ranked_topk`;
+    whitelisted in ``bench.py::KNOWN_BENIGN_WARNINGS``).  The alternative
+    recursive EWMA cannot be windowed at all without a sequential scan —
+    the bounded kernel is the distributed encoding (the tail truncation
+    error, (1/2)^8, is below the cents quantum)."""
     orders = _t(spark, sf_dir, "orders")
     daily = (
         orders.groupBy(
