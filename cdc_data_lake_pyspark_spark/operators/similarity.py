@@ -842,6 +842,7 @@ def ivf_pq_top_k(
     query_id_col: str = "query_id",
     exclude_self: bool = False,
     max_fit_rows: int = 200_000,
+    prefit: Optional[tuple] = None,
 ) -> DataFrame:
     """IVF-PQ ANN (Jégou et al. 2011 §V; the FAISS ``IndexIVFPQ``
     layout): coarse-quantize the corpus into cells, PQ-encode each
@@ -905,16 +906,23 @@ def ivf_pq_top_k(
         if n_codes is None:
             n_codes = auto_pq_codes(n_vec)
 
-    centers, books = fit_ivf_pq(
-        vectors,
-        n_clusters=n_clusters,
-        m_sub=m_sub,
-        k=n_codes,
-        seed=seed,
-        id_col=id_col,
-        vec_col=vec_col,
-        max_fit_rows=max_fit_rows,
-    )
+    # train-once / search-many (the FAISS index lifecycle): pass
+    # ``prefit=(centers, codebooks)`` from a prior fit_ivf_pq to serve
+    # repeated query batches without re-running the k-means fit —
+    # identical results to the inline fit for the same layout/seed.
+    if prefit is not None:
+        centers, books = prefit
+    else:
+        centers, books = fit_ivf_pq(
+            vectors,
+            n_clusters=n_clusters,
+            m_sub=m_sub,
+            k=n_codes,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_fit_rows=max_fit_rows,
+        )
     ds = books.shape[2]
 
     q_pdf = queries.select(

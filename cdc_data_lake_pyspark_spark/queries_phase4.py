@@ -786,7 +786,7 @@ _PREPARE_CORPUS_ORACLE = f"""
     """
 
 
-def _prepare_training_corpus(spark, sf_dir, near_dup_pairs):
+def _prepare_training_corpus(spark, sf_dir, near_dup_pairs, docs=None):
     """Shared body of the flagship composite: quality+language gate
     (map-only) → exact-dedup keeper selection (one fingerprint groupBy)
     → near-dup clustering at Jaccard ≥ 0.8 with canonical-member
@@ -794,7 +794,10 @@ def _prepare_training_corpus(spark, sf_dir, near_dup_pairs):
     decontamination (anti-join) → deterministic 80/10/10 split (portable
     hash, map-only).  ``near_dup_pairs(base) -> (a_id, b_id, ...)``
     selects the near-dup discovery strategy; every strategy offered is
-    result-identical on this corpus, so all variants share one oracle."""
+    result-identical on this corpus, so all variants share one oracle.
+    ``docs`` overrides the corpus frame (must carry doc_id, lang, text)
+    — the scale harness feeds the 100x replicated corpus through the
+    IDENTICAL composition it oracles at sf0.01."""
     from cdc_data_lake_pyspark_spark.functions.text import (
         language_scores,
         quality_score,
@@ -802,7 +805,8 @@ def _prepare_training_corpus(spark, sf_dir, near_dup_pairs):
     from cdc_data_lake_pyspark_spark.operators.dedup_text import exact_dedup
     from cdc_data_lake_pyspark_spark.operators.relational import hash_split
 
-    docs = _t(spark, sf_dir, "documents")
+    if docs is None:
+        docs = _t(spark, sf_dir, "documents")
     scores = language_scores(F.col("text"))
     # the gated slice feeds THREE consumers (keeper election, the base
     # join, and through base the shingle pipelines) — stage it once so

@@ -294,3 +294,30 @@ def test_scale100_recall_artifact_floor():
         _pytest.skip("scale100 ivf_pq_recall not measured yet")
     assert row["n_queries"] >= 100
     assert row["recall_at_3"] >= 0.45, row
+
+
+def test_ivf_pq_prefit_matches_inline_fit(emb):
+    """r8: the train-once/search-many path (``prefit=``) returns the
+    IDENTICAL result set as the inline fit for the same layout/seed —
+    the contract that lets the 100x sweep (tools/sweep_ivf_pq.py) fit
+    once across every (n_probe, shortlist) grid point."""
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        fit_ivf_pq,
+        ivf_pq_top_k,
+    )
+    from pyspark.sql import functions as F
+
+    qs = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(k=3, n_clusters=16, n_probe=4, shortlist=50, exclude_self=True)
+    inline = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_pq_top_k(emb, qs, **kw).collect()
+    )
+    structures = fit_ivf_pq(emb, n_clusters=16, k=16)
+    pre = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_pq_top_k(emb, qs, prefit=structures, **kw).collect()
+    )
+    assert inline == pre and len(inline) > 0

@@ -1107,6 +1107,29 @@ def measure_scale100(
         queries = emb.filter(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
+        from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+            jaccard_similar_pairs_prefix as _jacc_prefix_fn,
+        )
+        from cdc_data_lake_pyspark_spark.queries_phase4 import (
+            _prepare_training_corpus,
+        )
+
+        def _jacc_prefix(base):
+            return _jacc_prefix_fn(base, threshold=0.8)
+
+        def _minhash_pairs(base):
+            return minhash_near_duplicates(base, threshold=0.8)
+
+        def _composite(frame, pair_fn):
+            return _prepare_training_corpus(
+                spark,
+                None,
+                pair_fn,
+                docs=frame.select(
+                    "doc_id", F.lit("xx").alias("lang"), "text"
+                ),
+            )
+
         # synthetic per-doc score for the decile-gate machinery contrast
         # (token count as double; both paths consume the identical frame)
         scores = docs.select(
@@ -1206,6 +1229,21 @@ def measure_scale100(
             ("substr_full", lambda: substring_window_dedup(docs_u, k=8)),
             ("decile_gate_exact", gate_exact),
             ("decile_gate_approx", gate_approx),
+            # VERDICT r7 #2: the flagship composite ITSELF at the doc
+            # axis — gate → exact dedup → near-dup clustering →
+            # decontamination → split, the same _prepare_training_corpus
+            # body the sf0.01 oracle checks, fed the salted corpus
+            # (hot-family pressure on the near-dup stage).  prefix =
+            # the new default (SSJoin rare-prefix exact join); lsh =
+            # the star-capped MinHash variant.
+            (
+                "corpus_prepare_prefix",
+                lambda: _composite(docs, _jacc_prefix),
+            ),
+            (
+                "corpus_prepare_lsh",
+                lambda: _composite(docs, _minhash_pairs),
+            ),
         ):
             if only_ops and op not in only_ops:
                 continue

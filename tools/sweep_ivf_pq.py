@@ -45,7 +45,9 @@ def main() -> None:
 
     from cdc_data_lake_pyspark_spark.operators.similarity import (
         auto_ivf_params,
+        auto_pq_codes,
         brute_force_top_k,
+        fit_ivf_pq,
         ivf_pq_top_k,
     )
     from cdc_data_lake_pyspark_spark.session import build_session
@@ -54,10 +56,18 @@ def main() -> None:
     emb = spark.read.parquet(args.emb).select("vec_id", "embedding")
     n_vec = emb.count()
     nlist, auto_probe = auto_ivf_params(n_vec)
+    n_codes = auto_pq_codes(n_vec)
     qs = emb.filter(F.col("vec_id") % 500 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     n_q = qs.count()
+
+    # train ONCE (the layout is identical across every grid point — only
+    # search-time parameters vary), search many via prefit
+    t0 = time.time()
+    prefit = fit_ivf_pq(emb, n_clusters=nlist, k=n_codes)
+    fit_once_sec = round(time.time() - t0, 2)
+    print(f"fit: nlist={nlist} n_codes={n_codes} {fit_once_sec}s", flush=True)
 
     t0 = time.time()
     exact = {
@@ -75,7 +85,9 @@ def main() -> None:
         "n_vectors": n_vec,
         "n_queries": n_q,
         "n_clusters": nlist,
+        "n_codes": n_codes,
         "auto_n_probe": auto_probe,
+        "fit_once_sec": fit_once_sec,
         "exact_sec": exact_sec,
         "points": [],
     }
@@ -92,15 +104,13 @@ def main() -> None:
                 n_probe=n_probe,
                 shortlist=shortlist,
                 exclude_self=True,
+                prefit=prefit,
             )
-            fit_sec = round(time.time() - t0, 2)
-            t0 = time.time()
             got = {(r.query_id, r.neighbor_id) for r in df.collect()}
             search_sec = round(time.time() - t0, 2)
             point = {
                 "n_probe": n_probe,
                 "shortlist": shortlist,
-                "fit_sec": fit_sec,
                 "search_sec": search_sec,
                 "recall_at_3": round(len(exact & got) / len(exact), 4),
             }
