@@ -888,8 +888,6 @@ def ivf_pq_top_k(
     corpora, the canonical FAISS 8-bit books once the bounded fit sample
     can train them — attacking the same ADC noise floor at the source
     (16x finer residual quantization at identical per-vector ADC cost)."""
-    from pyspark.sql.pandas.functions import pandas_udf
-
     if (
         n_clusters is None
         or n_probe is None
@@ -933,8 +931,6 @@ def ivf_pq_top_k(
     probe_cells = np.argsort(_sq_dists(Q, centers), axis=1, kind="stable")[
         :, :n_probe
     ]
-    qindex = {qid: i for i, qid in enumerate(qids.tolist())}
-
     id_type = vectors.schema[id_col].dataType.simpleString()
     qid_type = queries.schema[query_id_col].dataType.simpleString()
 
@@ -962,62 +958,61 @@ def ivf_pq_top_k(
         _encode, f"neighbor_id {id_type}, _cell int, _codes array<int>"
     )
 
-    probes = vectors.sparkSession.createDataFrame(
-        [
-            (qid, int(cell))
-            for qid, cells in zip(qids.tolist(), probe_cells)
-            for cell in cells
-        ],
-        f"query_id {qid_type}, _cell int",
+    # CELL-AT-A-TIME ADC (the FAISS inverted-list scan shape): group the
+    # encoded corpus by cell — ONE shuffle, whole cells per group — and
+    # score each cell's code matrix against every query probing it with
+    # numpy gathers.  Replaces the r7 probe-join + per-candidate-row UDF:
+    # that path replicated every corpus row per probing query through an
+    # Arrow boundary (Q·n_probe·cell rows, each carrying its m_sub-code
+    # ARRAY — object-array conversion dominated the 100x wall) and paid
+    # a python dict lookup per candidate.  Here each corpus row crosses
+    # Arrow ONCE (inside its cell group), the candidate fan-out exists
+    # only as a numpy (queries × cell) integer matrix, and the emitted
+    # rows are flat int/id columns.  The task closure ships queries +
+    # centers + codebooks + the cell→queries map (~MBs).  ADC values are
+    # bit-identical to the oracle's pinned LUT: same per-(query, cell)
+    # _lut_block rows (shape-invariant — see its docstring), same exact
+    # integer sums.
+    cell_to_q: dict[int, np.ndarray] = {}
+    for slot in range(probe_cells.shape[1]):
+        for qi, cell in enumerate(probe_cells[:, slot]):
+            cell_to_q.setdefault(int(cell), []).append(qi)
+    cell_to_q = {c: np.asarray(v, dtype=np.int64) for c, v in cell_to_q.items()}
+
+    out_schema = (
+        f"query_id {qid_type}, neighbor_id {id_type}, _adist long"
     )
 
-    @pandas_udf("long")
-    def _adist(qid: pd.Series, cell: pd.Series, codes: pd.Series) -> pd.Series:
-        # EXECUTOR-SIDE LUT: the closure ships only queries + centers +
-        # codebooks (~MBs); each Arrow batch computes the micro-LUT rows
-        # for ITS distinct (query, cell) pairs and gathers from them.
-        # The driver-built alternative — the full per-(query, probe) LUT
-        # in the closure — is Q·n_probe·m_sub·n_codes entries, gigabytes
-        # at serving query counts with 8-bit books.  Values come from
-        # the identical numpy expression :func:`ivf_pq_query_lut` pins
-        # as oracle literals (rint of 1e6x the float64 residual sq-dist),
-        # so ADC sums stay exact integer and bit-identical.
-        qi = qid.map(qindex).to_numpy()
-        cells = cell.to_numpy()
-        pair_key = qi.astype(np.int64) * len(centers) + cells
-        uniq, inv = np.unique(pair_key, return_inverse=True)
-        u_qi = (uniq // len(centers)).astype(np.int64)
-        u_cell = (uniq % len(centers)).astype(np.int64)
-        QR = Q[u_qi] - centers[u_cell]
-        C = np.vstack(codes.to_numpy())
-        s = np.zeros(len(qi), dtype=np.int64)
+    def _score_cell(key, pdf):
+        qidx = cell_to_q.get(int(key[0]))
+        if qidx is None or not len(pdf):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "_adist": []}
+            )
+        cell = int(key[0])
+        nb = pdf["neighbor_id"].to_numpy()
+        C = np.vstack(pdf["_codes"].to_numpy())
+        QR = Q[qidx] - centers[cell]
+        D = np.zeros((len(qidx), len(nb)), dtype=np.int64)
         for j in range(m_sub):
             # _lut_block, NOT _sq_dists: the oracle LUT is built over a
             # different row subset, and only the shape-invariant
-            # expression guarantees the same (query, cell) row rounds to
-            # the same bits in both calls (see _lut_block's docstring).
+            # expression guarantees the same (query, cell) row rounds
+            # to the same bits in both calls (see _lut_block docstring).
             lut_j = _lut_block(QR[:, j * ds : (j + 1) * ds], books[j])
-            s += lut_j[inv, C[:, j]]
-        return pd.Series(s)
+            D += lut_j[:, C[:, j]]
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(qids[qidx], len(nb)),
+                "neighbor_id": np.tile(nb, len(qidx)),
+                "_adist": D.ravel(),
+            }
+        )
+        if exclude_self:
+            out = out[out["query_id"] != out["neighbor_id"]]
+        return out
 
-    # The IVF partition layout: shuffle the (tiny) encoded corpus ONCE on
-    # its cell key before the probe fan-out.  Without this the broadcast
-    # join inherits the SCAN's split count — a single-file corpus runs
-    # the whole ~(probes-per-cell)× candidate explosion in ONE task (the
-    # r7 100x re-measure caught exactly that: 31 of 32 cores idle).
-    # Rows are (id, cell, m_sub codes) ≈ tens of bytes, so the exchange
-    # is MBs even at 100x; cells are near-uniform so no skew.
-    encoded = encoded.repartition("_cell")
-    cand = encoded.join(F.broadcast(probes), "_cell")
-    if exclude_self:
-        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
-    cand = cand.select(
-        "query_id",
-        "neighbor_id",
-        _adist(F.col("query_id"), F.col("_cell"), F.col("_codes")).alias(
-            "_adist"
-        ),
-    )
+    cand = encoded.groupBy("_cell").applyInPandas(_score_cell, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("_adist").asc(), F.col("neighbor_id").asc()
     )
