@@ -857,32 +857,38 @@ def ivf_pq_top_k(
     exact op; recall governed by ``n_probe`` and ``shortlist``.
 
     Scale shape: one corpus pass assigns cells and encodes residual
-    codes (Arrow matmuls, map-only); candidates come from a broadcast
-    join on the cell id, so the corpus shuffles ONCE on its cell key —
-    the IVF partition layout — and only ``(query, id, adist)`` integer
-    rows reach the shortlist window.  The task closure ships only the
-    query matrix, centers, and codebooks (MBs); each Arrow batch
-    computes the micro-LUT rows for its own distinct (query, cell)
-    pairs executor-side — the FAISS search-time shape — instead of the
-    driver materializing the full ``Q·n_probe·m_sub·n_codes`` table
-    (gigabytes at serving query counts with 8-bit books).  All ADC
-    distances are exact integer sums of micro-quantized LUT entries —
-    the same numpy expression :func:`ivf_pq_query_lut` evaluates — so
-    the oracle replays ranking bit-for-bit from pinned centroids,
-    codebooks, probes, and LUT (oracle ``similarity_ivf_pq``).
+    codes (Arrow matmuls, map-only); the encoded corpus then shuffles
+    ONCE on its cell key — the IVF partition layout — into a
+    cell-at-a-time ``applyInPandas`` scorer (the FAISS inverted-list
+    scan): each cell's code matrix is ADC-scored against every query
+    probing it with numpy gathers, so a corpus row crosses the Arrow
+    boundary once (never once per probing query) and only flat
+    ``(query, id, adist)`` integer rows reach the shortlist window.
+    The task closure ships only the query matrix, centers, codebooks,
+    and the cell→queries map (MBs); micro-LUT rows are computed
+    executor-side per (cell, probing queries) instead of the driver
+    materializing the full ``Q·n_probe·m_sub·n_codes`` table (gigabytes
+    at serving query counts with 8-bit books).  All ADC distances are
+    exact integer sums of micro-quantized LUT entries — the same numpy
+    expression :func:`ivf_pq_query_lut` evaluates — so the oracle
+    replays ranking bit-for-bit from pinned centroids, codebooks,
+    probes, and LUT (oracle ``similarity_ivf_pq``).
 
     ``n_clusters``/``n_probe`` default to :func:`auto_ivf_params` of the
     corpus count — nlist ~ 4·sqrt(N) keeps per-query candidate work
     SUBLINEAR in the corpus; pass explicit values to pin a layout (the
     oracle-checked registry entry pins the 16/4 default shape).
 
-    ``shortlist`` defaults to ``max(50, 2·⌊√N⌋)`` — the r7 100x sweep
-    (SCALE.md §10) showed the recall ceiling at scale is NOT probe
-    coverage (n_probe 42→336 moved recall@3 only 0.31→0.34) but the
-    4-bit ADC noise floor crowding true neighbors out of a fixed-50
-    shortlist (50→800 moved recall 0.31→0.53 at +4% wall) — so the
-    re-rank budget must grow with the corpus like the cell layout does.
-    The exact re-rank gather stays ``Q·shortlist`` rows, sublinear in N.
+    ``shortlist`` defaults to ``max(50, 2·⌊√N⌋)``.  History: under the
+    r7-era 4-bit books the recall ceiling was the ADC noise floor
+    crowding true neighbors out of a fixed-50 shortlist (50→800 moved
+    recall@3 0.31→0.53), which set this growing default; the r8 8-bit
+    knee grid (SCALE.md §10, SWEEP_IVF_PQ.json) shows the regime
+    inverted — recall is now probe-coverage-bound and shortlist 400→894
+    buys only +0.015 — but the 2·√N budget stays because the
+    cell-at-a-time scorer makes its marginal cost ~nil (+1 s at 100x)
+    and it keeps headroom on noisier corpora.  The exact re-rank gather
+    stays ``Q·shortlist`` rows, sublinear in N.
 
     ``n_codes`` defaults to :func:`auto_pq_codes`: 4-bit books on small
     corpora, the canonical FAISS 8-bit books once the bounded fit sample

@@ -270,13 +270,15 @@ def test_auto_ivf_pq_recall_not_worse_than_frozen_layout(spark):
 
 
 def test_scale100_recall_artifact_floor():
-    """VERDICT r6 #6: the 100x recall measurement (auto IVF-PQ layout vs
-    exact brute force, 400 sampled queries on the sign-flip-decorrelated
-    200k-vector corpus) is recorded in SCALE_MEASURED.json; pin a floor
-    so a future layout/LUT change that silently craters at-scale recall
-    trips this test when the artifact is re-measured.  The sweep in
-    SCALE.md §10 shows the ceiling on this adversarial corpus is the
-    4-bit PQ code resolution, not probe coverage."""
+    """VERDICT r6 #6 / r7 #1: the 100x recall measurement (auto IVF-PQ
+    layout vs exact brute force, 400 sampled queries on the
+    sign-flip-decorrelated 200k-vector corpus) is recorded in
+    SCALE_MEASURED.json; pin a floor so a future layout/LUT change that
+    silently craters at-scale recall trips this test when the artifact
+    is re-measured.  The r8 8-bit-book knee grid (SCALE.md §10,
+    SWEEP_IVF_PQ.json) measured recall@3 = 0.8017 at the auto layout —
+    probe-coverage-bound, not code-resolution-bound — so the floor is
+    the measured value − 0.05."""
     import json
     import os
 
@@ -293,7 +295,8 @@ def test_scale100_recall_artifact_floor():
     if not row:
         _pytest.skip("scale100 ivf_pq_recall not measured yet")
     assert row["n_queries"] >= 100
-    assert row["recall_at_3"] >= 0.45, row
+    assert row["recall_at_3"] >= 0.75, row
+    assert row["ann_sec"] < row["sec"]  # exact/ann split recorded (r7 #5)
 
 
 def test_ivf_pq_prefit_matches_inline_fit(emb):
