@@ -261,18 +261,43 @@ def fit_kmeans(X: np.ndarray, k: int, seed: int = 42, n_iter: int = 20) -> np.nd
     assignment distance matrix is computed in bounded row chunks, so
     auto-sized cell counts (k ~ 4·sqrt(N)) stay cheap at the 200k-row
     fit bound instead of the O(k·N) per-iteration python loop the naive
-    form costs."""
+    form costs.
+
+    Assignment scores in FLOAT32 via one contiguous-operand sgemm per
+    chunk, ranking ``x·c − ||c||²/2`` (argmax ≡ squared-distance argmin,
+    first-index ties preserved): the f64 expanded form was
+    output-bandwidth-bound at ~11 GFLOPS on the tall-skinny (N, 64) ×
+    (64, k) shape — and numpy's ``X @ C.T`` with a TRANSPOSED-VIEW
+    operand falls off the fast sgemm path entirely (measured 14x: 4.5 s
+    vs 0.31 s for the same multiply with ``ascontiguousarray(C.T)``).
+    f32 scoring can flip a near-tie assignment vs f64 (measured 1 in
+    200k rows); the update step stays float64, and the oracle-parity
+    margin tests (tests/test_pq.py) pin that final-centroid assignment
+    margins sit far above both round-offs."""
     rng = np.random.RandomState(seed)
     C = X[np.sort(rng.choice(len(X), size=min(k, len(X)), replace=False))].copy()
     if len(C) < k:  # degenerate corpus: pad by repeating rows
         C = np.vstack([C, X[: k - len(C)]])
-    # chunk so the (rows × k) distance block stays ~128 MB of doubles
-    chunk = max(1, min(len(X), int(16_000_000 / max(1, k))))
+    # augment with a constant-1 coordinate so the −||c||²/2 bias rides
+    # inside the sgemm (a broadcast subtract over the (rows, k) score
+    # block costs ~2x the gemm itself — it re-reads and re-writes the
+    # whole block)
+    X32 = np.ascontiguousarray(
+        np.concatenate([X, np.ones((len(X), 1))], axis=1), dtype=np.float32
+    )
+    # chunk so the (rows × k) f32 score block stays ~256 MB
+    chunk = max(1, min(len(X), int(64_000_000 / max(1, k))))
     assign = np.empty(len(X), dtype=np.int64)
     for _ in range(n_iter):
+        C32 = np.asarray(C, dtype=np.float32)
+        C32t = np.ascontiguousarray(
+            np.concatenate(
+                [C32, -0.5 * (C32 * C32).sum(axis=1)[:, None]], axis=1
+            ).T
+        )
         for lo in range(0, len(X), chunk):
             hi = lo + chunk
-            assign[lo:hi] = _sq_dists(X[lo:hi], C).argmin(axis=1)
+            assign[lo:hi] = (X32[lo:hi] @ C32t).argmax(axis=1)
         sums = np.zeros_like(C)
         np.add.at(sums, assign, X)
         counts = np.bincount(assign, minlength=k).astype(np.float64)
@@ -448,7 +473,11 @@ def _exact_rescored_pairs(A_ids, A, B_ids, B, threshold):
     seq_sum = lambda X: np.cumsum(X, axis=1)[:, -1]
     a_norms = np.sqrt(seq_sum(A * A))
     b_norms = np.sqrt(seq_sum(B * B))
-    approx = (A @ B.T) / np.outer(a_norms, b_norms)
+    # contiguous right operand: numpy's dgemm falls off the fast path on
+    # a transposed VIEW (measured 3.8x at 25k-row blocks); the last-bit
+    # change this makes to `approx` is absorbed by the 1e-6 prefilter
+    # margin — emitted scores come from the exact sequential rescore.
+    approx = (A @ np.ascontiguousarray(B.T)) / np.outer(a_norms, b_norms)
     cand_i, cand_j = np.nonzero(
         (approx >= threshold - 1e-6) & (A_ids[:, None] < B_ids[None, :])
     )
