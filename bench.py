@@ -57,10 +57,12 @@ LOCAL_RESULTS = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
 )
 
-#: Spark WARN lines the harness (and anyone reading its stderr) should
-#: treat as expected, with the reason each is bounded (VERDICT r7 #8).
-#: These are NOT scale hazards: each names the query/operator whose
-#: docstring documents the bound.
+#: Spark WARN lines the harness treats as expected, with the reason each
+#: is bounded (VERDICT r7 #8).  ENFORCED (ADVICE r8): the harness tees
+#: fd 2 (where log4j writes, invisible to Python-level redirection) into
+#: ``BENCH_stderr.log`` and, at the end of the run, counts WARN lines
+#: matching none of these keys — ``unknown_warn_count`` lands in the
+#: compact summary and the offending lines in ``BENCH_local.json``.
 KNOWN_BENIGN_WARNINGS = {
     "WindowExec: No Partition Defined for Window operation": (
         "ewma_daily_revenue / daily_revenue_ma7 / ranked_topk-backed "
@@ -69,7 +71,65 @@ KNOWN_BENIGN_WARNINGS = {
         "partition holds ~#distinct-days (or k) rows, never the input "
         "table — see the ewma_daily_revenue and ranked_topk docstrings"
     ),
+    "NativeCodeLoader: Unable to load native-hadoop library": (
+        "one-time session-startup notice: no libhadoop.so in the "
+        "container; Spark falls back to the pure-Java codecs"
+    ),
+    "Utils: Your hostname": (
+        "one-time session-startup notice: hostname does not resolve, "
+        "Spark binds the loopback interface — local-mode only"
+    ),
+    "GarbageCollectionMetrics": (
+        "one-time JVM metrics-source notice about unrecognized GC "
+        "generation names under Java 17's G1"
+    ),
 }
+
+STDERR_CAPTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_stderr.log"
+)
+
+
+def tee_stderr(path: str) -> None:
+    """Mirror fd 2 through a pipe into BOTH the original stderr and
+    ``path``.  The JVM's log4j appender writes straight to fd 2, so a
+    Python-level ``sys.stderr`` swap cannot see it — duplicating the fd
+    itself is the only hook that observes every WARN the run emits
+    while leaving the console output (progress bars included) intact."""
+    import threading
+
+    orig = os.dup(2)
+    r, w = os.pipe()
+    os.dup2(w, 2)
+    os.close(w)
+
+    def pump():
+        with open(path, "wb", buffering=0) as f:
+            while True:
+                chunk = os.read(r, 65536)
+                if not chunk:
+                    break
+                os.write(orig, chunk)
+                f.write(chunk)
+
+    threading.Thread(target=pump, daemon=True).start()
+
+
+def scan_warnings(path: str):
+    """(count, unique samples) of captured WARN lines matching NO
+    whitelist key — the enforcement half of KNOWN_BENIGN_WARNINGS."""
+    if not os.path.exists(path):
+        return 0, []
+    unknown = []
+    with open(path, "rb") as f:
+        for raw in f:
+            line = raw.decode("utf-8", "replace")
+            if " WARN " not in line:
+                continue
+            if any(key in line for key in KNOWN_BENIGN_WARNINGS):
+                continue
+            unknown.append(line.strip())
+    return len(unknown), sorted(set(unknown))[:10]
 
 
 def materialize(df) -> None:
@@ -106,6 +166,7 @@ def flush_partial(state: dict) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    tee_stderr(STDERR_CAPTURE)
     spark = build_session(app_name="cdc-engine-bench")
     spark.sparkContext.setLogLevel("ERROR")  # keep the output tail clean
 
@@ -191,6 +252,9 @@ def main() -> None:
         if dataprep_docs and timings.get("prepare_training_corpus")
         else None
     )
+    unknown_warn_count, unknown_warn_lines = scan_warnings(STDERR_CAPTURE)
+    state["unknown_warn_count"] = unknown_warn_count
+    state["unknown_warn_lines"] = unknown_warn_lines
     state["done"] = True
     state["total"] = total
     state["flagship_events"] = flagship_events
@@ -221,6 +285,9 @@ def main() -> None:
         "flagship_events_per_sec": flagship_eps,
         "dataprep_docs": dataprep_docs,
         "dataprep_docs_per_sec": dataprep_dps,
+        # WARN lines matching no KNOWN_BENIGN_WARNINGS key (offending
+        # lines in BENCH_local.json -> unknown_warn_lines)
+        "unknown_warn_count": unknown_warn_count,
         "full_results": "BENCH_local.json",
     }
     sys.stdout.flush()

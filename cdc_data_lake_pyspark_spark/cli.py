@@ -147,12 +147,38 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
-#: Iceberg release the generated spark-submit lines pin.  The two
-#: environment-gated paths (live Kafka broker, real Iceberg runtime —
-#: COVERAGE.md "Known environment gaps") cannot execute in this sandbox
-#: (no Maven/PyPI), so the first real-cluster run starts from this
-#: generated, pytest-pinned recipe instead of trial-and-error.
+#: Spark lines for which an ``iceberg-spark-runtime`` artifact is
+#: actually published on Maven Central, mapped to (Scala binary version
+#: of the prebuilt Spark distribution for that line, newest Iceberg
+#: release shipping that runtime) — per the iceberg.apache.org
+#: multi-engine-support matrix.  NOT every PySpark version has a
+#: matching runtime (ADVICE r8): pattern-deriving the coordinate from
+#: ``pyspark.__version__`` alone yields nonexistent artifacts on new
+#: Spark lines (e.g. 4.1) and the wrong Scala suffix on 2.12-built
+#: Spark 3.x clusters, so the recipe is validated against this map and
+#: falls back — loudly, with a NOTE in the emitted text — to the newest
+#: supported line when the installed Spark has no published runtime.
+ICEBERG_RUNTIMES = {
+    "3.4": ("2.12", "1.8.1"),
+    "3.5": ("2.12", "1.10.0"),
+    "4.0": ("2.13", "1.10.0"),
+}
+
+#: newest Iceberg release the map knows about (kept for test pins / docs)
 ICEBERG_VERSION = "1.10.0"
+
+
+def iceberg_runtime_line(major_minor: str):
+    """``(spark_line, scala, iceberg_version, exact)`` for the newest
+    published Iceberg runtime usable from this Spark line.  ``exact`` is
+    False when the installed line has no published runtime and the
+    newest supported line is substituted (the caller annotates)."""
+    if major_minor in ICEBERG_RUNTIMES:
+        scala, ice = ICEBERG_RUNTIMES[major_minor]
+        return major_minor, scala, ice, True
+    newest = max(ICEBERG_RUNTIMES, key=lambda mm: tuple(map(int, mm.split("."))))
+    scala, ice = ICEBERG_RUNTIMES[newest]
+    return newest, scala, ice, False
 
 
 def build_submit_command(args, argv: Sequence[str]) -> str:
@@ -161,7 +187,10 @@ def build_submit_command(args, argv: Sequence[str]) -> str:
     Package coordinates are derived from the installed PySpark version
     (the cluster must match it): the Kafka DSv2 connector ships as
     ``org.apache.spark:spark-sql-kafka-0-10`` at exactly the Spark
-    version, and Iceberg as ``iceberg-spark-runtime-<major.minor>``.
+    version (Scala suffix per the prebuilt distribution's Scala), and
+    Iceberg via :data:`ICEBERG_RUNTIMES` — validated against the
+    published-artifact matrix rather than pattern-derived, with a NOTE
+    emitted when the installed Spark line has no published runtime.
     Catalog --conf lines are THE SAME ``catalog_session_conf`` dict the
     local session builder applies, so the printed command and a local
     ``--sink locallake`` run configure the session identically — only
@@ -173,22 +202,35 @@ def build_submit_command(args, argv: Sequence[str]) -> str:
 
     ver = pyspark.__version__
     major_minor = ".".join(ver.split(".")[:2])
-    scala = "2.13"
+    # Scala binary version of the prebuilt Spark distributions: 4.x ships
+    # 2.13 only; the stock 3.x downloads are 2.12 builds (ADVICE r8 — a
+    # hardcoded 2.13 named the wrong Kafka connector on 3.x clusters).
+    kafka_scala = "2.13" if int(ver.split(".")[0]) >= 4 else "2.12"
+    notes = []
     pkgs = []
     if args.sourcetype == "kafka":
-        pkgs.append(f"org.apache.spark:spark-sql-kafka-0-10_{scala}:{ver}")
+        pkgs.append(f"org.apache.spark:spark-sql-kafka-0-10_{kafka_scala}:{ver}")
     if args.catalogtype != "none":
+        ice_line, ice_scala, ice_ver, exact = iceberg_runtime_line(major_minor)
+        if not exact:
+            notes.append(
+                f"# NOTE: no iceberg-spark-runtime is published for Spark "
+                f"{major_minor}; the coordinate below is the newest "
+                f"supported line (Spark {ice_line}, Iceberg {ice_ver}) — "
+                f"run it on a Spark {ice_line} cluster, or build Iceberg "
+                f"from source for {major_minor}."
+            )
         pkgs.append(
             "org.apache.iceberg:iceberg-spark-runtime-"
-            f"{major_minor}_{scala}:{ICEBERG_VERSION}"
+            f"{ice_line}_{ice_scala}:{ice_ver}"
         )
-        pkgs.append(f"org.apache.iceberg:iceberg-aws-bundle:{ICEBERG_VERSION}")
+        pkgs.append(f"org.apache.iceberg:iceberg-aws-bundle:{ice_ver}")
         if args.catalogtype == "s3table":
             pkgs.append(
                 "software.amazon.s3tables:"
                 "s3-tables-catalog-for-iceberg-runtime:0.1.7"
             )
-    lines = [
+    lines = notes + [
         "spark-submit \\",
         "  --deploy-mode cluster \\",
         "  --conf spark.executor.instances=10 \\",

@@ -60,10 +60,15 @@ def connected_components(
     convergence (never silently returns partial clusters).
     """
     edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
+    # Initial labels already carry the FIRST propagation: label(v) =
+    # min(v, min(neighbors)) falls out of one aggregate over the edge
+    # list (the distinct-node init plus round 1's propagate collapsed
+    # into a single shuffle) — dense clique-ish duplicate clusters, the
+    # common near-dup shape, then converge on the immediately following
+    # verification round.
     labels = (
-        edges.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.min("src"), F.min("dst")).alias("label"))
         .localCheckpoint(eager=False)
     )
 
@@ -84,18 +89,23 @@ def connected_components(
         lookup = proposed.select(
             F.col("node").alias("_l"), F.col("label").alias("_ll")
         )
+        # The changed-flag join rides INSIDE the eagerly checkpointed
+        # frame, so the convergence count is a scan of the cached blocks
+        # instead of a second join job per iteration.
         jumped = (
             proposed.join(lookup, proposed["label"] == lookup["_l"], "left")
-            .select("node", F.coalesce("_ll", "label").alias("label"))
+            .join(
+                labels.select("node", F.col("label").alias("_old")), "node"
+            )
+            .select(
+                "node",
+                F.coalesce("_ll", "label").alias("label"),
+                (F.coalesce("_ll", "label") != F.col("_old")).alias("_chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("_chg")).count()
+        labels = jumped.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("cluster_id"))
     raise RuntimeError(

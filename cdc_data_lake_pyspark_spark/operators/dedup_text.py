@@ -72,6 +72,23 @@ def _exploded_shingles(
     return docs.select(F.col(id_col).alias("_id"), F.explode(sh).alias("_s"))
 
 
+def _exploded_hashes(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Staged ``(_id, _h)`` frame: ``xxhash64`` of each distinct
+    k-shingle, hashed MAP-SIDE inside the same projection as the explode
+    so the staged blocks store 8-byte longs instead of k-gram strings
+    (~6× smaller checkpoint, and every downstream shuffle/sort/window
+    keys on longs).  The string shingle never leaves the Generate.
+
+    Collision semantics are the ones the verify step already documents:
+    two distinct shingles colliding at 64 bits merge into one set
+    element (P ≈ V²/2⁶⁵ vocabulary-wide) — the exact-Jaccard caveat all
+    the hashed operators share."""
+    ex = _exploded_shingles(docs, id_col, text_col, k)
+    return _stage(ex.select("_id", F.xxhash64("_s").alias("_h")))
+
+
 def _stage(ex: DataFrame) -> DataFrame:
     """Stage the exploded-shingle working set with a LAZY local checkpoint:
     it materializes once on first use, every downstream consumer (counts,
@@ -139,17 +156,17 @@ def jaccard_similar_pairs(
     This is also the 100 TB shape: the corpus shuffles by shingle instead
     of broadcasting an exploded corpus copy to every executor.
     """
-    ex = _stage(_exploded_shingles(docs, id_col, text_col, k))
-    counts = _shingle_counts(ex)
     # self-join on the xxhash64 of the shingle, not the string: the
     # corpus-wide hashpartitioning exchange then carries 8-byte longs
     # instead of k-gram strings (~6× fewer bytes at k=3).  A vocabulary
     # collision (two distinct shingles, equal hash) could add 1 to one
     # pair's intersection — expected colliding shingle pairs V²/2⁶⁵
     # (~3e-4 at 100M distinct shingles), and a single +1 almost never
-    # crosses the threshold; the hash is projected BEFORE aliasing so
-    # both sides stay one ReuseExchange subplan.
-    exh = ex.select("_id", F.xxhash64("_s").alias("_h"))
+    # crosses the threshold.  r9: the hash is now computed INSIDE the
+    # staged frame (one shared checkpoint of longs), so both join sides
+    # and the counts frame read the same 8-byte blocks.
+    exh = _exploded_hashes(docs, id_col, text_col, k)
+    counts = _shingle_counts(exh)
     a = exh.alias("a").hint("shuffle_hash")
     b = exh.alias("b").hint("shuffle_hash")
     pairs = (
@@ -195,11 +212,22 @@ def contamination_report(
     exploded shingles broadcast, so the corpus never moves twice.  No
     thresholds on similarity: any shared long shingle is evidence.
     """
-    corpus_ex = _exploded_shingles(docs, id_col, text_col, k)
-    bench_ex = _exploded_shingles(benchmark, bench_id_col, bench_text_col, k)
+    # join on xxhash64 of the k-token shingle, hashed map-side under the
+    # Generate: the corpus-wide exchange carries 8-byte longs instead of
+    # ~8-token strings (k=8 shingles are the LONGEST strings any dedup
+    # operator ships).  A cross-vocabulary collision could add one
+    # phantom shared shingle to one (doc, bench) pair — V²/2⁶⁵, the same
+    # documented caveat as the hashed Jaccard intersection — and
+    # ``min_hits=1`` contamination needs a full-hash match, not a band.
+    corpus_ex = _exploded_shingles(docs, id_col, text_col, k).select(
+        "_id", F.xxhash64("_s").alias("_h")
+    )
+    bench_ex = _exploded_shingles(
+        benchmark, bench_id_col, bench_text_col, k
+    ).select("_id", F.xxhash64("_s").alias("_h"))
     return (
         corpus_ex.alias("c")
-        .join(bench_ex.alias("b"), F.col("c._s") == F.col("b._s"))
+        .join(bench_ex.alias("b"), F.col("c._h") == F.col("b._h"))
         .groupBy(
             F.col("c._id").alias(id_col), F.col("b._id").alias("bench_id")
         )
@@ -416,11 +444,28 @@ def _verify_candidate_pairs(
     cand_ids = (
         cand.select(F.explode(F.array("a_id", "b_id")).alias("_id")).distinct()
     )
+    # accept either the string frame (_id, _s) — minhash/simhash callers,
+    # whose signatures need the strings anyway — or the pre-hashed frame
+    # (_id, _h) the r9 plain path stages (longs, hashed map-side before
+    # the checkpoint; no re-hash here)
+    helem = F.col("_h") if "_h" in ex.columns else F.xxhash64("_s")
     sets = (
         ex.join(cand_ids, "_id", "left_semi")
         .groupBy("_id")
-        .agg(F.collect_list(F.xxhash64("_s")).alias("_hs"))
+        .agg(F.collect_list(helem).alias("_hs"))
     )
+    return _verify_pairs_with_sets(cand, sets, threshold)
+
+
+def _verify_pairs_with_sets(
+    cand: DataFrame, sets: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard filter of ``(a_id, b_id)`` candidates against
+    prebuilt per-doc hash-set arrays ``(_id, _hs)`` — the shared tail of
+    every candidates-then-verify operator.  Two 8-byte-element arrays
+    move per candidate, and ``size(array_intersect(...))`` computes the
+    intersection inside whole-stage codegen with no post-join
+    aggregation exchange; set sizes fall out of the same arrays."""
     a = sets.alias("a").hint("shuffle_hash")
     b = sets.alias("b").hint("shuffle_hash")
     return (
@@ -621,41 +666,68 @@ def minhash_near_dup_clusters_cv(
     )
 
 
-def jaccard_prefix_candidates(ex: DataFrame, threshold: float) -> DataFrame:
-    """SSJoin/AllPairs prefix filtering: EXACT candidate pruning for
-    Jaccard ≥ t (Chaudhuri et al. SSJoin; Bayardo et al. AllPairs).
+def _prefix_doc_arrays(ex: DataFrame) -> DataFrame:
+    """Per-doc canonically-ordered shingle-hash arrays ``(_id, _hs)`` —
+    the shared intermediate of the SSJoin/AllPairs prefix filter
+    (Chaudhuri et al. SSJoin; Bayardo et al. AllPairs): each doc's
+    hashes sorted by (global document frequency asc, hash asc), so a
+    slice of the first ``n − ⌈t·n⌉ + 1`` IS the rare-shingle prefix and
+    the whole array IS the verification set.
 
-    Order each doc's shingles canonically by (global document frequency
-    asc, shingle asc) and keep only the first ``n − ⌈t·n⌉ + 1`` as index
-    shingles: any pair with J ≥ t must share an indexed shingle from BOTH
-    prefixes, so joining prefixes loses no true pair while skipping the
-    high-frequency shingles that cause the quadratic bucket blow-ups.
-    At 100 TB this is the difference between joining on "the end of"
-    (≈ every doc) and joining on each doc's rarest shingles.
+    The canonical order (_df asc, _h asc) is a valid total order for
+    prefix filtering — ANY global order works as long as every doc uses
+    the same one; a cross-doc ordering divergence would need two
+    DISTINCT shingles with EQUAL xxhash64, the same V²/2⁶⁵ collision
+    class the hashed intersection already documents.
 
-    Exchange budget (the round-3 review's one thin-this plan): both the
-    document frequency and the per-doc size/rank come from count windows —
-    ``_df`` over one exchange on ``_s`` (replacing a groupBy aggregate PLUS
-    a join that re-shuffled the whole exploded set a second time), then
-    ``_n`` and ``_rn`` share one exchange on ``_id`` (two window functions
-    over the same partitioning collapse into a single sort)."""
-    w_df = Window.partitionBy("_s")
-    w_n = Window.partitionBy("_id")
-    w_rank = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_s").asc())
-    prefix = (
-        ex.withColumn("_df", F.count(F.lit(1)).over(w_df))
-        .withColumn("_n", F.count(F.lit(1)).over(w_n))
-        .withColumn("_rn", F.row_number().over(w_rank))
-        .filter(
-            F.col("_rn")
-            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + F.lit(1)
+    Exchange budget: the document frequency is one map-side-combined
+    aggregate on ``_h`` whose output joins back onto the exploded frame
+    (the join reuses the aggregate's own hash partitioning, so the
+    exploded set crosses the wire ONCE, as 8-byte longs), and the array
+    build is one hash-aggregate exchange on ``_id`` — neither pass
+    SORTS the corpus-wide exploded set (the pre-r9 window formulation
+    sorted it twice; ordering now happens per-doc inside ``array_sort``
+    over each row's own shingles)."""
+    dfc = ex.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        ex.join(dfc, "_h")
+        .groupBy("_id")
+        .agg(F.array_sort(F.collect_list(F.struct("_df", "_h"))).alias("_a"))
+        .select(
+            "_id",
+            F.transform("_a", lambda x: x["_h"]).alias("_hs"),
         )
-        .select("_id", "_s")
+    )
+
+
+def jaccard_prefix_candidates(ex: DataFrame, threshold: float) -> DataFrame:
+    """EXACT candidate pruning for Jaccard ≥ t: any pair with J ≥ t must
+    share an indexed shingle from BOTH rare-shingle prefixes, so joining
+    prefixes loses no true pair while skipping the high-frequency
+    shingles that cause quadratic bucket blow-ups.  At 100 TB this is
+    the difference between joining on "the end of" (≈ every doc) and
+    joining on each doc's rarest shingles.  Composition of
+    :func:`_prefix_doc_arrays` and :func:`_prefix_candidate_pairs`;
+    ``ex`` is the hashed shingle frame ``(_id, _h)``."""
+    return _prefix_candidate_pairs(_prefix_doc_arrays(ex), threshold)
+
+
+def _prefix_candidate_pairs(per_doc: DataFrame, threshold: float) -> DataFrame:
+    """Candidate ``(a_id, b_id)`` pairs from staged per-doc canonical
+    arrays: explode only each doc's first ``n − ⌈t·n⌉ + 1`` hashes (the
+    prefix) and self-equi-join on the hash — rows carry two longs, and
+    the join key frequency is bounded by PREFIX membership, not raw
+    document frequency (a stop-shingle ranks last in every doc's
+    canonical order and never enters a long doc's prefix)."""
+    n = F.size("_hs")
+    plen = (n - F.ceil(F.lit(threshold) * n) + F.lit(1)).cast("int")
+    prefix = per_doc.select(
+        "_id", F.explode(F.slice("_hs", F.lit(1), plen)).alias("_h")
     )
     a = prefix.alias("a").hint("shuffle_hash")
     b = prefix.alias("b").hint("shuffle_hash")
     return (
-        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
         .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
         .distinct()
     )
@@ -677,10 +749,26 @@ def jaccard_similar_pairs_prefix(
     pruning wins once high-frequency shingles make join buckets quadratic —
     candidate count scales with rare-shingle collisions instead of
     bucket² (verified exact-equal to the plain join in
-    tests/test_phase2.py::test_prefix_filtering_is_exact)."""
-    ex = _stage(_exploded_shingles(docs, id_col, text_col, k))
-    cand = jaccard_prefix_candidates(ex, threshold)
-    return _verify_candidate_pairs(cand, ex, threshold)
+    tests/test_phase2.py::test_prefix_filtering_is_exact).
+
+    The staged intermediate is the per-doc canonical hash ARRAY frame
+    (:func:`_prefix_doc_arrays`): the prefix explode slices it and the
+    verification joins read the same arrays (pruned map-side to
+    candidate docs by an AQE-broadcast semi-join), so verification costs
+    no extra aggregation pass at all."""
+    exh = _exploded_hashes(docs, id_col, text_col, k)
+    per_doc = _stage(_prefix_doc_arrays(exh))
+    # cand is NOT re-staged: the candidate subplan reads the staged
+    # per_doc blocks, and its two consumers (the id semi-join and the
+    # verify join) sit in ONE query, where AQE stage reuse dedupes the
+    # shuffle stages — a second checkpoint would only add a serial
+    # driver-blocking materialization round.
+    cand = _prefix_candidate_pairs(per_doc, threshold)
+    cand_ids = (
+        cand.select(F.explode(F.array("a_id", "b_id")).alias("_id")).distinct()
+    )
+    sets = per_doc.join(cand_ids, "_id", "left_semi")
+    return _verify_pairs_with_sets(cand, sets, threshold)
 
 
 def portable_token_hash(col) -> "F.Column":

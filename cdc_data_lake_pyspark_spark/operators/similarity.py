@@ -945,6 +945,12 @@ def ivf_pq_top_k(
     # identical results to the inline fit for the same layout/seed.
     if prefit is not None:
         centers, books = prefit
+        # the prefit structures ARE the layout (ADVICE r8): a prefit
+        # trained with a different m_sub/n_codes than the keyword
+        # defaults would otherwise encode/score over the wrong subspace
+        # slices — derive both from the codebook tensor instead.
+        m_sub = books.shape[0]
+        n_codes = books.shape[1]
     else:
         centers, books = fit_ivf_pq(
             vectors,

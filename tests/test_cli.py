@@ -263,7 +263,7 @@ def test_print_submit_golden_kafka_iceberg(capsys):
     text pinned so the recipe cannot drift silently."""
     import pyspark
 
-    from cdc_data_lake_pyspark_spark.cli import ICEBERG_VERSION, main
+    from cdc_data_lake_pyspark_spark.cli import iceberg_runtime_line, main
 
     main(
         [
@@ -280,7 +280,23 @@ def test_print_submit_golden_kafka_iceberg(capsys):
     out = capsys.readouterr().out
     ver = pyspark.__version__
     mm = ".".join(ver.split(".")[:2])
-    expected = f"""spark-submit \\
+    kafka_scala = "2.13" if int(ver.split(".")[0]) >= 4 else "2.12"
+    ice_line, ice_scala, ice_ver, exact = iceberg_runtime_line(mm)
+    # r9 (ADVICE r8): the Iceberg coordinate is validated against the
+    # published-artifact map — on a Spark line with no published runtime
+    # the recipe substitutes the newest supported line and SAYS SO.
+    note = (
+        ""
+        if exact
+        else (
+            f"# NOTE: no iceberg-spark-runtime is published for Spark "
+            f"{mm}; the coordinate below is the newest supported line "
+            f"(Spark {ice_line}, Iceberg {ice_ver}) — run it on a Spark "
+            f"{ice_line} cluster, or build Iceberg from source for "
+            f"{mm}.\n"
+        )
+    )
+    expected = f"""{note}spark-submit \\
   --deploy-mode cluster \\
   --conf spark.executor.instances=10 \\
   --conf spark.executor.cores=2 \\
@@ -289,7 +305,7 @@ def test_print_submit_golden_kafka_iceberg(capsys):
   --conf spark.driver.memory=4g \\
   --conf spark.sql.adaptive.enabled=true \\
   --conf spark.sql.shuffle.partitions=64 \\
-  --packages org.apache.spark:spark-sql-kafka-0-10_2.13:{ver},org.apache.iceberg:iceberg-spark-runtime-{mm}_2.13:{ICEBERG_VERSION},org.apache.iceberg:iceberg-aws-bundle:{ICEBERG_VERSION} \\
+  --packages org.apache.spark:spark-sql-kafka-0-10_{kafka_scala}:{ver},org.apache.iceberg:iceberg-spark-runtime-{ice_line}_{ice_scala}:{ice_ver},org.apache.iceberg:iceberg-aws-bundle:{ice_ver} \\
   --conf spark.sql.catalog.glue_catalog=org.apache.iceberg.spark.SparkCatalog \\
   --conf spark.sql.catalog.glue_catalog.catalog-impl=org.apache.iceberg.aws.glue.GlueCatalog \\
   --conf spark.sql.catalog.glue_catalog.warehouse=s3://lake/warehouse \\
@@ -298,6 +314,19 @@ def test_print_submit_golden_kafka_iceberg(capsys):
   --sourcetype kafka --kafkaserver broker1:9092 --topics cdc.orders --catalogtype glue --warehouse s3://lake/warehouse --tablejsonfile tables.json --checkpointpath s3://lake/ckpt
 """
     assert out == expected
+
+
+def test_iceberg_runtime_line_map():
+    """The coordinate comes from the published-artifact map, not pattern
+    derivation: supported lines resolve exactly (with the line's actual
+    Scala), unsupported lines (e.g. Spark 4.1) fall back to the newest
+    published line with exact=False so the recipe annotates itself."""
+    from cdc_data_lake_pyspark_spark.cli import iceberg_runtime_line
+
+    assert iceberg_runtime_line("3.5") == ("3.5", "2.12", "1.10.0", True)
+    assert iceberg_runtime_line("4.0") == ("4.0", "2.13", "1.10.0", True)
+    line, scala, ver, exact = iceberg_runtime_line("4.1")
+    assert (line, scala, ver, exact) == ("4.0", "2.13", "1.10.0", False)
 
 
 def test_print_submit_file_source_no_packages(capsys):
