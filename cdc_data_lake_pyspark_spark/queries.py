@@ -585,31 +585,30 @@ def top_customers_per_segment(spark, sf_dir):
 # sibling covering its operator family; the policy is documented in
 # COVERAGE.md (§ gate window).
 _DEMOTED: tuple[str, ...] = (
-    # --- rotated OUT in r8 (VERDICT r7 next-round #4): the five mid-r7
-    # --- demoted entries (returned_item_customers, cohort_retention,
-    # --- embedding_quantize, chisq_lang_source, hopping_window_events)
-    # --- rotate back INTO the window for a fresh driver re-sign, and the
-    # --- NEW prepare_training_corpus_lsh takes a window slot per the
-    # --- new-ops rule.  The six below — all driver-verified green in
-    # --- CORRECTNESS_r07.json — take their tail slots.
-    "dedup_jaccard_pairs",
-    # exact-Jaccard family: dedup_jaccard_prefix stays in-window with the
-    # IDENTICAL oracle (prefix ≡ all-pairs property-tested in
-    # tests/test_phase2.py), and the prefix path now runs inside the
-    # in-window prepare_training_corpus composite; driver-green r7
-    "dedup_keep_canonical",
-    # canonical-survivor selection runs inside BOTH in-window composites
-    # (prepare_training_corpus, prepare_training_corpus_lsh);
-    # driver-green r7
-    "dedup_clusters",
-    # connected-components family: dedup_minhash_cv_clusters stays
-    # in-window and both composites run the same pointer-jumping CC;
-    # driver-green r7
-    "dedup_minhash_star_clusters",
-    # star-capped LSH family: dedup_minhash_cv_clusters (in-window) runs
-    # the same star-cap banding PLUS the cluster-then-verify repair;
-    # dedup_minhash_lsh keeps the base banded path in-window;
-    # driver-green r7
+    # --- rotated OUT in r9: the r9 diffs rewrote the exact-Jaccard plain
+    # --- join (hashed staged frame), the prefix path (per-doc canonical
+    # --- arrays), the shared candidate-verify tail, the CC loop (folded
+    # --- init + fused changed-count), and the contamination join keys —
+    # --- so dedup_jaccard_pairs, dedup_keep_canonical, dedup_clusters,
+    # --- dedup_minhash_star_clusters and contamination_report rotate
+    # --- back INTO the window for a fresh driver sign-off.  The five
+    # --- below — the r8 rotate-backs, all driver-verified green in
+    # --- CORRECTNESS_r08.json — take their tail slots.
+    "returned_item_customers",
+    # TPC-H join+agg family: revenue_cube stays in-window on the same
+    # join+aggregate shape; driver-green r5 (pre-demotion), r8
+    "cohort_retention",
+    # time-bucketed-agg family: daily_gapfill_locf stays in-window on the
+    # same day-truncated spine; driver-green r5, r8
+    "embedding_quantize",
+    # embedding map-only family: embedding_pq_codes stays in-window;
+    # driver-green r5, r8
+    "chisq_lang_source",
+    # diagnostics family: outlier_mad_events + key_skew_report stay
+    # in-window; chi-square cells pinned in pytest; driver-green r5, r8
+    "hopping_window_events",
+    # temporal-window family: range_join_view_purchase stays in-window;
+    # hop expansion property-tested in pytest; driver-green r5, r8
     "skew_salted_agg",
     # skew family: key_skew_report stays in-window; salted ≡ plain pinned
     # in tests/test_skew.py; driver-green r7
@@ -745,7 +744,6 @@ _DEMOTED: tuple[str, ...] = (
     "tfidf_top_term",
     "doc_fingerprint",
     "stratified_sample_docs",
-    "contamination_report",
     "incremental_novel_docs",
     "embedding_centroids",
     "token_count_bpe",

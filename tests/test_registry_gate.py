@@ -4,13 +4,14 @@ rotation policy holds (queries.py `_DEMOTED` rationale): new/changed
 operators sit inside the window, and previously demoted entries rotate
 back in so the driver re-verifies them round over round.
 
-Round-8 window (VERDICT r7 next-round #4): the five mid-r7-demoted
-entries rotate back in for a fresh driver re-sign
-(returned_item_customers, cohort_retention, embedding_quantize,
-chisq_lang_source, hopping_window_events) and the NEW
-prepare_training_corpus_lsh enters per the new-ops rule; six entries
-driver-verified green in CORRECTNESS_r07.json rotated out, each with a
-family sibling left in-window (rationales in queries._DEMOTED)."""
+Round-9 window: the r9 diffs rewrote the exact-Jaccard joins (hashed
+staged frames, per-doc canonical arrays), the shared candidate-verify
+tail, the CC loop and the contamination join keys — so
+dedup_jaccard_pairs, dedup_keep_canonical, dedup_clusters,
+dedup_minhash_star_clusters and contamination_report rotate back IN for
+a fresh driver sign-off; the five r8 rotate-backs (all driver-green in
+CORRECTNESS_r08.json) take their tail slots, each with a family sibling
+left in-window (rationales in queries._DEMOTED)."""
 
 from cdc_data_lake_pyspark_spark import queries as q
 
@@ -36,9 +37,8 @@ REQUIRED_VISIBLE = [
     "similarity_pq_adc",
     "embedding_pq_codes",
     "similarity_topk_bruteforce",  # mid-r7 _min_parallel change
-    # dedup exact-verify family (dedup_jaccard_pairs demoted r8 — the
-    # prefix sibling shares the IDENTICAL oracle; CC + canonical keeper
-    # run inside the two in-window composites)
+    # dedup exact-verify family (plain + prefix both in-window for r9 —
+    # both rewritten this round and they share the IDENTICAL oracle)
     "dedup_jaccard_prefix",
     # composites
     "prepare_training_corpus",
@@ -82,26 +82,35 @@ REQUIRED_VISIBLE = [
     # streaming gates
     "novelty_gate_batch",
     "semantic_gate_batch",
-    # r8 rotate-backs (mid-r7 demoted, fresh driver re-sign this round)
-    "returned_item_customers",
-    "cohort_retention",
-    "embedding_quantize",
-    "chisq_lang_source",
-    "hopping_window_events",
+    # r9 rotate-backs (r9 diffs touched their code paths — see
+    # CHANGED_THIS_ROUND)
+    "dedup_jaccard_pairs",
+    "dedup_keep_canonical",
+    "dedup_clusters",
+    "dedup_minhash_star_clusters",
+    "contamination_report",
 ]
 
 # Operators added or materially changed this round: the rotation policy
 # requires them INSIDE the gated window (ADVICE r4).
 CHANGED_THIS_ROUND = [
-    "prepare_training_corpus_lsh",  # NEW r8: LSH-mode flagship composite
-    # r8: near-dup stage switched to the prefix-filtered exact join
-    # (VERDICT r7 #2); the prefix operator itself sits in-window too
-    "prepare_training_corpus",
+    # r9: plain exact-Jaccard join now reads a staged HASHED shingle
+    # frame; prefix path rebuilt on per-doc canonical arrays; shared
+    # candidate-verify tail refactored (_verify_pairs_with_sets)
+    "dedup_jaccard_pairs",
     "dedup_jaccard_prefix",
-    # r8: shape-invariant _lut_block on both the oracle-LUT and the
-    # executor micro-LUT paths (ADVICE r7)
-    "similarity_ivf_pq",
-    "similarity_pq_adc",
+    "dedup_minhash_lsh",
+    "dedup_minhash_cv_clusters",
+    "dedup_minhash_star_clusters",
+    # r9: CC init folds the first propagation; changed-count fused into
+    # the per-iteration checkpoint
+    "dedup_clusters",
+    "dedup_keep_canonical",
+    # r9: contamination join keys hashed map-side
+    "contamination_report",
+    # composites exercise all of the above end-to-end
+    "prepare_training_corpus",
+    "prepare_training_corpus_lsh",
 ]
 
 
