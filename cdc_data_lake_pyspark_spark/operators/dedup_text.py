@@ -715,19 +715,54 @@ def jaccard_prefix_candidates(ex: DataFrame, threshold: float) -> DataFrame:
 def _prefix_candidate_pairs(per_doc: DataFrame, threshold: float) -> DataFrame:
     """Candidate ``(a_id, b_id)`` pairs from staged per-doc canonical
     arrays: explode only each doc's first ``n − ⌈t·n⌉ + 1`` hashes (the
-    prefix) and self-equi-join on the hash — rows carry two longs, and
-    the join key frequency is bounded by PREFIX membership, not raw
-    document frequency (a stop-shingle ranks last in every doc's
-    canonical order and never enters a long doc's prefix)."""
+    prefix) and self-equi-join on the hash — rows carry three ints and a
+    long, and the join key frequency is bounded by PREFIX membership,
+    not raw document frequency (a stop-shingle ranks last in every doc's
+    canonical order and never enters a long doc's prefix).
+
+    Two further PPJoin prunes ride in the join condition (Xiao, Wang,
+    Lin, Yu — "Efficient Similarity Joins for Near Duplicate Detection",
+    WWW'08), both codegen'd comparisons that only REMOVE pairs provably
+    below threshold:
+
+    * LENGTH filter: J(a,b) ≥ t forces t·|b| ≤ |a| (for |a| ≤ |b|) —
+      a short doc never pairs with a much longer one.
+    * POSITIONAL filter: J ≥ t needs overlap ≥ ⌈t/(1+t)·(|a|+|b|)⌉, and
+      for a shared prefix hash at 0-based positions (pa, pb) the overlap
+      is at most ``min(pa,pb) + 1 + min(|a|−pa−1, |b|−pb−1)`` — the
+      canonical order is GLOBAL, so common elements split cleanly into
+      before-w (≤ min(pa,pb)), w, and after-w (≤ min of suffix lengths).
+      The bound holds for EVERY shared prefix hash, so dropping rows
+      that fail it loses no true pair.
+    """
     n = F.size("_hs")
     plen = (n - F.ceil(F.lit(threshold) * n) + F.lit(1)).cast("int")
     prefix = per_doc.select(
-        "_id", F.explode(F.slice("_hs", F.lit(1), plen)).alias("_h")
+        "_id",
+        n.alias("_n"),
+        F.posexplode(F.slice("_hs", F.lit(1), plen)).alias("_p", "_h"),
     )
     a = prefix.alias("a").hint("shuffle_hash")
     b = prefix.alias("b").hint("shuffle_hash")
+    na, nb = F.col("a._n"), F.col("b._n")
+    pa, pb = F.col("a._p"), F.col("b._p")
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (na + nb).cast("double")
+    )
+    overlap_ub = (
+        F.least(pa, pb) + F.lit(1) + F.least(na - pa - 1, nb - pb - 1)
+    )
     return (
-        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
+        a.join(
+            b,
+            (F.col("a._h") == F.col("b._h"))
+            & (F.col("a._id") < F.col("b._id"))
+            # length filter (both directions — no |a| ≤ |b| normalization)
+            & (na * F.lit(threshold) <= nb.cast("double"))
+            & (nb * F.lit(threshold) <= na.cast("double"))
+            # positional filter
+            & (overlap_ub >= min_overlap),
+        )
         .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
         .distinct()
     )

@@ -123,6 +123,55 @@ def test_prefix_filtering_is_exact(spark, sf_dir):
         assert pref == plain
 
 
+def test_prefix_doc_arrays_canonical_order(spark, sf_dir):
+    """r9: the per-doc array intermediate is sorted by (document
+    frequency asc, hash asc) — the canonical order whose first
+    ``n − ⌈t·n⌉ + 1`` elements ARE the SSJoin prefix — and carries each
+    doc's full distinct-shingle hash set (it doubles as the verification
+    set)."""
+    from pyspark.sql import functions as F
+
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        _exploded_hashes,
+        _prefix_doc_arrays,
+    )
+
+    docs = _docs(spark, sf_dir).limit(200)
+    exh = _exploded_hashes(docs, "doc_id", "text", 3)
+    per_doc = {r._id: r._hs for r in _prefix_doc_arrays(exh).collect()}
+    df_counts = {}
+    sets = {}
+    for r in exh.collect():
+        df_counts[r._h] = df_counts.get(r._h, 0) + 1
+        sets.setdefault(r._id, set()).add(r._h)
+    assert set(per_doc) == set(sets)
+    for doc_id, hs in per_doc.items():
+        assert set(hs) == sets[doc_id]  # full set, usable for verify
+        keys = [(df_counts[h], h) for h in hs]
+        assert keys == sorted(keys)  # canonical (df asc, hash asc)
+
+
+def test_prefix_plan_has_no_corpus_wide_sort(spark, sf_dir):
+    """r9 plan-shape pin: the prefix path's executed plan must contain no
+    Sort over the corpus-wide exploded set — ordering happens per-doc
+    inside ``array_sort``.  The only Sorts Catalyst may plan statically
+    are the tiny candidate-id semi-join's SortMergeJoin inputs (AQE
+    broadcasts them at runtime); a corpus Sort would mean the window
+    formulation regressed back in."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        jaccard_similar_pairs_prefix,
+    )
+
+    docs = _docs(spark, sf_dir)
+    df = jaccard_similar_pairs_prefix(docs, threshold=0.8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "+- Sort " in line or line.strip().startswith("Sort "):
+            assert "_id#" in line, f"non-semi-join Sort in prefix plan: {line}"
+        if "Window" in line:
+            raise AssertionError(f"window op back in prefix plan: {line}")
+
+
 def test_simhash_near_dups_are_hamming_close(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pairs = jaccard_similar_pairs(docs, threshold=0.9).limit(5).collect()
