@@ -1,0 +1,105 @@
+"""Canonical-URL normalization: the URL-level dedup key every web
+training-data pipeline computes before content dedup (public practice:
+the CommonCrawl/RefinedWeb/FineWeb-style pipelines drop exact URL
+re-crawls first — it is orders of magnitude cheaper than shingling the
+bodies, and it catches the same page re-fetched with tracking params).
+
+Capability addition for the §2.6 training-data surface (no reference
+citation — the reference's scope starts at structured CDC envelopes).
+
+Canonical form, applied to ``scheme://host[:port]path[?query][#frag]``:
+
+* scheme and host LOWERCASED (RFC 3986 §6.2.2.1: both are
+  case-insensitive; paths are NOT and keep their case);
+* default port stripped (``:443`` for https, ``:80`` for http);
+* trailing ``/``s stripped from the path (``/a/`` ≡ ``/a`` for dedup);
+* tracking query params dropped (``utm_*``, ``gclid``, ``fbclid``,
+  ``msclkid``, ``mc_cid``, ``mc_eid``, ``ref``) and the survivors
+  SORTED so param order cannot split a dedup group;
+* fragment dropped (never sent to the server, RFC 3986 §3.5);
+* non-URL strings (no ``scheme://``) fall back to ``lower(trim(s))``.
+
+Engine parity: the whole canonicalizer is ONE scalar expression
+generated for both dialects from this template — regexes held to the
+Java-regex ∩ RE2 subset (character classes, anchors, no lookaround, no
+backreferences), parameter sorting via ``array_sort``/``list_sort``
+(bit-identical on ASCII), so a DuckDB oracle hash-compares every
+canonical string.  Map-only: zero shuffle, whole-stage codegen; the
+dedup that consumes it is one keyed shuffle on the canonical string (or
+its digest at 100 TB, so the exchange carries 32-byte keys instead of
+URLs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: query params that never identify content (analytics/click tracking)
+TRACKING_PARAM_RE = "^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)="
+
+#: URL piece extractors (shared regex text across both dialects)
+_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
+_QUERY_RE = "[?]([^#]*)"
+
+
+def canonical_url_sql(col: str, duck: bool = False) -> str:
+    """The canonicalizer as one SQL scalar expression over ``col``.
+
+    ``duck=False`` emits Spark SQL (``rlike``, ``filter``,
+    ``array_sort``, ``array_join``), ``duck=True`` the DuckDB spelling
+    (``regexp_matches``, ``list_filter``, ``list_sort``,
+    ``array_to_string``); everything else — the regexes, the CASE
+    structure, the assembly — is shared text, so the two expressions
+    compute bit-identical strings.
+    """
+    # DuckDB's regexp_extract yields NULL on no match where Spark yields
+    # '' — COALESCE in both dialects so a missing piece never nulls the
+    # whole concatenation
+    scheme = f"lower(coalesce(regexp_extract({col}, '{_SCHEME_RE}', 1), ''))"
+    hostport = f"lower(coalesce(regexp_extract({col}, '{_HOST_RE}', 1), ''))"
+    host = (
+        f"CASE WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '') "
+        f"WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '') "
+        f"ELSE {hostport} END"
+    )
+    path = (
+        f"regexp_replace(coalesce(regexp_extract({col}, '{_PATH_RE}', 1), ''),"
+        f" '/+$', '')"
+    )
+    query = f"coalesce(regexp_extract({col}, '{_QUERY_RE}', 1), '')"
+    if duck:
+        # outer coalesce: DuckDB's array_to_string returns NULL for an
+        # empty list (Spark's array_join returns '')
+        params = (
+            f"coalesce(array_to_string(list_sort(list_filter("
+            f"string_split({query}, '&'), "
+            f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}')"
+            f")), '&'), '')"
+        )
+    else:
+        params = (
+            f"array_join(array_sort(filter("
+            f"split({query}, '&'), "
+            f"p -> p != '' AND NOT p rlike '{TRACKING_PARAM_RE}'"
+            f")), '&')"
+        )
+    return (
+        f"CASE WHEN {scheme} = '' THEN lower(trim({col})) "
+        f"ELSE {scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {params} = '' THEN '' ELSE '?' || {params} END "
+        f"END"
+    )
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Spark Column form of :func:`canonical_url_sql` (map-only)."""
+    name = col if isinstance(col, str) else None
+    if name is None:
+        raise TypeError(
+            "canonicalize_url takes a COLUMN NAME (the expression is "
+            "generated SQL text and must reference the column by name)"
+        )
+    return F.expr(canonical_url_sql(name, duck=False))

@@ -609,6 +609,12 @@ _DEMOTED: tuple[str, ...] = (
     "hopping_window_events",
     # temporal-window family: range_join_view_purchase stays in-window;
     # hop expansion property-tested in pytest; driver-green r5, r8
+    "scd2_user_history",
+    # changelog family (demoted mid-r9 for the NEW url_dedup_canonical's
+    # window slot): event_transition_matrix keeps keyed ordered
+    # sequences in-window, the full-outer diff shape is shared with
+    # snapshot_diff_orders (tail oracle) and property-tested vs a
+    # brute-force model in pytest; driver-green r6, r7, r8
     "skew_salted_agg",
     # skew family: key_skew_report stays in-window; salted ≡ plain pinned
     # in tests/test_skew.py; driver-green r7

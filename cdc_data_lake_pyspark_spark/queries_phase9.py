@@ -32,6 +32,7 @@ streaming gates' single-batch reductions under the value-check gate.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from cdc_data_lake_pyspark_spark.functions.html import (
@@ -335,4 +336,82 @@ def prepare_web_corpus(spark, sf_dir):
     )
     return hash_split(keep, id_col="doc_id").select(
         "doc_id", "fingerprint", "n_docs", "split"
+    )
+
+
+# --------------------------------------------------------------------------
+# url_dedup_canonical — canonical-URL dedup, the stage BEFORE content dedup
+# --------------------------------------------------------------------------
+
+#: planted URL per document (identical SQL text in both dialects): mixed
+#: scheme/host case, explicit default port, 50% trailing slash, tracking
+#: params interleaved with real ones in scrambled order, fragment on every
+#: third row.  Canonicalization must strip ALL of that noise — rows
+#: sharing (doc_id % 7, doc_id % 40) collapse to one canonical URL.
+_PLANTED_URL_SQL = (
+    "'HTTPS://WWW.Site' || CAST(doc_id % 7 AS STRING) || "
+    "'.Example.COM:443/Articles/Item-' || CAST(doc_id % 40 AS STRING) || "
+    "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END || "
+    "'?utm_source=feed' || "
+    "CASE WHEN doc_id % 5 = 0 THEN '&b=2&gclid=x11&a=1' "
+    "     ELSE '&a=1&fbclid=y22&b=2' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN '#sec-' || CAST(doc_id AS STRING) "
+    "     ELSE '' END"
+)
+
+
+def _url_dedup_oracle() -> str:
+    from cdc_data_lake_pyspark_spark.functions.urls import canonical_url_sql
+
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, {_PLANTED_URL_SQL} AS url FROM documents
+    ), canon AS (
+      SELECT doc_id, {canonical_url_sql('url', duck=True)} AS canonical
+      FROM planted
+    )
+    SELECT doc_id, canonical,
+           CAST(min(doc_id) OVER (PARTITION BY canonical) AS BIGINT)
+             AS keeper_id,
+           CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT)
+             AS n_dups
+    FROM canon
+    """
+
+
+@query("url_dedup_canonical", oracle=_url_dedup_oracle())
+def url_dedup_canonical(spark, sf_dir):
+    """Canonical-URL dedup — the CHEAP first dedup stage of a web
+    pipeline (drop exact re-crawls before any shingling runs): plant a
+    deterministic noisy URL per row (mixed case, default port, trailing
+    slash, scrambled + tracking query params, fragment — same expression
+    in both engines), canonicalize with ONE map-only scalar expression
+    (functions/urls.py), and elect the minimum doc_id per canonical URL.
+
+    Every row's canonical string is hash-compared against DuckDB
+    replaying the identical normalization, so scheme/host lowercasing,
+    default-port and fragment stripping, tracking-param removal and
+    param SORTING are all value-checked at corpus scale.
+
+    Plan shape: canonicalization is whole-stage-codegen'd string work;
+    the keeper election is one keyed shuffle on the canonical string (at
+    100 TB: on md5(canonical), 32-byte exchange keys, map-side combined
+    via groupBy + a broadcast join-back instead of the window — the
+    window form here keeps the per-row canonical column in the oracled
+    output)."""
+    from cdc_data_lake_pyspark_spark.functions.urls import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id", F.expr(_PLANTED_URL_SQL).alias("url")
+    )
+    canon = planted.select(
+        "doc_id", canonicalize_url("url").alias("canonical")
+    )
+    w = Window.partitionBy("canonical")
+    return canon.select(
+        "doc_id",
+        "canonical",
+        F.min("doc_id").over(w).alias("keeper_id"),
+        F.count(F.lit(1)).over(w).alias("n_dups"),
     )

@@ -54,8 +54,8 @@ REQUIRED_VISIBLE = [
     "html_extract_main",
     # sampling / mixing
     "corpus_mix_temperature",
-    # changelog / ordered sequences
-    "scd2_user_history",
+    # changelog / ordered sequences (scd2_user_history demoted mid-r9
+    # for the new URL-dedup entry; diff shape pinned in pytest + tail)
     "event_transition_matrix",
     # analytics / TPC-H shapes
     "revenue_cube",
@@ -82,6 +82,8 @@ REQUIRED_VISIBLE = [
     # streaming gates
     "novelty_gate_batch",
     "semantic_gate_batch",
+    # web-pipeline URL stage (NEW r9)
+    "url_dedup_canonical",
     # r9 rotate-backs (r9 diffs touched their code paths — see
     # CHANGED_THIS_ROUND)
     "dedup_jaccard_pairs",
@@ -111,6 +113,9 @@ CHANGED_THIS_ROUND = [
     # composites exercise all of the above end-to-end
     "prepare_training_corpus",
     "prepare_training_corpus_lsh",
+    # NEW mid-r9: canonical-URL dedup (functions/urls.py) — new ops sit
+    # in-window per policy
+    "url_dedup_canonical",
 ]
 
 

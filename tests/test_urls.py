@@ -1,0 +1,77 @@
+"""Canonical-URL normalization (functions/urls.py): hand-pinned edge
+cases on the Spark expression, plus Spark ≡ DuckDB parity over the same
+strings — the property the url_dedup_canonical oracle relies on."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.functions.urls import (
+    canonical_url_sql,
+    canonicalize_url,
+)
+
+CASES = [
+    # scheme+host lowercase, default https port stripped, fragment dropped
+    ("HTTPS://WWW.Ex.COM:443/A/b#frag", "https://www.ex.com/A/b"),
+    # http default port; path case PRESERVED
+    ("http://Ex.COM:80/Path", "http://ex.com/Path"),
+    # non-default port kept
+    ("https://ex.com:8443/a", "https://ex.com:8443/a"),
+    # trailing slashes stripped (root path becomes empty)
+    ("https://ex.com/a///", "https://ex.com/a"),
+    ("https://ex.com/", "https://ex.com"),
+    # tracking params dropped, survivors sorted, '?' dropped when empty
+    ("https://ex.com/a?utm_source=x&b=2&a=1", "https://ex.com/a?a=1&b=2"),
+    ("https://ex.com/a?gclid=1&utm_campaign=z", "https://ex.com/a"),
+    ("https://ex.com/a?fbclid=9&ref=tw&mc_cid=7", "https://ex.com/a"),
+    # param ORDER must not matter
+    ("https://ex.com/a?z=1&a=2", "https://ex.com/a?a=2&z=1"),
+    # empty query / bare '?'
+    ("https://ex.com/a?", "https://ex.com/a"),
+    # query kept ahead of dropped fragment
+    ("https://ex.com/a?x=1#sec?y=2", "https://ex.com/a?x=1"),
+    # not a URL: lower(trim(...)) fallback
+    ("  Not A Url  ", "not a url"),
+]
+
+
+def test_canonicalize_url_pinned_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], ["i", "url"]
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_canonicalize_url_duckdb_parity(spark):
+    """The duck=True expression computes the identical string for every
+    pinned case AND for a generated noisy family — the bit-parity the
+    url_dedup_canonical oracle depends on."""
+    raws = [raw for raw, _ in CASES] + [
+        f"HTTP://Host{i % 3}.COM:80/p/{i}"
+        f"{'/' if i % 2 else ''}?utm_x=1&k{i % 4}=v&a=0"
+        f"{'#f' if i % 3 == 0 else ''}"
+        for i in range(40)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(r,) for r in raws])
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {canonical_url_sql('url', duck=True)} FROM t"
+        ).fetchall()
+    ]
+    df = spark.createDataFrame([(r,) for r in raws], ["url"])
+    got = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == duck
+
+
+def test_canonicalize_url_requires_column_name():
+    with pytest.raises(TypeError):
+        canonicalize_url(F.col("url"))
