@@ -83,6 +83,11 @@ KNOWN_BENIGN_WARNINGS = {
         "one-time JVM metrics-source notice about unrecognized GC "
         "generation names under Java 17's G1"
     ),
+    "Truncated the string representation of a plan": (
+        "SparkStringUtils notice when a wide plan's debug string exceeds "
+        "spark.sql.debug.maxToStringFields — display truncation only, "
+        "execution is unaffected"
+    ),
     "already exists on this machine; not re-adding it": (
         "BlockManager notice from LAZY localCheckpoint staging (_stage): "
         "when two branches of one job race to compute the same staged "
@@ -130,7 +135,9 @@ def scan_warnings(path: str):
     unknown = []
     with open(path, "rb") as f:
         for raw in f:
-            line = raw.decode("utf-8", "replace")
+            # progress bars share a "line" with log output until the
+            # next newline — keep only the segment after the last \r
+            line = raw.decode("utf-8", "replace").rsplit("\r", 1)[-1]
             if " WARN " not in line:
                 continue
             if any(key in line for key in KNOWN_BENIGN_WARNINGS):
