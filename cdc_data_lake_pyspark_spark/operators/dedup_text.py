@@ -654,13 +654,18 @@ def minhash_near_dup_clusters_cv(
             consecutive.join(attempted, ["a_id", "b_id"], "left_anti")
         )
         if new_pairs.limit(1).count() == 0:
-            break
+            # converged: this round's vcc IS connected_components over
+            # the final passing set (nothing was added since it ran), so
+            # return it instead of recomputing a fifth CC from scratch
+            return vcc.select(F.col("node").alias(id_col), "cluster_id")
         newly = _verify_candidate_pairs(new_pairs, ex, threshold).select(
             "a_id", "b_id"
         )
         passing = _stage(passing.unionByName(newly))
         attempted = _stage(attempted.unionByName(new_pairs))
 
+    # rounds exhausted with the last round still adding pairs — one final
+    # CC folds those in
     return connected_components(passing).select(
         F.col("node").alias(id_col), "cluster_id"
     )
