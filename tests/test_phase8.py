@@ -253,3 +253,18 @@ def test_correlated_sample_preserves_join_structure(spark):
     joined = ps.join(cs, "k")
     assert joined.count() == 3 * len(sampled_keys)
     assert {r.k for r in cs.collect()} == sampled_keys
+
+
+def test_quota_sample_plans_two_phase_group_limit(spark):
+    """r9 plan pin: the quota entry's ``rk <= 50`` filter over a ranked
+    window must compile to Spark's two-phase WindowGroupLimit (a partial
+    per-partition top-k BEFORE the stratum shuffle, then a final one) —
+    the property that bounds per-group memory at 100 TB, which the
+    docstring claims.  If a refactor breaks the pushdown (e.g. by
+    referencing the rank through an opaque subquery), this fails before
+    SCALE.md's claim goes stale."""
+    from cdc_data_lake_pyspark_spark.queries import queries
+
+    df = queries()["quota_sample_docs"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2, plan[:2000]
