@@ -671,6 +671,58 @@ def minhash_near_dup_clusters_cv(
     )
 
 
+def paragraph_dedup_global(
+    docs: DataFrame,
+    max_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """CCNet-style CORPUS-WIDE paragraph dedup (Wenzek et al. 2020 §4.1,
+    "deduplicating paragraphs across shards"): drop every paragraph that
+    appears in more than ``max_df`` distinct documents, then reassemble
+    each document's surviving paragraphs in their original order.
+    Returns ``(id, text)``; documents whose every paragraph was dropped
+    disappear (they were pure boilerplate).
+
+    This is the boilerplate-removal granularity BETWEEN whole-document
+    exact dedup (:func:`exact_dedup`) and duplicated-span surgery
+    (``substring_window_dedup``): repeated headers/footers/cookie
+    banners vanish even when every page's full text is unique.
+
+    Scale shape: one ``posexplode`` (map-only), one map-side-combined
+    ``count(DISTINCT doc)`` per paragraph digest (the exchange carries
+    32-byte md5 digests, never paragraph text), one digest-keyed join
+    back (reuses the aggregate's partitioning), one hash-aggregate on
+    the doc id to rebuild the text (per-doc ``array_sort`` on position,
+    no corpus-wide sort) — the same two-full-exchange budget as the
+    prefix-join's array builder.  Paragraph counting uses md5, so a
+    cross-vocabulary collision could delete one innocent paragraph
+    corpus-wide — P ≈ V²/2¹²⁸, far below the xxhash64 caveats the other
+    dedup operators already document."""
+    parts = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    ).select("_id", "_pos", "_para", F.md5("_para").alias("_d"))
+    dfc = parts.groupBy("_d").agg(
+        F.countDistinct("_id").alias("_df")
+    )
+    kept = parts.join(dfc, "_d").filter(F.col("_df") <= F.lit(max_df))
+    return (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                    lambda x: x["_para"],
+                ),
+                sep,
+            ).alias(text_col)
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def _prefix_doc_arrays(ex: DataFrame) -> DataFrame:
     """Per-doc canonically-ordered shingle-hash arrays ``(_id, _hs)`` —
     the shared intermediate of the SSJoin/AllPairs prefix filter

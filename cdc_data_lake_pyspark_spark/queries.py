@@ -615,6 +615,12 @@ _DEMOTED: tuple[str, ...] = (
     # sequences in-window, the full-outer diff shape is shared with
     # snapshot_diff_orders (tail oracle) and property-tested vs a
     # brute-force model in pytest; driver-green r6, r7, r8
+    "triangle_part_cliques",
+    # graph/self-join analytics family (demoted mid-r9 for the NEW
+    # dedup_paragraphs_global's window slot): pagerank_parts +
+    # bfs_part_distances keep the graph family in-window and the
+    # triangle enumeration stays oracle-checked in the tail;
+    # driver-green r7, r8
     "skew_salted_agg",
     # skew family: key_skew_report stays in-window; salted ≡ plain pinned
     # in tests/test_skew.py; driver-green r7

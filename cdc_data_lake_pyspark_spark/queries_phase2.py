@@ -816,3 +816,63 @@ def multimodal_audio_decode(spark, sf_dir):
     sample-generation arithmetic directly."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return audio_stats(synth_media_payloads(docs), payload_col="wav_payload")
+
+
+# --------------------------------------------------------------------------
+# dedup_paragraphs_global — CCNet-style corpus-wide paragraph dedup
+# --------------------------------------------------------------------------
+
+#: planted multi-paragraph page (identical SQL text in both dialects): a
+#: banner shared by EVERY page, the document body, and a per-doc footer.
+#: With max_df=1 the banner must vanish everywhere, bodies vanish exactly
+#: for the planted exact-duplicate families, and footers always survive.
+_PARA_PAGE_SQL = (
+    "'Shared boilerplate banner.' || chr(10) || text || chr(10) || "
+    "'Footer for doc ' || CAST(doc_id AS STRING)"
+)
+
+_PARA_DEDUP_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, {_PARA_PAGE_SQL} AS t FROM documents
+), parts AS (
+  SELECT doc_id, i AS pos, l[i] AS para
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM planted),
+       UNNEST(generate_series(1, len(l))) AS g(i)
+), counts AS (
+  SELECT para, count(DISTINCT doc_id) AS df FROM parts GROUP BY para
+)
+SELECT p.doc_id, string_agg(p.para, chr(10) ORDER BY p.pos) AS text
+FROM parts p JOIN counts c ON p.para = c.para
+WHERE c.df <= 1
+GROUP BY p.doc_id
+"""
+
+
+@query("dedup_paragraphs_global", oracle=_PARA_DEDUP_ORACLE)
+def dedup_paragraphs_global(spark, sf_dir):
+    """CCNet-style corpus-wide paragraph dedup (Wenzek et al. 2020):
+    build a deterministic multi-paragraph page per row (shared banner +
+    body + unique footer — same expression in both engines), drop every
+    paragraph appearing in more than one document, reassemble survivors
+    in order.  The banner paragraph must vanish from EVERY page even
+    though every full page text is unique — the granularity whole-doc
+    exact dedup cannot reach; bodies vanish exactly for the corpus's
+    planted exact-duplicate families (the oracle replays both effects
+    and every reassembled text is hash-compared).
+
+    Plan shape (operators/dedup_text.py::paragraph_dedup_global): one
+    posexplode, one map-side-combined count(DISTINCT doc) on md5
+    digests, one digest join-back, one per-doc rebuild aggregate — two
+    full exchanges, no corpus-wide sort, paragraph text never shuffles
+    for the counting side."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        paragraph_dedup_global,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id", F.expr(_PARA_PAGE_SQL).alias("page")
+    )
+    return paragraph_dedup_global(
+        planted, max_df=1, id_col="doc_id", text_col="page"
+    ).withColumnRenamed("page", "text")

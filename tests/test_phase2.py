@@ -529,3 +529,43 @@ def test_cv_matches_exact_clusters_on_corpus(spark, sf_dir):
         ).collect()
     }
     assert cv == exact
+
+
+def test_paragraph_dedup_global_semantics(spark):
+    """Hand-pinned CCNet paragraph-dedup case: the shared banner vanishes
+    from every doc, per-doc unique lines survive in order, a paragraph
+    shared by exactly two docs is dropped from both, and a doc made of
+    nothing but boilerplate disappears entirely."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        paragraph_dedup_global,
+    )
+
+    rows = [
+        (1, "BANNER\nalpha one\nshared pair\nfooter 1"),
+        (2, "BANNER\nbeta two\nshared pair\nfooter 2"),
+        (3, "BANNER\ngamma three\nfooter 3"),
+        (4, "BANNER"),  # pure boilerplate: should vanish
+        # same paragraph twice in ONE doc: df counts distinct docs, so a
+        # doc-internal repeat does NOT make it corpus-duplicated
+        (5, "delta five\ndelta five\nfooter 5"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.text
+        for r in paragraph_dedup_global(docs, max_df=1).collect()
+    }
+    assert got == {
+        1: "alpha one\nfooter 1",
+        2: "beta two\nfooter 2",
+        3: "gamma three\nfooter 3",
+        5: "delta five\ndelta five\nfooter 5",
+    }
+    # max_df=2 keeps the two-doc shared paragraph but still kills the
+    # four-doc banner
+    got2 = {
+        r.doc_id: r.text
+        for r in paragraph_dedup_global(docs, max_df=2).collect()
+    }
+    assert got2[1] == "alpha one\nshared pair\nfooter 1"
+    assert got2[2] == "beta two\nshared pair\nfooter 2"
+    assert 4 not in got2

@@ -57,9 +57,9 @@ REQUIRED_VISIBLE = [
     # changelog / ordered sequences (scd2_user_history demoted mid-r9
     # for the new URL-dedup entry; diff shape pinned in pytest + tail)
     "event_transition_matrix",
-    # analytics / TPC-H shapes
+    # analytics / TPC-H shapes (triangle_part_cliques demoted mid-r9
+    # for the new paragraph-dedup entry; graph family keeps pagerank+bfs)
     "revenue_cube",
-    "triangle_part_cliques",
     "series_correlation_events",
     # temporal / time-bucketed
     "range_join_view_purchase",
@@ -84,6 +84,8 @@ REQUIRED_VISIBLE = [
     "semantic_gate_batch",
     # web-pipeline URL stage (NEW r9)
     "url_dedup_canonical",
+    # corpus-wide paragraph dedup (NEW r9)
+    "dedup_paragraphs_global",
     # r9 rotate-backs (r9 diffs touched their code paths — see
     # CHANGED_THIS_ROUND)
     "dedup_jaccard_pairs",
@@ -116,6 +118,8 @@ CHANGED_THIS_ROUND = [
     # NEW mid-r9: canonical-URL dedup (functions/urls.py) — new ops sit
     # in-window per policy
     "url_dedup_canonical",
+    # NEW mid-r9: CCNet-style corpus-wide paragraph dedup
+    "dedup_paragraphs_global",
 ]
 
 
