@@ -278,10 +278,16 @@ def measure_textpipe(spark, sf_dir: str, replicas: int) -> dict:
         bloom_probe,
         bloom_sketch,
     )
+    from cdc_data_lake_pyspark_spark.functions.urls import canonicalize_url
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        paragraph_dedup_global,
+    )
     from cdc_data_lake_pyspark_spark.operators.lm_quality import (
         bigram_lm_scores,
         unigram_lm_scores,
     )
+    from cdc_data_lake_pyspark_spark.queries_phase2 import _PARA_PAGE_SQL
+    from cdc_data_lake_pyspark_spark.queries_phase9 import _PLANTED_URL_SQL
 
     p = f"{WORK_DIR}/documents_x{replicas}.parquet"
     if not os.path.exists(p):
@@ -318,6 +324,30 @@ def measure_textpipe(spark, sf_dir: str, replicas: int) -> dict:
                 lambda: bloom_probe(
                     bloom_sketch(corpus, "fp"), batch, "fp", ["doc_id"]
                 ),
+            ),
+            (
+                # r9: replica bodies repeat Nx at 10x, so BOTH planted
+                # boilerplate (banner) and replicated bodies must drop —
+                # counting shuffle carries md5 digests only; validates
+                # "no corpus-wide sort, two full exchanges"
+                "paragraph_dedup",
+                lambda: paragraph_dedup_global(
+                    docs.select(
+                        "doc_id", F.expr(_PARA_PAGE_SQL).alias("text")
+                    ),
+                    max_df=1,
+                ),
+            ),
+            (
+                # r9: canonicalization map-only; keeper election one
+                # keyed shuffle on the canonical string
+                "url_dedup",
+                lambda: docs.select(
+                    "doc_id", F.expr(_PLANTED_URL_SQL).alias("url")
+                )
+                .select("doc_id", canonicalize_url("url").alias("c"))
+                .groupBy("c")
+                .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n")),
             ),
         ):
             r0, w0 = shuffle_totals(spark)
