@@ -569,3 +569,44 @@ def test_paragraph_dedup_global_semantics(spark):
     assert got2[1] == "alpha one\nshared pair\nfooter 1"
     assert got2[2] == "beta two\nshared pair\nfooter 2"
     assert 4 not in got2
+
+
+def test_prefix_ppjoin_filters_exact_on_hot_families(spark):
+    """r9: the PPJoin length + positional filters must lose no true pair
+    on the regime that stresses them — duplicate families whose members
+    share most shingles (near-threshold Jaccard) at VARYING lengths
+    (length filter active) with family-specific rare salts (positional
+    filter sees shared tokens at differing prefix depths)."""
+    from pyspark.sql import Row
+
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        jaccard_similar_pairs,
+        jaccard_similar_pairs_prefix,
+    )
+
+    rows = []
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    for fam in range(4):
+        for m in range(8):
+            # per-member tail of growing length: members differ in size,
+            # so some cross-member pairs fail the length filter and the
+            # rest sit near the threshold
+            tail = " ".join(f"salt{fam} extra{fam} tok{j}" for j in range(m))
+            rows.append(
+                Row(doc_id=fam * 100 + m, text=(base + " " + tail).strip())
+            )
+    docs = spark.createDataFrame(rows)
+    for t in (0.8, 0.5):
+        plain = {
+            (r.a_id, r.b_id): round(r.jaccard, 9)
+            for r in jaccard_similar_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r.a_id, r.b_id): round(r.jaccard, 9)
+            for r in jaccard_similar_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert pref == plain, (t, len(pref), len(plain))
+        assert plain, "fixture should produce pairs at this threshold"
