@@ -136,13 +136,15 @@ def scan_warnings(path: str):
     with open(path, "rb") as f:
         for raw in f:
             # progress bars share a "line" with log output until the
-            # next newline — keep only the segment after the last \r
-            line = raw.decode("utf-8", "replace").rsplit("\r", 1)[-1]
-            if " WARN " not in line:
-                continue
-            if any(key in line for key in KNOWN_BENIGN_WARNINGS):
-                continue
-            unknown.append(line.strip())
+            # next newline — scan EVERY \r-delimited segment (ADVICE r9:
+            # keeping only the last segment silently dropped a WARN that
+            # landed before a progress-bar carriage return)
+            for line in raw.decode("utf-8", "replace").split("\r"):
+                if " WARN " not in line:
+                    continue
+                if any(key in line for key in KNOWN_BENIGN_WARNINGS):
+                    continue
+                unknown.append(line.strip())
     return len(unknown), sorted(set(unknown))[:10]
 
 

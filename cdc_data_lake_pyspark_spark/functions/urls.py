@@ -32,20 +32,55 @@ URLs).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: query params that never identify content (analytics/click tracking)
-TRACKING_PARAM_RE = "^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref)="
+#: query params that never identify content (analytics/click tracking).
+#: CAVEAT (VERDICT r9 #4): ``ref`` is content-identifying on some hosts
+#: (``?ref=<branch>`` on code forges names a DIFFERENT page) — callers
+#: crawling such hosts should pass ``tracking_params`` without it.
+DEFAULT_TRACKING_PARAMS: tuple[str, ...] = (
+    "utm_[a-z0-9_]*",
+    "gclid",
+    "fbclid",
+    "msclkid",
+    "mc_cid",
+    "mc_eid",
+    "ref",
+)
+
+
+def _tracking_param_re(params: Sequence[str]) -> str:
+    """``^(p1|p2|...)=`` matcher over whole param NAMES.  Each entry is a
+    regex fragment in the Java-regex ∩ RE2 subset and must not contain a
+    single quote (the expression embeds in single-quoted SQL text)."""
+    for p in params:
+        if "'" in p:
+            raise ValueError(f"tracking param pattern may not contain ': {p!r}")
+    return "^(" + "|".join(params) + ")="
+
+
+#: the default matcher (kept as a module constant for back-compat)
+TRACKING_PARAM_RE = _tracking_param_re(DEFAULT_TRACKING_PARAMS)
 
 #: URL piece extractors (shared regex text across both dialects)
 _SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)"
-_QUERY_RE = "[?]([^#]*)"
+#: anchored to the PRE-FRAGMENT region (ADVICE r9): scheme/host/path can
+#: contain neither '?' nor '#', so ``^[^#?]*`` consumes exactly up to the
+#: first of the two — a '?' that first appears INSIDE the fragment
+#: (``/a#frag?x=1``) never matches (RFC 3986 §3.5: '#' ends the query).
+_QUERY_RE = "^[^#?]*[?]([^#]*)"
 
 
-def canonical_url_sql(col: str, duck: bool = False) -> str:
+def canonical_url_sql(
+    col: str,
+    duck: bool = False,
+    tracking_params: Sequence[str] = DEFAULT_TRACKING_PARAMS,
+) -> str:
     """The canonicalizer as one SQL scalar expression over ``col``.
 
     ``duck=False`` emits Spark SQL (``rlike``, ``filter``,
@@ -54,7 +89,13 @@ def canonical_url_sql(col: str, duck: bool = False) -> str:
     ``array_to_string``); everything else — the regexes, the CASE
     structure, the assembly — is shared text, so the two expressions
     compute bit-identical strings.
+
+    ``tracking_params`` (VERDICT r9 #4) is the list of param-NAME regex
+    fragments to drop; the default is :data:`DEFAULT_TRACKING_PARAMS`.
+    Pass a list without ``ref`` for hosts where ``?ref=`` identifies
+    content (code-forge branch views) rather than a referral source.
     """
+    track_re = _tracking_param_re(tracking_params)
     # DuckDB's regexp_extract yields NULL on no match where Spark yields
     # '' — COALESCE in both dialects so a missing piece never nulls the
     # whole concatenation
@@ -76,14 +117,14 @@ def canonical_url_sql(col: str, duck: bool = False) -> str:
         params = (
             f"coalesce(array_to_string(list_sort(list_filter("
             f"string_split({query}, '&'), "
-            f"p -> p <> '' AND NOT regexp_matches(p, '{TRACKING_PARAM_RE}')"
+            f"p -> p <> '' AND NOT regexp_matches(p, '{track_re}')"
             f")), '&'), '')"
         )
     else:
         params = (
             f"array_join(array_sort(filter("
             f"split({query}, '&'), "
-            f"p -> p != '' AND NOT p rlike '{TRACKING_PARAM_RE}'"
+            f"p -> p != '' AND NOT p rlike '{track_re}'"
             f")), '&')"
         )
     return (
@@ -94,7 +135,10 @@ def canonical_url_sql(col: str, duck: bool = False) -> str:
     )
 
 
-def canonicalize_url(col: Column | str) -> Column:
+def canonicalize_url(
+    col: Column | str,
+    tracking_params: Sequence[str] = DEFAULT_TRACKING_PARAMS,
+) -> Column:
     """Spark Column form of :func:`canonical_url_sql` (map-only)."""
     name = col if isinstance(col, str) else None
     if name is None:
@@ -102,4 +146,6 @@ def canonicalize_url(col: Column | str) -> Column:
             "canonicalize_url takes a COLUMN NAME (the expression is "
             "generated SQL text and must reference the column by name)"
         )
-    return F.expr(canonical_url_sql(name, duck=False))
+    return F.expr(
+        canonical_url_sql(name, duck=False, tracking_params=tracking_params)
+    )

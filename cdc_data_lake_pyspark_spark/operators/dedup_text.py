@@ -690,19 +690,30 @@ def paragraph_dedup_global(
     (``substring_window_dedup``): repeated headers/footers/cookie
     banners vanish even when every page's full text is unique.
 
+    ``sep`` is a LITERAL separator string (quoted with ``\\Q…\\E``
+    before reaching Spark's regex-based ``split`` — ADVICE r9: a raw
+    ``"."`` or ``"||"`` would otherwise split on every character), the
+    same semantics as the DuckDB oracle's ``string_split``.
+
     Scale shape: one ``posexplode`` (map-only), one map-side-combined
-    ``count(DISTINCT doc)`` per paragraph digest (the exchange carries
-    32-byte md5 digests, never paragraph text), one digest-keyed join
-    back (reuses the aggregate's partitioning), one hash-aggregate on
-    the doc id to rebuild the text (per-doc ``array_sort`` on position,
-    no corpus-wide sort) — the same two-full-exchange budget as the
-    prefix-join's array builder.  Paragraph counting uses md5, so a
+    ``count(DISTINCT doc)`` per paragraph digest (the COUNTING exchange
+    carries 32-byte md5 digests, never paragraph text), one digest-keyed
+    join back (reuses the aggregate's partitioning), one hash-aggregate
+    on the doc id to rebuild the text (per-doc ``array_sort`` on
+    position, no corpus-wide sort) — the same two-full-exchange budget
+    as the prefix-join's array builder.  The join-back and the rebuild
+    aggregate DO shuffle the surviving paragraph text (inherent to
+    reassembly; measured small next to the counting side —
+    SCALE_MEASURED.json → textpipe).  Paragraph counting uses md5, so a
     cross-vocabulary collision could delete one innocent paragraph
     corpus-wide — P ≈ V²/2¹²⁸, far below the xxhash64 caveats the other
     dedup operators already document."""
+    # java-regex literal quoting; an embedded \E ends the quote, so it
+    # is re-opened around an escaped one
+    sep_re = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     parts = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+        F.posexplode(F.split(F.col(text_col), sep_re)).alias("_pos", "_para"),
     ).select("_id", "_pos", "_para", F.md5("_para").alias("_d"))
     dfc = parts.groupBy("_d").agg(
         F.countDistinct("_id").alias("_df")
@@ -784,16 +795,34 @@ def _prefix_candidate_pairs(per_doc: DataFrame, threshold: float) -> DataFrame:
 
     * LENGTH filter: J(a,b) ≥ t forces t·|b| ≤ |a| (for |a| ≤ |b|) —
       a short doc never pairs with a much longer one.
-    * POSITIONAL filter: J ≥ t needs overlap ≥ ⌈t/(1+t)·(|a|+|b|)⌉, and
+    * POSITIONAL filter: J ≥ t needs overlap ≥ t/(1+t)·(|a|+|b|), and
       for a shared prefix hash at 0-based positions (pa, pb) the overlap
       is at most ``min(pa,pb) + 1 + min(|a|−pa−1, |b|−pb−1)`` — the
       canonical order is GLOBAL, so common elements split cleanly into
       before-w (≤ min(pa,pb)), w, and after-w (≤ min of suffix lengths).
       The bound holds for EVERY shared prefix hash, so dropping rows
       that fail it loses no true pair.
+
+    FLOAT SAFETY (ADVICE r9): the r9 form took ``⌈fl(t/(1+t))·(na+nb)⌉``,
+    and when ``fl(t/(1+t))`` rounds ABOVE the exact rational (t = 0.57:
+    fl = 0.363057…>57/157) the ceil lands one integer too high, dropping
+    a true pair sitting exactly AT threshold.  Both prunes therefore
+    compare ALGEBRAICALLY with an epsilon slack on the prune side —
+    ``overlap_ub·(1+t) ≥ t·(na+nb) − ε`` and ``t·n − ε ≤ m`` — so float
+    rounding can only ADMIT a borderline candidate (harmless: exact
+    verification follows), never reject one.  ε = 1e-6 absolute covers
+    the ~1e-16 relative double error up to set sizes ~1e9.
     """
     n = F.size("_hs")
-    plen = (n - F.ceil(F.lit(threshold) * n) + F.lit(1)).cast("int")
+    # same ε on the prefix length: the minimal overlap a VERIFICATION-
+    # passing partner can have is the smallest integer m with
+    # fl(m/n) ≥ t, and fl(t·n) can round ABOVE that m (t=0.57, n=100:
+    # fl(t·n)=57.000…006 → ceil 58 → prefix one SHORT, losing the at-
+    # threshold pair before any filter runs); ε errs toward a one-longer
+    # prefix (extra candidates, pruned by exact verification)
+    plen = (n - F.ceil(F.lit(threshold) * n - F.lit(1e-6)) + F.lit(1)).cast(
+        "int"
+    )
     prefix = per_doc.select(
         "_id",
         n.alias("_n"),
@@ -803,9 +832,7 @@ def _prefix_candidate_pairs(per_doc: DataFrame, threshold: float) -> DataFrame:
     b = prefix.alias("b").hint("shuffle_hash")
     na, nb = F.col("a._n"), F.col("b._n")
     pa, pb = F.col("a._p"), F.col("b._p")
-    min_overlap = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (na + nb).cast("double")
-    )
+    eps = F.lit(1e-6)
     overlap_ub = (
         F.least(pa, pb) + F.lit(1) + F.least(na - pa - 1, nb - pb - 1)
     )
@@ -815,10 +842,13 @@ def _prefix_candidate_pairs(per_doc: DataFrame, threshold: float) -> DataFrame:
             (F.col("a._h") == F.col("b._h"))
             & (F.col("a._id") < F.col("b._id"))
             # length filter (both directions — no |a| ≤ |b| normalization)
-            & (na * F.lit(threshold) <= nb.cast("double"))
-            & (nb * F.lit(threshold) <= na.cast("double"))
-            # positional filter
-            & (overlap_ub >= min_overlap),
+            & (na * F.lit(threshold) - eps <= nb.cast("double"))
+            & (nb * F.lit(threshold) - eps <= na.cast("double"))
+            # positional filter, cross-multiplied (no ceil, no ratio)
+            & (
+                overlap_ub.cast("double") * F.lit(1.0 + threshold)
+                >= F.lit(threshold) * (na + nb).cast("double") - eps
+            ),
         )
         .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
         .distinct()

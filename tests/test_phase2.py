@@ -610,3 +610,99 @@ def test_prefix_ppjoin_filters_exact_on_hot_families(spark):
         }
         assert pref == plain, (t, len(pref), len(plain))
         assert plain, "fixture should produce pairs at this threshold"
+
+
+def test_prefix_float_safe_at_exact_threshold_boundary(spark):
+    """ADVICE r9: a pair sitting EXACTLY at threshold must survive the
+    prefix path when the float ratio rounds against it.  t = 0.57:
+    fl(t/(1+t)) > 57/157 and fl(100·t) > 57, so the r9 ceil-based
+    positional bound (58 > overlap_ub 57), the un-slacked length filter
+    (fl(100·t) ≤ 57 false) and the un-slacked prefix length
+    (100 − ⌈fl(100·t)⌉ + 1 = 43, one short) EACH dropped the pair the
+    plain join keeps.  doc 1's 57 trigram shingles are a prefix-subset
+    of doc 2's 100, J = fl(57/100) = fl(0.57) ≥ t in double semantics —
+    all three ε sites must hold for the pair to come back."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        jaccard_similar_pairs_prefix,
+    )
+
+    words = [f"w{i:03d}" for i in range(102)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words[:59])),  # 57 distinct trigrams
+            (2, " ".join(words)),  # 100 distinct trigrams, superset
+        ],
+        ["doc_id", "text"],
+    )
+    t = 0.57
+    plain = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in jaccard_similar_pairs(docs, threshold=t).collect()
+    }
+    assert plain == {(1, 2): 0.57}, plain
+    pref = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in jaccard_similar_pairs_prefix(docs, threshold=t).collect()
+    }
+    assert pref == plain
+
+
+def test_prefix_exactness_at_awkward_thresholds(spark):
+    """Prefix ≡ plain across thresholds whose float ratios round badly
+    (0.57, 0.6, 0.66, 0.9) on the varying-length hot-family corpus —
+    the property sweep behind the ε guards."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        jaccard_similar_pairs_prefix,
+    )
+
+    rows = []
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    for fam in range(3):
+        for m in range(7):
+            tail = " ".join(f"salt{fam} extra{fam} tok{j}" for j in range(m))
+            rows.append(
+                Row(doc_id=fam * 100 + m, text=(base + " " + tail).strip())
+            )
+    docs = spark.createDataFrame(rows)
+    for t in (0.57, 0.6, 0.66, 0.9):
+        plain = {
+            (r.a_id, r.b_id): round(r.jaccard, 9)
+            for r in jaccard_similar_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r.a_id, r.b_id): round(r.jaccard, 9)
+            for r in jaccard_similar_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert pref == plain, (t, len(pref), len(plain))
+
+
+def test_paragraph_dedup_metachar_separator(spark):
+    """ADVICE r9: ``sep`` is a LITERAL — a regex-metacharacter separator
+    ('.', '||') must split on the separator string, not on every
+    character / the empty regex."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        paragraph_dedup_global,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha one.BANNER.omega one"), (2, "beta two.BANNER.omega two")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: r.text
+        for r in paragraph_dedup_global(docs, max_df=1, sep=".").collect()
+    }
+    assert got == {1: "alpha one.omega one", 2: "beta two.omega two"}
+
+    docs2 = spark.createDataFrame(
+        [(1, "left part||SHARED||right one"), (2, "mid part||SHARED||right two")],
+        ["doc_id", "text"],
+    )
+    got2 = {
+        r.doc_id: r.text
+        for r in paragraph_dedup_global(docs2, max_df=1, sep="||").collect()
+    }
+    assert got2 == {1: "left part||right one", 2: "mid part||right two"}

@@ -31,6 +31,10 @@ CASES = [
     ("https://ex.com/a?", "https://ex.com/a"),
     # query kept ahead of dropped fragment
     ("https://ex.com/a?x=1#sec?y=2", "https://ex.com/a?x=1"),
+    # ADVICE r9: '?' appearing only INSIDE the fragment is NOT a query —
+    # '#' ends the query region (RFC 3986), the whole fragment drops
+    ("https://ex.com/a#frag?x=1", "https://ex.com/a"),
+    ("https://ex.com/a#?gclid=1", "https://ex.com/a"),
     # not a URL: lower(trim(...)) fallback
     ("  Not A Url  ", "not a url"),
 ]
@@ -75,3 +79,28 @@ def test_canonicalize_url_duckdb_parity(spark):
 def test_canonicalize_url_requires_column_name():
     with pytest.raises(TypeError):
         canonicalize_url(F.col("url"))
+
+
+def test_tracking_params_parameterized(spark):
+    """VERDICT r9 #4: the drop-list is a parameter — on hosts where
+    ``?ref=<branch>`` names content, passing a list without ``ref``
+    preserves it (and keeps dropping the rest)."""
+    from cdc_data_lake_pyspark_spark.functions.urls import (
+        DEFAULT_TRACKING_PARAMS,
+    )
+
+    no_ref = tuple(p for p in DEFAULT_TRACKING_PARAMS if p != "ref")
+    df = spark.createDataFrame(
+        [("https://forge.ex/repo/blob/f.py?ref=main&utm_source=x",)], ["url"]
+    )
+    got = df.select(
+        canonicalize_url("url").alias("default"),
+        canonicalize_url("url", tracking_params=no_ref).alias("kept"),
+    ).first()
+    assert got.default == "https://forge.ex/repo/blob/f.py"
+    assert got.kept == "https://forge.ex/repo/blob/f.py?ref=main"
+
+
+def test_tracking_params_reject_quote():
+    with pytest.raises(ValueError):
+        canonical_url_sql("url", tracking_params=("a'b",))
