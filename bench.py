@@ -218,18 +218,24 @@ def main() -> None:
             except Exception:
                 pass
 
-    # min of two timed passes; each attempt gets ONE retry on failure so a
-    # transient executor fault never zeroes out the whole sweep
+    # each attempt gets ONE retry on failure so a transient executor
+    # fault never zeroes out the whole sweep.  Pass budget (VERDICT r9
+    # #4): the 10-query CORE gets THREE timed passes — SCALE.md §6
+    # measured a 26 % whole-run noise band, so a single-draw core sum
+    # masquerades as a regression; the median of three per-pass sums is
+    # the noise-robust contract number.  Other headline queries keep
+    # min-of-two; the long tail gets one warm pass each — at a 135-entry
+    # registry extra full sweeps double wall time for numbers nobody
+    # compares, and a bounded runtime protects the driver artifact.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    core_samples: dict[str, list] = {}
     state = {"sf": sf, "queries": timings, "errors": errors, "done": False}
-    # headline queries get min-of-two timed passes (stable round-over-round
-    # numbers); the long tail gets one warm pass each — at a 123-entry
-    # registry a second full sweep doubles wall time for numbers nobody
-    # compares, and a bounded runtime protects the driver-captured artifact
-    for pass_no in range(2):
+    for pass_no in range(3):
         for name in names:
-            if pass_no == 1 and name not in HEADLINE:
+            if pass_no >= 1 and name not in HEADLINE:
+                continue
+            if pass_no == 2 and name not in CORE:
                 continue
             elapsed, err = timed_attempt(spark, name, sf_dir, prepared_env)
             if elapsed is None:
@@ -238,6 +244,8 @@ def main() -> None:
                 errors[name] = err or "unknown"
             else:
                 timings[name] = min(timings.get(name, elapsed), elapsed)
+                if name in CORE:
+                    core_samples.setdefault(name, []).append(elapsed)
                 errors.pop(name, None)
             flush_partial(state)
 
@@ -284,13 +292,37 @@ def main() -> None:
     flush_partial(state)
 
     core = round(sum(timings[n] for n in CORE if n in timings), 3)
+    # noise-robust core (VERDICT r9 #4): per-PASS core sums, reported as
+    # median (the contract number going forward) + min; per-query medians
+    # kept for tools/bench_compare.py attribution.  Per-pass sums (not
+    # sums of per-query medians) so one draw's covariant noise stays in
+    # one sample instead of leaking into all three.
+    import statistics
+
+    n_passes = min((len(v) for v in core_samples.values()), default=0)
+    pass_sums = [
+        round(sum(core_samples[n][i] for n in CORE if n in core_samples), 3)
+        for i in range(n_passes)
+    ]
+    core_median = round(statistics.median(pass_sums), 3) if pass_sums else None
+    core_min = min(pass_sums) if pass_sums else None
+    core_medians = {
+        n: round(statistics.median(v), 3) for n, v in core_samples.items()
+    }
     state["core_headline_sec"] = core
+    state["core_headline_median_sec"] = core_median
+    state["core_headline_min_sec"] = core_min
+    state["core_pass_sums"] = pass_sums
+    state["core_query_medians"] = core_medians
     flush_partial(state)
     summary = {
-        # FIRST field by contract (VERDICT r6 next-round #7): the stable
-        # r4 10-query core sum — the ONLY number comparable round-over-
-        # round as the registry grows (r5 recomputed: 5.475 s; r6: 5.984 s
-        # from the driver artifacts).  tools/bench_compare.py diffs it.
+        # FIRST fields by contract: the 10-query core, as the MEDIAN of
+        # three per-pass sums (VERDICT r9 #4 — robust to the measured
+        # 26 % single-draw noise band; tools/bench_compare.py diffs it)
+        # plus the legacy sum-of-per-query-mins core_headline_sec kept
+        # for the r4-r9 trend line.
+        "core_headline_median_sec": core_median,
+        "core_headline_min_sec": core_min,
         "core_headline_sec": core,
         "metric": "headline query wall time (sum)",
         "value": total,

@@ -585,27 +585,33 @@ def top_customers_per_segment(spark, sf_dir):
 # sibling covering its operator family; the policy is documented in
 # COVERAGE.md (§ gate window).
 _DEMOTED: tuple[str, ...] = (
-    # --- rotated OUT in r9: the r9 diffs rewrote the exact-Jaccard plain
-    # --- join (hashed staged frame), the prefix path (per-doc canonical
-    # --- arrays), the shared candidate-verify tail, the CC loop (folded
-    # --- init + fused changed-count), and the contamination join keys —
-    # --- so dedup_jaccard_pairs, dedup_keep_canonical, dedup_clusters,
-    # --- dedup_minhash_star_clusters and contamination_report rotate
-    # --- back INTO the window for a fresh driver sign-off.  The five
-    # --- below — the r8 rotate-backs, all driver-verified green in
-    # --- CORRECTNESS_r08.json — take their tail slots.
-    "returned_item_customers",
-    # TPC-H join+agg family: revenue_cube stays in-window on the same
-    # join+aggregate shape; driver-green r5 (pre-demotion), r8
-    "cohort_retention",
+    # --- rotated OUT in r10: the r10 diffs touched the prefix-join
+    # --- prunes (float-safe ε guards), the cluster/keeper pair source
+    # --- (now the prefix join), the paragraph-dedup separator, and the
+    # --- URL canonicalizer (anchored query regex, parameterized drop
+    # --- list) — those entries stay in-window, prepare_web_corpus_v2 is
+    # --- NEW, and returned_item_customers / cohort_retention /
+    # --- chisq_lang_source (driver-green r8, tail-verified since)
+    # --- rotate back IN.  The four below take their slots.
+    "similarity_topk_bruteforce",
+    # similarity family: similarity_ivf + similarity_ivf_pq +
+    # similarity_pq_adc stay in-window (the brute-force op is also the
+    # recall oracle inside the pytest ANN floors); driver-green r7-r9
+    "dedup_minhash_lsh",
+    # minhash family: dedup_minhash_star_clusters +
+    # dedup_minhash_cv_clusters stay in-window and drive the same
+    # signature/banding/verify machinery harder; driver-green r7-r9
+    "bm25_search",
+    # text-scoring family: token_entropy + bpe_learned_tokenize stay
+    # in-window; BM25's log bridge pinned in pytest; driver-green r8, r9
+    "outlier_mad_events",
+    # diagnostics family: key_skew_report stays in-window and
+    # chisq_lang_source rotates back in; driver-green r7-r9
     # time-bucketed-agg family: daily_gapfill_locf stays in-window on the
     # same day-truncated spine; driver-green r5, r8
     "embedding_quantize",
     # embedding map-only family: embedding_pq_codes stays in-window;
     # driver-green r5, r8
-    "chisq_lang_source",
-    # diagnostics family: outlier_mad_events + key_skew_report stay
-    # in-window; chi-square cells pinned in pytest; driver-green r5, r8
     "hopping_window_events",
     # temporal-window family: range_join_view_purchase stays in-window;
     # hop expansion property-tested in pytest; driver-green r5, r8

@@ -415,3 +415,121 @@ def url_dedup_canonical(spark, sf_dir):
         F.min("doc_id").over(w).alias("keeper_id"),
         F.count(F.lit(1)).over(w).alias("n_dups"),
     )
+
+
+# --------------------------------------------------------------------------
+# prepare_web_corpus_v2 — URL dedup FIRST, then the content pipeline
+# --------------------------------------------------------------------------
+
+#: crawl URL per page fetch (identical SQL text in both dialects): the
+#: SAME logical page (doc_id % 400) is served by THREE mirror hosts
+#: (doc_id % 3; gcd(3,400)=1 so every page appears on every mirror) with
+#: per-fetch noise — case, default port, trailing slash, tracking params,
+#: and a fragment whose '?' must NOT parse as a query (the ADVICE r9
+#: anchored-regex case, exercised here inside an oracled composite).
+#: Canonicalization collapses re-fetches of one (mirror, page) URL;
+#: the mirrors themselves only collapse later, at CONTENT dedup.
+_CRAWL_URL_SQL = (
+    "'HTTPS://Mirror' || CAST(doc_id % 3 AS STRING) || "
+    "'.Example.COM:443/page/' || CAST(doc_id % 400 AS STRING) || "
+    "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END || "
+    "'?utm_source=crawler' || "
+    "CASE WHEN doc_id % 5 = 0 THEN '&gclid=z9&v=1' "
+    "     ELSE '&v=1&fbclid=q3' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN '#frag?p=1' ELSE '' END"
+)
+
+
+def _prepare_web_corpus_v2_oracle() -> str:
+    from cdc_data_lake_pyspark_spark.functions.urls import canonical_url_sql
+    from cdc_data_lake_pyspark_spark.queries_phase4 import _hash_sql
+
+    ex = main_text_sql(_PAGE_SQL, duck=True)
+    split_hash = _hash_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH base AS (
+      SELECT d.doc_id, s.text
+      FROM documents d JOIN documents s ON s.doc_id = d.doc_id % 400
+      WHERE s.text IS NOT NULL
+    ), canon AS (
+      SELECT doc_id, {canonical_url_sql(f"({_CRAWL_URL_SQL})", duck=True)} AS c
+      FROM base
+    ), url_keep AS (
+      SELECT min(doc_id) AS doc_id FROM canon GROUP BY c
+    ), ex AS (
+      SELECT b.doc_id, {ex} AS main_text
+      FROM base b JOIN url_keep USING (doc_id)
+    ), gated AS (
+      SELECT doc_id, main_text FROM ex
+      WHERE length(main_text) >= {_WEB_MIN_CHARS}
+    ), keep AS (
+      SELECT md5(lower(trim(main_text))) AS fingerprint,
+             CAST(min(doc_id) AS BIGINT) AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_urls
+      FROM gated GROUP BY 1
+    )
+    SELECT doc_id, fingerprint, n_urls,
+           CASE WHEN {split_hash} % 100 < 80 THEN 'train'
+                WHEN {split_hash} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM keep
+    """
+
+
+@query("prepare_web_corpus_v2", oracle=_prepare_web_corpus_v2_oracle)
+def prepare_web_corpus_v2(spark, sf_dir):
+    """The web capstone in PRE-CONTENT order (VERDICT r9 #6): canonical-
+    URL dedup runs as STAGE 0, before any page is extracted or shingled
+    — the stated purpose of URL-level dedup is that dropping exact
+    re-crawls is orders of magnitude cheaper than content work, so it
+    must run first and SHRINK the input of everything downstream.
+
+    crawl → canonical-URL keeper election (stage 0) → main-content
+    extraction → minimum-content gate → exact content dedup (collapses
+    the three mirror hosts serving the same page) → deterministic split.
+    ``n_urls`` counts the distinct canonical URLs whose pages carried
+    each surviving content fingerprint (= the mirror count here).
+
+    Plan shape: stage 0 never touches page text — the canonical URL
+    derives from a thin ``(doc_id)`` projection, its keeper election is
+    one keyed groupBy carrying (canonical, id) pairs, and survivors
+    rejoin the corpus by id (AQE broadcasts the shrunken keeper set), so
+    the map-only canonicalizer sits AHEAD of the extraction projection
+    and the content-digest shuffle in the executed plan
+    (tests/test_plans.py::test_web_corpus_v2_url_stage_precedes_extraction).
+    At 100 TB the expensive stages (HTML extraction, shingling) run on
+    the post-URL-dedup survivor set only."""
+    from cdc_data_lake_pyspark_spark.functions.urls import canonical_url_sql
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import exact_dedup
+    from cdc_data_lake_pyspark_spark.operators.relational import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        docs.select("doc_id", (F.col("doc_id") % 400).alias("_src"))
+        .join(
+            docs.select(
+                F.col("doc_id").alias("_src"), "text"
+            ).filter(F.col("text").isNotNull()),
+            "_src",
+        )
+        .select("doc_id", "text")
+    )
+    # stage 0: URL keeper election on a TEXT-FREE projection
+    canon = base.select(
+        "doc_id", F.expr(canonical_url_sql(f"({_CRAWL_URL_SQL})")).alias("_c")
+    )
+    url_keep = canon.groupBy("_c").agg(F.min("doc_id").alias("doc_id"))
+    survivors = base.join(url_keep.select("doc_id"), "doc_id", "left_semi")
+    extracted = survivors.select(
+        "doc_id",
+        F.expr(main_text_sql(_PAGE_SQL, duck=False)).alias("main_text"),
+    )
+    gated = extracted.filter(F.length("main_text") >= _WEB_MIN_CHARS)
+    keep = exact_dedup(gated, text_col="main_text").select(
+        "fingerprint",
+        F.col("keeper_id").alias("doc_id"),
+        F.col("n_docs").alias("n_urls"),
+    )
+    return hash_split(keep, id_col="doc_id").select(
+        "doc_id", "fingerprint", "n_urls", "split"
+    )

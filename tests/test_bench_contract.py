@@ -23,6 +23,9 @@ def test_summary_line_stays_tail_parseable():
     well under the driver's tail-capture window even with worst-case
     float widths."""
     summary = {
+        "core_headline_median_sec": 9999.999,
+        "core_headline_min_sec": 9999.999,
+        "core_headline_sec": 9999.999,
         "metric": "headline query wall time (sum)",
         "value": 9999.999,
         "unit": "sec",
@@ -55,3 +58,25 @@ def test_core_is_frozen():
     ]
     reg = q.queries()
     assert all(n in reg for n in bench.CORE)
+
+
+def test_core_median_fields_present_in_artifact():
+    """VERDICT r9 #4: once bench.py has produced a local artifact, it
+    must carry the noise-robust core fields and their arithmetic must
+    reconstruct (median/min drawn from the recorded per-pass sums)."""
+    import os
+    import statistics
+
+    import pytest as _pytest
+
+    path = os.path.join(os.path.dirname(bench.__file__), "BENCH_local.json")
+    if not os.path.exists(path):
+        _pytest.skip("no local bench artifact yet")
+    d = json.load(open(path))
+    if "core_pass_sums" not in d:
+        _pytest.skip("artifact predates the r10 median contract")
+    sums = d["core_pass_sums"]
+    assert len(sums) == 3, sums
+    assert d["core_headline_median_sec"] == round(statistics.median(sums), 3)
+    assert d["core_headline_min_sec"] == min(sums)
+    assert set(d["core_query_medians"]) <= set(bench.CORE)

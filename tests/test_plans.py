@@ -79,3 +79,28 @@ def test_envelope_parse_not_duplicated_per_column(spark):
     plan = _plan(parse_debezium(env))
     # one parse for the envelope + one for the nested source struct
     assert plan.count("from_json") == 2
+
+
+def test_web_corpus_v2_url_stage_precedes_extraction(spark, sf_dir, registry):
+    """VERDICT r9 #6: in prepare_web_corpus_v2's optimized plan the
+    map-only URL canonicalizer runs on a TEXT-FREE projection below the
+    keeper semi-join, and the HTML extraction expression sits strictly
+    ABOVE that semi-join — content work happens only on URL-dedup
+    survivors."""
+    plan = (
+        registry["prepare_web_corpus_v2"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    semi = [i for i, l in enumerate(lines) if "Join LeftSemi" in l]
+    assert len(semi) == 1, f"expected one keeper semi-join: {semi}"
+    extraction = [i for i, l in enumerate(lines) if "</title>" in l]
+    assert extraction, "extraction template not found in plan"
+    # tree dumps print parents first: extraction strictly above the semi
+    assert all(i < semi[0] for i in extraction), (extraction, semi)
+    # the canonicalizer's subtree never references the text column
+    for i, l in enumerate(lines):
+        if "HTTPS://Mi" in l and i > semi[0]:
+            assert "text#" not in l, f"stage 0 carries text: {l[:200]}"

@@ -328,3 +328,28 @@ def test_ivf_pq_prefit_matches_inline_fit(emb):
         for r in ivf_pq_top_k(emb, qs, prefit=structures, **kw).collect()
     )
     assert inline == pre and len(inline) > 0
+
+
+def test_scale100_ivf_pq_auto_fit_search_split():
+    """VERDICT r9 #5: the scale100 ivf_pq_auto row must split the
+    driver-side k-means fit (train-once, amortized via the pytest-pinned
+    prefit path) from the distributed cell-scan search, and the two
+    shares must reconstruct the total — the same arithmetic pin the
+    recall row carries."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    path = os.path.join(os.path.dirname(__file__), "..", "SCALE_MEASURED.json")
+    d = json.load(open(path))
+    row = (
+        d.get("scale100", {})
+        .get("100x", {})
+        .get("ops", {})
+        .get("ivf_pq_auto")
+    )
+    if not row or "fit_sec" not in row:
+        _pytest.skip("scale100 ivf_pq_auto not re-measured with the split yet")
+    assert row["fit_sec"] > 0 and row["search_sec"] > 0, row
+    assert abs(row["fit_sec"] + row["search_sec"] - row["sec"]) < 0.05, row

@@ -4,14 +4,16 @@ rotation policy holds (queries.py `_DEMOTED` rationale): new/changed
 operators sit inside the window, and previously demoted entries rotate
 back in so the driver re-verifies them round over round.
 
-Round-9 window: the r9 diffs rewrote the exact-Jaccard joins (hashed
-staged frames, per-doc canonical arrays), the shared candidate-verify
-tail, the CC loop and the contamination join keys — so
-dedup_jaccard_pairs, dedup_keep_canonical, dedup_clusters,
-dedup_minhash_star_clusters and contamination_report rotate back IN for
-a fresh driver sign-off; the five r8 rotate-backs (all driver-green in
-CORRECTNESS_r08.json) take their tail slots, each with a family sibling
-left in-window (rationales in queries._DEMOTED)."""
+Round-10 window: the r10 diffs made the prefix-join prunes float-safe
+(ε guards on plen / length / positional), swapped the cluster/keeper
+pair source to the prefix join, literal-quoted the paragraph separator
+and anchored the URL query regex — those entries stay in-window;
+prepare_web_corpus_v2 (URL dedup as stage 0) is NEW; and
+returned_item_customers / cohort_retention / chisq_lang_source
+(driver-green r8) rotate back IN.  similarity_topk_bruteforce,
+dedup_minhash_lsh, bm25_search and outlier_mad_events take their tail
+slots, each with a family sibling left in-window (rationales in
+queries._DEMOTED)."""
 
 from cdc_data_lake_pyspark_spark import queries as q
 
@@ -23,10 +25,10 @@ REQUIRED_VISIBLE = [
     "cdc_orders_apply",
     "cdc_multi_table_apply",
     "cdc_orders_apply_sql",  # executed-SQL MERGE/DELETE via LocalLake
-    # dedup family — incl. the r7 rotate-backs on the changed minhash path
+    # dedup family (dedup_minhash_lsh demoted r10: the star/cv cluster
+    # entries drive the same signature/banding/verify machinery harder)
     "dedup_latest_per_key",
-    "dedup_minhash_lsh",
-    "dedup_minhash_cv_clusters",  # star-cap banding + repair (star sibling demoted r8)
+    "dedup_minhash_cv_clusters",
     "dedup_embedding_cosine_lsh",
     "dedup_semantic_clusters",
     "dedup_exact_normalized",
@@ -36,7 +38,6 @@ REQUIRED_VISIBLE = [
     "similarity_ivf_pq",
     "similarity_pq_adc",
     "embedding_pq_codes",
-    "similarity_topk_bruteforce",  # mid-r7 _min_parallel change
     # dedup exact-verify family (plain + prefix both in-window for r9 —
     # both rewritten this round and they share the IDENTICAL oracle)
     "dedup_jaccard_prefix",
@@ -45,11 +46,12 @@ REQUIRED_VISIBLE = [
     "prepare_training_corpus_lsh",  # NEW r8: LSH-mode flagship composite
     "prepare_training_corpus_v2",
     "prepare_web_corpus",
-    # LM / text scoring (lm_cross_entropy demoted r8: token_entropy +
-    # the v2 composite's CE/DSIR machinery stay in-window)
+    "prepare_web_corpus_v2",  # NEW r10: URL dedup as stage 0
+    # LM / text scoring (bm25_search demoted r10: token_entropy +
+    # bpe_learned_tokenize and the v2 composite's CE/DSIR machinery
+    # stay in-window)
     "token_entropy",
     "bpe_learned_tokenize",
-    "bm25_search",
     "chunk_documents",
     "html_extract_main",
     # sampling / mixing
@@ -64,9 +66,10 @@ REQUIRED_VISIBLE = [
     # temporal / time-bucketed
     "range_join_view_purchase",
     "daily_gapfill_locf",
-    # linkage / quality / skew diagnostics
+    # linkage / quality / skew diagnostics (outlier_mad_events demoted
+    # r10; chisq_lang_source rotates back in alongside key_skew_report)
     "entity_resolution_customers",
-    "outlier_mad_events",
+    "chisq_lang_source",
     "key_skew_report",
     # graph
     "pagerank_parts",
@@ -86,40 +89,37 @@ REQUIRED_VISIBLE = [
     "url_dedup_canonical",
     # corpus-wide paragraph dedup (NEW r9)
     "dedup_paragraphs_global",
-    # r9 rotate-backs (r9 diffs touched their code paths — see
-    # CHANGED_THIS_ROUND)
+    # r9-changed paths the driver re-signed in CORRECTNESS_r09 — kept
+    # in-window because r10 touched them again (see CHANGED_THIS_ROUND)
     "dedup_jaccard_pairs",
     "dedup_keep_canonical",
     "dedup_clusters",
     "dedup_minhash_star_clusters",
     "contamination_report",
+    # r10 rotate-backs (driver-green r8, tail-oracled since)
+    "returned_item_customers",
+    "cohort_retention",
 ]
 
 # Operators added or materially changed this round: the rotation policy
 # requires them INSIDE the gated window (ADVICE r4).
 CHANGED_THIS_ROUND = [
-    # r9: plain exact-Jaccard join now reads a staged HASHED shingle
-    # frame; prefix path rebuilt on per-doc canonical arrays; shared
-    # candidate-verify tail refactored (_verify_pairs_with_sets)
-    "dedup_jaccard_pairs",
+    # r10: float-safe ε guards on the prefix path's plen / length /
+    # positional prunes (ADVICE r9)
     "dedup_jaccard_prefix",
-    "dedup_minhash_lsh",
-    "dedup_minhash_cv_clusters",
-    "dedup_minhash_star_clusters",
-    # r9: CC init folds the first propagation; changed-count fused into
-    # the per-iteration checkpoint
+    # r10: pair source swapped to the prefix-filtered exact join
+    # (VERDICT r9 #1)
     "dedup_clusters",
     "dedup_keep_canonical",
-    # r9: contamination join keys hashed map-side
-    "contamination_report",
-    # composites exercise all of the above end-to-end
+    # r10: flagship composite consumes the changed prefix path
     "prepare_training_corpus",
-    "prepare_training_corpus_lsh",
-    # NEW mid-r9: canonical-URL dedup (functions/urls.py) — new ops sit
-    # in-window per policy
-    "url_dedup_canonical",
-    # NEW mid-r9: CCNet-style corpus-wide paragraph dedup
+    # r10: separator literal-quoted before F.split (ADVICE r9)
     "dedup_paragraphs_global",
+    # r10: anchored pre-fragment query regex + parameterized
+    # tracking-param list (ADVICE r9 / VERDICT r9 #4)
+    "url_dedup_canonical",
+    # NEW r10: web capstone with URL dedup as stage 0 (VERDICT r9 #6)
+    "prepare_web_corpus_v2",
 ]
 
 

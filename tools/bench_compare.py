@@ -56,8 +56,14 @@ def main():
         cells = [str(d.get(metric, "—")) for _, d in rounds]
         print(f"| {metric} | " + " | ".join(cells) + " |")
 
-    # the bench CONTRACT number: the stable 10-query core sum, with the
-    # round-over-round delta vs the previous artifact that has one
+    # the bench CONTRACT numbers: the noise-robust median-of-three core
+    # (r10+) and the legacy sum-of-mins core, with the round-over-round
+    # delta vs the previous artifact that has one
+    medians = [(n, d.get("core_headline_median_sec")) for n, d in rounds]
+    if any(isinstance(c, (int, float)) for _, c in medians):
+        cells = [f"{c:.3f}" if isinstance(c, (int, float)) else "—"
+                 for _, c in medians]
+        print("| core_headline_median_sec | " + " | ".join(cells) + " |")
     cores = [
         (n, d.get("core_headline_sec")) for n, d in rounds
     ]

@@ -1061,12 +1061,16 @@ def measure_scale100(
         histogram_quantile,
         histogram_sketch,
     )
+    from cdc_data_lake_pyspark_spark.functions.urls import canonicalize_url
     from cdc_data_lake_pyspark_spark.operators.dedup_text import (
         minhash_near_dup_clusters_cv,
         minhash_near_duplicates,
+        paragraph_dedup_global,
         substring_duplicate_positions,
         substring_window_dedup,
     )
+    from cdc_data_lake_pyspark_spark.queries_phase2 import _PARA_PAGE_SQL
+    from cdc_data_lake_pyspark_spark.queries_phase9 import _PLANTED_URL_SQL
     from cdc_data_lake_pyspark_spark.operators.relational import (
         quantile_buckets,
     )
@@ -1242,21 +1246,42 @@ def measure_scale100(
                 ),
             ),
             (
-                # auto-sized layout (r6): nlist ~ 4*sqrt(N), probes
-                # nlist/8 — per-query candidate work sublinear in the
-                # corpus instead of the frozen 16-cell 1/4-of-corpus
-                # (the frozen contrast row lives on in the artifact as
-                # ivf_pq_frozen16)
-                "ivf_pq_auto",
-                # r7: function defaults — auto nlist/n_probe AND the
-                # auto shortlist (max(50, 2*sqrt(N)); SCALE.md §10)
-                lambda: ivf_pq_top_k(emb, queries, k=3, exclude_self=True),
-            ),
-            (
                 "substr_election",
                 lambda: substring_duplicate_positions(docs_u, k=8),
             ),
             ("substr_full", lambda: substring_window_dedup(docs_u, k=8)),
+            (
+                # VERDICT r9 #2: the two r9 text ops at the 100x axis.
+                # Salted corpus: bodies are unique across replicas, so
+                # only the planted banner/footer template drops and the
+                # REASSEMBLY shuffle (the one that carries paragraph
+                # text) grows ~linearly with corpus volume — that
+                # coefficient is what this row pins; the counting side
+                # still ships 32-byte digests only.
+                "paragraph_dedup",
+                lambda: paragraph_dedup_global(
+                    docs.select(
+                        "doc_id", F.expr(_PARA_PAGE_SQL).alias("text")
+                    ),
+                    max_df=1,
+                ),
+            ),
+            (
+                # map-only canonicalization + ONE keyed groupBy; the
+                # planted-URL canonical-group COUNT stays constant (280)
+                # while members grow 100x, so map-side combine must hold
+                # the exchange ~flat — the at-scale property of stage-0
+                # URL dedup.
+                "url_dedup",
+                lambda: docs.select(
+                    "doc_id", F.expr(_PLANTED_URL_SQL).alias("url")
+                )
+                .select("doc_id", canonicalize_url("url").alias("c"))
+                .groupBy("c")
+                .agg(
+                    F.min("doc_id").alias("keeper"), F.count("*").alias("n")
+                ),
+            ),
             ("decile_gate_exact", gate_exact),
             ("decile_gate_approx", gate_approx),
             # VERDICT r7 #2: the flagship composite ITSELF at the doc
@@ -1289,6 +1314,62 @@ def measure_scale100(
                 "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
             }
             print("scale100", label, op, row["ops"][op], flush=True)
+
+        if (not only_ops) or ("ivf_pq_auto" in only_ops):
+            # auto-sized layout (r6): nlist ~ 4*sqrt(N), probes nlist/8,
+            # auto shortlist (max(50, 2*sqrt(N))) and auto 8-bit books —
+            # function defaults, measured with the DRIVER-SIDE K-MEANS
+            # FIT split from the distributed cell-scan search (VERDICT
+            # r9 #5: the ~200 s fit is a train-once cost amortized via
+            # the prefit path; only search_sec is the per-query-batch
+            # trend number).  prefit ≡ inline fit is pytest-pinned
+            # (test_pq.py::test_ivf_pq_prefit_matches_inline_fit), so
+            # the split row measures the identical computation.
+            import math as _math
+
+            from cdc_data_lake_pyspark_spark.operators.similarity import (
+                auto_ivf_params,
+                auto_pq_codes,
+                fit_ivf_pq,
+            )
+
+            n_vec = emb.count()
+            n_clusters, n_probe = auto_ivf_params(n_vec)
+            t0 = time.time()
+            prefit = fit_ivf_pq(
+                emb,
+                n_clusters=n_clusters,
+                m_sub=8,
+                k=auto_pq_codes(n_vec),
+                seed=42,
+            )
+            fit_sec = round(time.time() - t0, 2)
+            r0, w0 = shuffle_totals(spark)
+            t0 = time.time()
+            out_rows = ivf_pq_top_k(
+                emb,
+                queries,
+                k=3,
+                n_clusters=n_clusters,
+                n_probe=n_probe,
+                shortlist=max(50, 2 * int(_math.isqrt(n_vec))),
+                exclude_self=True,
+                prefit=prefit,
+            ).count()
+            search_sec = round(time.time() - t0, 2)
+            r1, w1 = shuffle_totals(spark)
+            row["ops"]["ivf_pq_auto"] = {
+                "sec": round(fit_sec + search_sec, 2),
+                "fit_sec": fit_sec,
+                "search_sec": search_sec,
+                "out_rows": out_rows,
+                "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+            }
+            print(
+                "scale100", label, "ivf_pq_auto",
+                row["ops"]["ivf_pq_auto"], flush=True,
+            )
 
         if (not only_ops) or ("ivf_pq_recall" in only_ops):
             # VERDICT r6 next-round #6: recall of the AUTO-sized IVF-PQ
