@@ -607,6 +607,12 @@ _DEMOTED: tuple[str, ...] = (
     "outlier_mad_events",
     # diagnostics family: key_skew_report stays in-window and
     # chisq_lang_source rotates back in; driver-green r7-r9
+    "novelty_gate_batch",
+    # streaming-gate family (demoted mid-r10 for the NEW
+    # host_filter_docs window slot): semantic_gate_batch keeps the
+    # batch-reduction family in-window, the Bloom machinery stays
+    # in-window via bloom_join_lineitem_urgent, and the gate itself is
+    # soak-tested (test_streaming_novelty.py); driver-green r6-r9
     # time-bucketed-agg family: daily_gapfill_locf stays in-window on the
     # same day-truncated spine; driver-green r5, r8
     "embedding_quantize",

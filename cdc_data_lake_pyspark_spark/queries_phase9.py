@@ -533,3 +533,100 @@ def prepare_web_corpus_v2(spark, sf_dir):
     return hash_split(keep, id_col="doc_id").select(
         "doc_id", "fingerprint", "n_urls", "split"
     )
+
+
+# --------------------------------------------------------------------------
+# host_filter_docs — host-level quality gating (the URL-filtering stage)
+# --------------------------------------------------------------------------
+
+#: planted crawl metadata for host-level gating (identical SQL text in
+#: both dialects): five hosts; hosts h0/h1 serve only 8 distinct pages
+#: each (a crawler stuck re-fetching boilerplate — near-total URL-level
+#: duplication), hosts h2-h4 serve 200 distinct pages each (healthy).
+#: The per-host duplication RATE is the blocklist signal.
+_HOST_SQL = "'h' || CAST(doc_id % 5 AS STRING)"
+_HOST_PAGE_SQL = (
+    "CASE WHEN doc_id % 5 < 2 THEN doc_id % 8 ELSE doc_id % 200 END"
+)
+#: block hosts whose URL-duplication rate exceeds 60% (ppm scale)
+_HOST_DUP_PPM_MAX = 600_000
+
+
+def _host_filter_oracle() -> str:
+    return f"""
+    WITH planted AS (
+      SELECT doc_id, {_HOST_SQL} AS host,
+             {_HOST_SQL} || '/' || CAST(({_HOST_PAGE_SQL}) AS STRING) AS url
+      FROM documents
+    ), stats AS (
+      SELECT host,
+             CAST(count(*) AS BIGINT) AS n_pages,
+             CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+             CAST(round(1e6 * CAST(count(*) - count(DISTINCT url) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE)) AS BIGINT) AS dup_ppm
+      FROM planted GROUP BY host
+    )
+    SELECT p.doc_id, p.host, s.n_pages, s.n_urls, s.dup_ppm,
+           CAST(CASE WHEN s.dup_ppm <= {_HOST_DUP_PPM_MAX}
+                     THEN 1 ELSE 0 END AS INT) AS kept
+    FROM planted p JOIN stats s USING (host)
+    """
+
+
+@query("host_filter_docs", oracle=_host_filter_oracle())
+def host_filter_docs(spark, sf_dir):
+    """HOST-level quality gating — the URL-filtering stage the published
+    web-corpus pipelines (RefinedWeb §3.1 "URL filtering", FineWeb) run
+    before fetching or keeping content: aggregate crawl behavior per
+    HOST, blocklist hosts whose URL-duplication rate says the crawler
+    was trapped (re-fetching the same few pages), and gate every
+    document by its host's verdict.  Complements the per-URL
+    canonicalizer (stage 0 of prepare_web_corpus_v2): URL dedup drops
+    exact re-crawls one URL at a time; the host report drops WHOLE
+    sites whose duplication rate marks them as boilerplate farms.
+
+    Returns ``(doc_id, host, n_pages, n_urls, dup_ppm, kept)`` — the
+    per-host stats ride along so the oracle value-checks the aggregate
+    AND the gate in one pass.  Rates are integer ppm (the repo's
+    micro-integer bridge pattern), so both engines compare exactly.
+
+    Scale shape: the per-host aggregate is one map-side-combined
+    groupBy whose output is #hosts rows (at 100 TB: ~10⁷ hosts, still
+    tiny next to the corpus; the distinct-URL count shuffles
+    (host, md5(url)) pairs once); the verdict joins back via an
+    AQE-broadcast hash join, so the corpus itself never shuffles —
+    gating is map-only against broadcast host stats."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.expr(_HOST_SQL).alias("host"),
+        F.expr(
+            f"{_HOST_SQL} || '/' || CAST(({_HOST_PAGE_SQL}) AS STRING)"
+        ).alias("url"),
+    )
+    stats = planted.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("url").alias("n_urls"),
+    ).select(
+        "host",
+        "n_pages",
+        "n_urls",
+        F.round(
+            F.lit(1e6)
+            * (F.col("n_pages") - F.col("n_urls")).cast("double")
+            / F.col("n_pages").cast("double")
+        )
+        .cast("bigint")
+        .alias("dup_ppm"),
+    )
+    return planted.join(F.broadcast(stats), "host").select(
+        "doc_id",
+        "host",
+        "n_pages",
+        "n_urls",
+        "dup_ppm",
+        F.when(F.col("dup_ppm") <= _HOST_DUP_PPM_MAX, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("kept"),
+    )

@@ -82,9 +82,11 @@ REQUIRED_VISIBLE = [
     "compact_orders_roundtrip",
     # multimodal codecs
     "multimodal_decode",
-    # streaming gates
-    "novelty_gate_batch",
+    # streaming gates (novelty_gate_batch demoted mid-r10 for the new
+    # host-filter entry; soak-tested + Bloom family in-window)
     "semantic_gate_batch",
+    # host-level URL-quality gating (NEW r10)
+    "host_filter_docs",
     # web-pipeline URL stage (NEW r9)
     "url_dedup_canonical",
     # corpus-wide paragraph dedup (NEW r9)
@@ -120,6 +122,9 @@ CHANGED_THIS_ROUND = [
     "url_dedup_canonical",
     # NEW r10: web capstone with URL dedup as stage 0 (VERDICT r9 #6)
     "prepare_web_corpus_v2",
+    # NEW mid-r10: host-level quality gating (RefinedWeb-style URL
+    # filtering — per-host dup-rate aggregate + blocklist gate)
+    "host_filter_docs",
 ]
 
 
