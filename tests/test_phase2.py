@@ -706,3 +706,30 @@ def test_paragraph_dedup_metachar_separator(spark):
         for r in paragraph_dedup_global(docs2, max_df=1, sep="||").collect()
     }
     assert got2 == {1: "left part||right one", 2: "mid part||right two"}
+
+
+def test_prefix_float_safe_at_default_threshold(spark):
+    """The same rounding class at the DEFAULT threshold: fl(0.8) > 4/5,
+    so fl(0.8·5) = 4.000000000000001 and the unslacked prefix length for
+    a 5-shingle doc came out ONE SHORT (⌈4.0…1⌉ = 5 → plen 1 instead of
+    2), silently able to miss a 4⊂5 subset pair at J = fl(4/5) = fl(0.8)
+    ≥ t.  Pin the pair end-to-end: doc 1's 4 trigrams ⊂ doc 2's 5."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        jaccard_similar_pairs_prefix,
+    )
+
+    words = [f"v{i}" for i in range(7)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words[:6])), (2, " ".join(words))],
+        ["doc_id", "text"],
+    )
+    plain = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in jaccard_similar_pairs(docs, threshold=0.8).collect()
+    }
+    assert plain == {(1, 2): 0.8}, plain
+    pref = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in jaccard_similar_pairs_prefix(docs, threshold=0.8).collect()
+    }
+    assert pref == plain
