@@ -58,3 +58,53 @@ def stratified_sample(
             else F.lit(0)
         )
     return df.filter(ticket < thresh)
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "epoch-0",
+    keep_cols: tuple = (),
+) -> DataFrame:
+    """Deterministic epoch ORDER for training: assign every row a
+    ``(shard, pos)`` so that reading shards in pos order replays one
+    seeded global shuffle of the corpus — the data-order stage every
+    trainer needs (public practice: dataset pipelines materialize a
+    seeded shuffle per epoch so runs are reproducible and sources /
+    languages arrive interleaved, not in ingestion runs).
+
+    The order key is ``portable_hash(seed | id)``: uniform, so any
+    contiguous read interleaves sources proportionally in expectation
+    (the property batch-level mixing needs), and changing ``seed``
+    yields an independent epoch order while rows keep their identity.
+    Spark's ``df.sample``/``rand`` orders change with partitioning and
+    scheduling; this one is a pure row function — reproducible across
+    engines, runs, and cluster layouts (DuckDB replays it exactly).
+
+    Scale shape: key + shard are map-only; ``pos`` is a row_number
+    windowed WITHIN each shard — one exchange on the shard id plus a
+    per-shard local sort, exactly the write-time
+    ``repartition(shard).sortWithinPartitions(key)`` layout a training
+    export job runs.  No global sort: at 100 TB you size ``n_shards``
+    to the output-file budget (10k+), so each window partition is one
+    output file's rows.
+    """
+    h = portable_id_hash(
+        F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))
+    )
+    from pyspark.sql import Window
+
+    keyed = df.select(
+        id_col,
+        *keep_cols,
+        h.alias("_h"),
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_h"), F.col(id_col))
+    return keyed.select(
+        id_col,
+        *keep_cols,
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

@@ -613,6 +613,11 @@ _DEMOTED: tuple[str, ...] = (
     # batch-reduction family in-window, the Bloom machinery stays
     # in-window via bloom_join_lineitem_urgent, and the gate itself is
     # soak-tested (test_streaming_novelty.py); driver-green r6-r9
+    "pagerank_parts",
+    # graph family (demoted mid-r10 for the NEW training_order_shards
+    # window slot): bfs_part_distances keeps the iterative-graph family
+    # in-window and the PageRank schedule stays oracle-checked in the
+    # tail (unrolled-CTE oracle) + bit-exact pytest; driver-green r7-r9
     # time-bucketed-agg family: daily_gapfill_locf stays in-window on the
     # same day-truncated spine; driver-green r5, r8
     "embedding_quantize",

@@ -1348,3 +1348,37 @@ def dedup_substring_windows(spark, sf_dir):
     )
 
     return substring_window_dedup(_t(spark, sf_dir, "documents"), k=8)
+
+
+_ORDER_HASH = _hash_sql("'epoch-0|' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "training_order_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, {_ORDER_HASH} AS hh FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(hh % 8 AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hh % 8
+                                   ORDER BY hh, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def training_order_shards(spark, sf_dir):
+    """Deterministic epoch ordering (`operators/sampling.py::
+    training_order`): every doc gets a ``(shard, pos)`` such that
+    reading shards in pos order replays one seeded global shuffle —
+    reproducible across engines/runs/layouts (unlike ``rand()`` orders),
+    source-interleaved in expectation because the order key is a
+    uniform hash.  The oracle replays key, shard and within-shard rank
+    exactly, so every position is value-checked.
+
+    Plan: map-only key+shard, one exchange on shard + per-shard local
+    sort (= the write-time repartition+sortWithinPartitions layout of a
+    training export); no global sort at any corpus size."""
+    from cdc_data_lake_pyspark_spark.operators.sampling import training_order
+
+    docs = _t(spark, sf_dir, "documents")
+    return training_order(docs, keep_cols=("source",))

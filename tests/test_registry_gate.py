@@ -54,8 +54,9 @@ REQUIRED_VISIBLE = [
     "bpe_learned_tokenize",
     "chunk_documents",
     "html_extract_main",
-    # sampling / mixing
+    # sampling / mixing / epoch ordering
     "corpus_mix_temperature",
+    "training_order_shards",  # NEW r10: deterministic epoch shuffle
     # changelog / ordered sequences (scd2_user_history demoted mid-r9
     # for the new URL-dedup entry; diff shape pinned in pytest + tail)
     "event_transition_matrix",
@@ -71,8 +72,8 @@ REQUIRED_VISIBLE = [
     "entity_resolution_customers",
     "chisq_lang_source",
     "key_skew_report",
-    # graph
-    "pagerank_parts",
+    # graph (pagerank_parts demoted mid-r10 for the training-order
+    # entry; schedule stays tail-oracled + bit-exact in pytest)
     "bfs_part_distances",
     # sparse similarity / features
     "sparse_cosine_docs",
@@ -125,6 +126,9 @@ CHANGED_THIS_ROUND = [
     # NEW mid-r10: host-level quality gating (RefinedWeb-style URL
     # filtering — per-host dup-rate aggregate + blocklist gate)
     "host_filter_docs",
+    # NEW mid-r10: deterministic epoch ordering (seeded-shuffle
+    # (shard, pos) assignment, replayed exactly by the oracle)
+    "training_order_shards",
 ]
 
 

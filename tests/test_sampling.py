@@ -48,3 +48,43 @@ def test_superset_property_when_rate_increases(spark):
     big = {r["doc_id"] for r in
            stratified_sample(docs, {"en": 0.4}, default_fraction=0.0).collect()}
     assert small <= big
+
+
+def test_training_order_deterministic_and_contiguous(spark):
+    """training_order: (shard, pos) is a pure row function — identical
+    under different partitionings, shards bounded, per-shard positions
+    contiguous from 1, and a different seed yields a different order of
+    the same rows."""
+    from pyspark.sql import functions as F
+
+    from cdc_data_lake_pyspark_spark.operators.sampling import (
+        training_order,
+    )
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+    )
+    a = {
+        r.doc_id: (r.shard, r.pos)
+        for r in training_order(df, keep_cols=("source",)).collect()
+    }
+    b = {
+        r.doc_id: (r.shard, r.pos)
+        for r in training_order(
+            df.repartition(7, "source"), keep_cols=("source",)
+        ).collect()
+    }
+    assert a == b  # layout-independent
+    assert len(a) == 400
+    by_shard = {}
+    for doc, (sh, pos) in a.items():
+        assert 0 <= sh < 8
+        by_shard.setdefault(sh, []).append(pos)
+    for sh, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), sh
+    c = {
+        r.doc_id: (r.shard, r.pos)
+        for r in training_order(df, seed="epoch-1").collect()
+    }
+    assert set(c) == set(a) and c != a  # new epoch, same rows, new order
