@@ -51,6 +51,9 @@ HEADLINE = CORE + [
     "revenue_cube",
     "ivm_orders_by_status",
     "html_extract_main",
+    # r10: the web capstone with URL dedup as stage 0 — tracked
+    # round-over-round like the training composite
+    "prepare_web_corpus_v2",
 ]
 
 LOCAL_RESULTS = os.path.join(
