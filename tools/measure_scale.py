@@ -1164,6 +1164,45 @@ def measure_scale100(
                 ),
             )
 
+        from cdc_data_lake_pyspark_spark.operators.sampling import (
+            training_order as _training_order_fn,
+        )
+        from cdc_data_lake_pyspark_spark.queries_phase9 import (
+            _HOST_DUP_PPM_MAX,
+            _HOST_PAGE_SQL,
+            _HOST_SQL,
+        )
+
+        def _host_filter_at(frame):
+            """host_filter_docs' body over an arbitrary docs frame (the
+            registry entry reads its own parquet)."""
+            planted = frame.select(
+                "doc_id",
+                F.expr(_HOST_SQL).alias("host"),
+                F.expr(
+                    f"{_HOST_SQL} || '/' || CAST(({_HOST_PAGE_SQL}) AS STRING)"
+                ).alias("url"),
+            )
+            stats = planted.groupBy("host").agg(
+                F.count(F.lit(1)).alias("n_pages"),
+                F.countDistinct("url").alias("n_urls"),
+            ).select(
+                "host",
+                F.round(
+                    F.lit(1e6)
+                    * (F.col("n_pages") - F.col("n_urls")).cast("double")
+                    / F.col("n_pages").cast("double")
+                )
+                .cast("bigint")
+                .alias("dup_ppm"),
+            )
+            return planted.join(F.broadcast(stats), "host").select(
+                "doc_id",
+                F.when(
+                    F.col("dup_ppm") <= _HOST_DUP_PPM_MAX, F.lit(1)
+                ).otherwise(F.lit(0)).alias("kept"),
+            )
+
         # synthetic per-doc score for the decile-gate machinery contrast
         # (token count as double; both paths consume the identical frame)
         scores = docs.select(
@@ -1281,6 +1320,25 @@ def measure_scale100(
                 .agg(
                     F.min("doc_id").alias("keeper"), F.count("*").alias("n")
                 ),
+            ),
+            (
+                # r10: host-level gating — two aggregates to #hosts rows
+                # + a broadcast join-back; the corpus never shuffles, so
+                # wall should track the scan and shuffle stay ~flat
+                "host_filter",
+                lambda: _host_filter_at(docs),
+            ),
+            (
+                # r10: epoch ordering — one exchange on the shard id +
+                # per-shard local sort; shards sized to output files
+                # (256 here), shuffle ~= the ordered projection's bytes.
+                # The pos-dependent filter forces the window: a bare
+                # count() lets Catalyst prune the row-preserving
+                # row_number and measures only the scan.
+                "training_order",
+                lambda: _training_order_fn(
+                    docs.select("doc_id"), n_shards=256
+                ).filter(F.col("pos") % 7 == 0),
             ),
             ("decile_gate_exact", gate_exact),
             ("decile_gate_approx", gate_approx),
