@@ -232,7 +232,9 @@ def main() -> None:
     # compares, and a bounded runtime protects the driver artifact.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    core_samples: dict[str, list] = {}
+    # per-query samples keyed by PASS index, so a query that fails one
+    # pass cannot misalign another pass's draws (r10 review #1)
+    core_samples: dict[str, dict] = {n: {} for n in CORE}
     state = {"sf": sf, "queries": timings, "errors": errors, "done": False}
     for pass_no in range(3):
         for name in names:
@@ -246,9 +248,15 @@ def main() -> None:
             if elapsed is None:
                 errors[name] = err or "unknown"
             else:
-                timings[name] = min(timings.get(name, elapsed), elapsed)
                 if name in CORE:
-                    core_samples.setdefault(name, []).append(elapsed)
+                    core_samples[name][pass_no] = elapsed
+                # the third pass feeds ONLY the median machinery: the
+                # legacy timings map (and core_headline_sec derived from
+                # it) keeps its historical min-of-two semantics — min of
+                # three would bias the r4-r9 trend line downward under
+                # the ~26 % draw noise (r10 review #2)
+                if pass_no < 2:
+                    timings[name] = min(timings.get(name, elapsed), elapsed)
                 errors.pop(name, None)
             flush_partial(state)
 
@@ -299,23 +307,33 @@ def main() -> None:
     # median (the contract number going forward) + min; per-query medians
     # kept for tools/bench_compare.py attribution.  Per-pass sums (not
     # sums of per-query medians) so one draw's covariant noise stays in
-    # one sample instead of leaking into all three.
+    # one sample instead of leaking into all three.  Only COMPLETE
+    # passes (all 10 core queries timed in that pass) enter the median —
+    # a partial pass would publish a 9-query number as the 10-query
+    # contract (r10 review #1); `core_complete_passes` records how many
+    # survived so a degraded artifact is visible, never silent.
     import statistics
 
-    n_passes = min((len(v) for v in core_samples.values()), default=0)
+    complete = [
+        p
+        for p in range(3)
+        if all(p in core_samples[n] for n in CORE)
+    ]
     pass_sums = [
-        round(sum(core_samples[n][i] for n in CORE if n in core_samples), 3)
-        for i in range(n_passes)
+        round(sum(core_samples[n][p] for n in CORE), 3) for p in complete
     ]
     core_median = round(statistics.median(pass_sums), 3) if pass_sums else None
     core_min = min(pass_sums) if pass_sums else None
     core_medians = {
-        n: round(statistics.median(v), 3) for n, v in core_samples.items()
+        n: round(statistics.median(list(v.values())), 3)
+        for n, v in core_samples.items()
+        if v
     }
     state["core_headline_sec"] = core
     state["core_headline_median_sec"] = core_median
     state["core_headline_min_sec"] = core_min
     state["core_pass_sums"] = pass_sums
+    state["core_complete_passes"] = len(complete)
     state["core_query_medians"] = core_medians
     flush_partial(state)
     summary = {

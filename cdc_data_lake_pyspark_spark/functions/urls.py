@@ -55,10 +55,31 @@ DEFAULT_TRACKING_PARAMS: tuple[str, ...] = (
 def _tracking_param_re(params: Sequence[str]) -> str:
     """``^(p1|p2|...)=`` matcher over whole param NAMES.  Each entry is a
     regex fragment in the Java-regex ∩ RE2 subset and must not contain a
-    single quote (the expression embeds in single-quoted SQL text)."""
+    single quote (the expression embeds in single-quoted SQL text).
+
+    Malformed fragments are rejected at CONSTRUCTION (the list is a
+    public parameter since r10): an unbalanced ``)`` would otherwise
+    surface as an executor-side PatternSyntaxException at action time,
+    and a leading/trailing ``|`` would add an EMPTY alternative that
+    silently matches every param.  An empty list disables dropping via
+    a never-matching pattern (``$.`` — a character after end-of-input)."""
+    import re as _re
+
+    if not params:
+        return "$."
     for p in params:
         if "'" in p:
             raise ValueError(f"tracking param pattern may not contain ': {p!r}")
+        if not p or p.startswith("|") or p.endswith("|") or "||" in p:
+            raise ValueError(
+                f"tracking param pattern adds an empty alternative: {p!r}"
+            )
+        try:
+            _re.compile(f"^({p})=")
+        except _re.error as exc:
+            raise ValueError(
+                f"invalid tracking param pattern {p!r}: {exc}"
+            ) from None
     return "^(" + "|".join(params) + ")="
 
 

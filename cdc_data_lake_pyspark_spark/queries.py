@@ -618,8 +618,6 @@ _DEMOTED: tuple[str, ...] = (
     # window slot): bfs_part_distances keeps the iterative-graph family
     # in-window and the PageRank schedule stays oracle-checked in the
     # tail (unrolled-CTE oracle) + bit-exact pytest; driver-green r7-r9
-    # time-bucketed-agg family: daily_gapfill_locf stays in-window on the
-    # same day-truncated spine; driver-green r5, r8
     "embedding_quantize",
     # embedding map-only family: embedding_pq_codes stays in-window;
     # driver-green r5, r8

@@ -425,8 +425,11 @@ def url_dedup_canonical(spark, sf_dir):
 #: SAME logical page (doc_id % 400) is served by THREE mirror hosts
 #: (doc_id % 3; gcd(3,400)=1 so every page appears on every mirror) with
 #: per-fetch noise — case, default port, trailing slash, tracking params,
-#: and a fragment whose '?' must NOT parse as a query (the ADVICE r9
-#: anchored-regex case, exercised here inside an oracled composite).
+#: and a fragment containing a '?' (the ADVICE r9 anchored-regex SHAPE;
+#: here a real query precedes the fragment, and since both dialects
+#: share the regex text a parity oracle can never catch a shared regex
+#: bug anyway — the regression coverage for the anchor itself is the
+#: Spark-vs-pinned-string CASES in tests/test_urls.py).
 #: Canonicalization collapses re-fetches of one (mirror, page) URL;
 #: the mirrors themselves only collapse later, at CONTENT dedup.
 _CRAWL_URL_SQL = (
@@ -514,7 +517,15 @@ def prepare_web_corpus_v2(spark, sf_dir):
         )
         .select("doc_id", "text")
     )
-    # stage 0: URL keeper election on a TEXT-FREE projection
+    # stage 0: URL keeper election on a TEXT-FREE projection.  `base` is
+    # deliberately NOT staged despite having two consumers: column
+    # pruning splits them into an id-only subplan (this one — scans
+    # doc_id alone) and the text-attaching subplan, which Catalyst
+    # pushes ABOVE the keeper semi-join so extraction touches survivors
+    # only (pinned in test_plans.py).  A checkpoint here would
+    # materialize TEXT before URL dedup — the exact order this
+    # composite exists to avoid; the duplicated work is one id-only
+    # scan+join, strictly cheaper.
     canon = base.select(
         "doc_id", F.expr(canonical_url_sql(f"({_CRAWL_URL_SQL})")).alias("_c")
     )
@@ -596,7 +607,13 @@ def host_filter_docs(spark, sf_dir):
     (host, md5(url)) pairs once); the verdict joins back via an
     AQE-broadcast hash join, so the corpus itself never shuffles —
     gating is map-only against broadcast host stats."""
-    docs = _t(spark, sf_dir, "documents")
+    return _host_filter(_t(spark, sf_dir, "documents"))
+
+
+def _host_filter(docs):
+    """host_filter_docs' body over an arbitrary docs frame — shared with
+    tools/measure_scale.py so the scale100 row measures the SAME
+    expressions the registry entry ships (r10 review #6)."""
     planted = docs.select(
         "doc_id",
         F.expr(_HOST_SQL).alias("host"),

@@ -76,7 +76,10 @@ def test_core_median_fields_present_in_artifact():
     if "core_pass_sums" not in d:
         _pytest.skip("artifact predates the r10 median contract")
     sums = d["core_pass_sums"]
-    assert len(sums) == 3, sums
+    # only COMPLETE passes enter; a clean run has all three, a run with
+    # a transient core failure records fewer (visibly, never silently)
+    assert d.get("core_complete_passes", len(sums)) == len(sums)
+    assert 1 <= len(sums) <= 3, sums
     assert d["core_headline_median_sec"] == round(statistics.median(sums), 3)
     assert d["core_headline_min_sec"] == min(sums)
     assert set(d["core_query_medians"]) <= set(bench.CORE)

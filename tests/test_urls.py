@@ -104,3 +104,23 @@ def test_tracking_params_parameterized(spark):
 def test_tracking_params_reject_quote():
     with pytest.raises(ValueError):
         canonical_url_sql("url", tracking_params=("a'b",))
+
+
+def test_tracking_params_reject_malformed():
+    """r10 review: malformed fragments fail at construction, not as an
+    executor-side PatternSyntaxException / silent empty alternative."""
+    for bad in ("a)b", "gclid|", "|ref", "", "a||b"):
+        with pytest.raises(ValueError):
+            canonical_url_sql("url", tracking_params=(bad,))
+
+
+def test_tracking_params_empty_disables_dropping(spark):
+    got = (
+        spark.createDataFrame(
+            [("https://ex.com/a?utm_source=x&b=2",)], ["url"]
+        )
+        .select(canonicalize_url("url", tracking_params=()).alias("c"))
+        .first()
+        .c
+    )
+    assert got == "https://ex.com/a?b=2&utm_source=x"

@@ -64,6 +64,15 @@ def main():
         cells = [f"{c:.3f}" if isinstance(c, (int, float)) else "—"
                  for _, c in medians]
         print("| core_headline_median_sec | " + " | ".join(cells) + " |")
+        deltas, prev = [], None
+        for _, c in medians:
+            if isinstance(c, (int, float)) and isinstance(prev, (int, float)):
+                deltas.append(f"{100.0 * (c - prev) / prev:+.1f}%")
+            else:
+                deltas.append("—")
+            if isinstance(c, (int, float)):
+                prev = c
+        print("| core median Δ vs prev | " + " | ".join(deltas) + " |")
     cores = [
         (n, d.get("core_headline_sec")) for n, d in rounds
     ]

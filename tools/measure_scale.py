@@ -1168,40 +1168,8 @@ def measure_scale100(
             training_order as _training_order_fn,
         )
         from cdc_data_lake_pyspark_spark.queries_phase9 import (
-            _HOST_DUP_PPM_MAX,
-            _HOST_PAGE_SQL,
-            _HOST_SQL,
+            _host_filter as _host_filter_at,
         )
-
-        def _host_filter_at(frame):
-            """host_filter_docs' body over an arbitrary docs frame (the
-            registry entry reads its own parquet)."""
-            planted = frame.select(
-                "doc_id",
-                F.expr(_HOST_SQL).alias("host"),
-                F.expr(
-                    f"{_HOST_SQL} || '/' || CAST(({_HOST_PAGE_SQL}) AS STRING)"
-                ).alias("url"),
-            )
-            stats = planted.groupBy("host").agg(
-                F.count(F.lit(1)).alias("n_pages"),
-                F.countDistinct("url").alias("n_urls"),
-            ).select(
-                "host",
-                F.round(
-                    F.lit(1e6)
-                    * (F.col("n_pages") - F.col("n_urls")).cast("double")
-                    / F.col("n_pages").cast("double")
-                )
-                .cast("bigint")
-                .alias("dup_ppm"),
-            )
-            return planted.join(F.broadcast(stats), "host").select(
-                "doc_id",
-                F.when(
-                    F.col("dup_ppm") <= _HOST_DUP_PPM_MAX, F.lit(1)
-                ).otherwise(F.lit(0)).alias("kept"),
-            )
 
         # synthetic per-doc score for the decile-gate machinery contrast
         # (token count as double; both paths consume the identical frame)
