@@ -618,6 +618,13 @@ _DEMOTED: tuple[str, ...] = (
     # window slot): bfs_part_distances keeps the iterative-graph family
     # in-window and the PageRank schedule stays oracle-checked in the
     # tail (unrolled-CTE oracle) + bit-exact pytest; driver-green r7-r9
+    "prepare_web_corpus",
+    # web-capstone family (demoted mid-r10 for the NEW
+    # prepare_web_corpus_v3 window slot): v3 runs v1's entire
+    # extract→gate→content-dedup→split tail VERBATIM with the host gate
+    # and URL keeper in front, and v2 + url_dedup_canonical +
+    # host_filter_docs keep every stage independently in-window;
+    # driver-green r6-r9
     "embedding_quantize",
     # embedding map-only family: embedding_pq_codes stays in-window;
     # driver-green r5, r8

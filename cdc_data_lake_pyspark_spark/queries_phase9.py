@@ -647,3 +647,153 @@ def _host_filter(docs):
         .cast("int")
         .alias("kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# prepare_web_corpus_v3 — the FULL pre-content pipeline in canonical order
+# --------------------------------------------------------------------------
+
+#: one coherent crawl plant for the full pipeline (identical SQL text in
+#: both dialects): five hosts M0-M4; trap hosts M3/M4 serve only two
+#: distinct pages each (a crawler stuck in boilerplate — ~98% URL
+#: duplication), healthy hosts M0-M2 serve 80 pages each (~20% dup from
+#: re-fetch noise).  Page content is the text of doc_id % 200 while the
+#: page id is doc_id % 400, so on every healthy host page pairs
+#: (p, p+200) share CONTENT but not URL — work left for the content
+#: stage after both URL-level stages ran.
+_V3_URL_SQL = (
+    "'HTTPS://M' || CAST(doc_id % 5 AS STRING) || '.Example.COM:443/p/' || "
+    "CAST((CASE WHEN doc_id % 5 >= 3 THEN doc_id % 10 "
+    "           ELSE doc_id % 400 END) AS STRING) || "
+    "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END || "
+    "'?a=1' || "
+    "CASE WHEN doc_id % 4 = 0 THEN '&utm_medium=rss' ELSE '&gclid=g7' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN '#s-' || CAST(doc_id AS STRING) "
+    "     ELSE '' END"
+)
+_V3_HOST_SQL = "'M' || CAST(doc_id % 5 AS STRING)"
+
+
+def _prepare_web_corpus_v3_oracle() -> str:
+    from cdc_data_lake_pyspark_spark.functions.urls import canonical_url_sql
+    from cdc_data_lake_pyspark_spark.queries_phase4 import _hash_sql
+
+    ex = main_text_sql(_PAGE_SQL, duck=True)
+    split_hash = _hash_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH crawls AS (
+      SELECT d.doc_id, s.text
+      FROM documents d JOIN documents s ON s.doc_id = d.doc_id % 200
+      WHERE s.text IS NOT NULL
+    ), canon AS (
+      SELECT doc_id,
+             {canonical_url_sql(f"({_V3_URL_SQL})", duck=True)} AS c,
+             {_V3_HOST_SQL} AS host
+      FROM crawls
+    ), hstats AS (
+      SELECT host,
+             CAST(round(1e6 * CAST(count(*) - count(DISTINCT c) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE)) AS BIGINT) AS dup_ppm
+      FROM canon GROUP BY host
+    ), good AS (
+      SELECT host FROM hstats WHERE dup_ppm <= {_HOST_DUP_PPM_MAX}
+    ), url_keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM canon JOIN good USING (host) GROUP BY c
+    ), ex AS (
+      SELECT cr.doc_id, {ex} AS main_text
+      FROM crawls cr JOIN url_keep USING (doc_id)
+    ), gated AS (
+      SELECT doc_id, main_text FROM ex
+      WHERE length(main_text) >= {_WEB_MIN_CHARS}
+    ), keep AS (
+      SELECT md5(lower(trim(main_text))) AS fingerprint,
+             CAST(min(doc_id) AS BIGINT) AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_urls
+      FROM gated GROUP BY 1
+    )
+    SELECT doc_id, fingerprint, n_urls,
+           CASE WHEN {split_hash} % 100 < 80 THEN 'train'
+                WHEN {split_hash} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM keep
+    """
+
+
+@query("prepare_web_corpus_v3", oracle=_prepare_web_corpus_v3_oracle)
+def prepare_web_corpus_v3(spark, sf_dir):
+    """The COMPLETE web pipeline in canonical pre-content order — every
+    cheap URL-level stage runs before any page text is touched:
+
+    crawl → canonicalize (map-only, id-derived) → HOST dup-rate gate
+    (drops the two trap hosts wholesale, stage −1) → canonical-URL
+    keeper election (stage 0) → main-content extraction → minimum-
+    content gate → exact CONTENT dedup (collapses the (p, p+200) pages
+    that share text but not URL) → deterministic split.
+
+    Each stage has real planted work the previous stages cannot do:
+    the host gate kills ~2/5 of the crawl in one broadcast verdict, URL
+    dedup collapses per-page re-fetch noise, and content dedup merges
+    cross-URL duplicates that no URL-level stage can see.  ``n_urls``
+    counts the URL-keeper survivors per content fingerprint.
+
+    Plan shape: canonicalization + host derive from doc_id alone (the
+    pruned stage −1/0 subplans scan one column); the host verdict is
+    #hosts rows joined back broadcast; survivors rejoin by id, and
+    extraction sits above that semi-join — same staged order pinned for
+    v2 in test_plans.py, now with the host gate in front."""
+    from cdc_data_lake_pyspark_spark.functions.urls import canonical_url_sql
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import exact_dedup
+    from cdc_data_lake_pyspark_spark.operators.relational import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    crawls = (
+        docs.select("doc_id", (F.col("doc_id") % 200).alias("_src"))
+        .join(
+            docs.select(
+                F.col("doc_id").alias("_src"), "text"
+            ).filter(F.col("text").isNotNull()),
+            "_src",
+        )
+        .select("doc_id", "text")
+    )
+    canon = crawls.select(
+        "doc_id",
+        F.expr(canonical_url_sql(f"({_V3_URL_SQL})")).alias("_c"),
+        F.expr(_V3_HOST_SQL).alias("_host"),
+    )
+    good = (
+        canon.groupBy("_host")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct("_c").alias("_u"),
+        )
+        .filter(
+            F.round(
+                F.lit(1e6)
+                * (F.col("_n") - F.col("_u")).cast("double")
+                / F.col("_n").cast("double")
+            ).cast("bigint")
+            <= _HOST_DUP_PPM_MAX
+        )
+        .select("_host")
+    )
+    url_keep = (
+        canon.join(F.broadcast(good), "_host")
+        .groupBy("_c")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    survivors = crawls.join(url_keep.select("doc_id"), "doc_id", "left_semi")
+    extracted = survivors.select(
+        "doc_id",
+        F.expr(main_text_sql(_PAGE_SQL, duck=False)).alias("main_text"),
+    )
+    gated = extracted.filter(F.length("main_text") >= _WEB_MIN_CHARS)
+    keep = exact_dedup(gated, text_col="main_text").select(
+        "fingerprint",
+        F.col("keeper_id").alias("doc_id"),
+        F.col("n_docs").alias("n_urls"),
+    )
+    return hash_split(keep, id_col="doc_id").select(
+        "doc_id", "fingerprint", "n_urls", "split"
+    )

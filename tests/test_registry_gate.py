@@ -45,8 +45,10 @@ REQUIRED_VISIBLE = [
     "prepare_training_corpus",
     "prepare_training_corpus_lsh",  # NEW r8: LSH-mode flagship composite
     "prepare_training_corpus_v2",
-    "prepare_web_corpus",
+    # (prepare_web_corpus v1 demoted mid-r10: v3 runs its whole tail
+    # verbatim behind the host gate + URL keeper)
     "prepare_web_corpus_v2",  # NEW r10: URL dedup as stage 0
+    "prepare_web_corpus_v3",  # NEW r10: full pipeline, host gate first
     # LM / text scoring (bm25_search demoted r10: token_entropy +
     # bpe_learned_tokenize and the v2 composite's CE/DSIR machinery
     # stay in-window)
@@ -129,6 +131,9 @@ CHANGED_THIS_ROUND = [
     # NEW mid-r10: deterministic epoch ordering (seeded-shuffle
     # (shard, pos) assignment, replayed exactly by the oracle)
     "training_order_shards",
+    # NEW mid-r10: the complete web pipeline in canonical order (host
+    # gate -> URL dedup -> extract -> content dedup -> split)
+    "prepare_web_corpus_v3",
 ]
 
 
