@@ -502,11 +502,17 @@ def prepare_web_corpus_v2(spark, sf_dir):
     (tests/test_plans.py::test_web_corpus_v2_url_stage_precedes_extraction).
     At 100 TB the expensive stages (HTML extraction, shingling) run on
     the post-URL-dedup survivor set only."""
+    return _prepare_web_corpus_v2(_t(spark, sf_dir, "documents"))
+
+
+def _prepare_web_corpus_v2(docs):
+    """prepare_web_corpus_v2's body over an arbitrary docs frame — shared
+    with tools/measure_scale.py so the 100x row measures the shipped
+    composite."""
     from cdc_data_lake_pyspark_spark.functions.urls import canonical_url_sql
     from cdc_data_lake_pyspark_spark.operators.dedup_text import exact_dedup
     from cdc_data_lake_pyspark_spark.operators.relational import hash_split
 
-    docs = _t(spark, sf_dir, "documents")
     base = (
         docs.select("doc_id", (F.col("doc_id") % 400).alias("_src"))
         .join(
@@ -654,17 +660,23 @@ def _host_filter(docs):
 # --------------------------------------------------------------------------
 
 #: one coherent crawl plant for the full pipeline (identical SQL text in
-#: both dialects): five hosts M0-M4; trap hosts M3/M4 serve only two
-#: distinct pages each (a crawler stuck in boilerplate — ~98% URL
-#: duplication), healthy hosts M0-M2 serve 80 pages each (~20% dup from
-#: re-fetch noise).  Page content is the text of doc_id % 200 while the
-#: page id is doc_id % 400, so on every healthy host page pairs
-#: (p, p+200) share CONTENT but not URL — work left for the content
-#: stage after both URL-level stages ran.
+#: both dialects): five hosts M0-M4.  The planted duplication RATES are
+#: SIZE-INVARIANT (the r10 first cut used fixed page COUNTS, whose dup
+#: rate grows with the corpus until every host trips the gate — at
+#: sf0.1 the composite degenerated to zero rows): healthy hosts M0-M2
+#: serve each page exactly TWICE (page = ⌊doc/10⌋ → 50 % dup at any n),
+#: trap hosts M3/M4 serve only two pages total (dup → 100 % — a crawler
+#: stuck in boilerplate).  Page content is the text of doc_id % 200
+#: while healthy page ids are ⌊doc/10⌋, so keepers of different pages
+#: share CONTENT whenever their ids agree mod 200 — work left for the
+#: content stage after both URL-level stages ran, at every corpus size.
+#: The floor division is spelled ``(doc - doc % 10) / 10`` so the cast
+#: is exact in both dialects (DuckDB CAST(double) ROUNDS, Spark
+#: truncates — the quotient must already be integral).
 _V3_URL_SQL = (
     "'HTTPS://M' || CAST(doc_id % 5 AS STRING) || '.Example.COM:443/p/' || "
-    "CAST((CASE WHEN doc_id % 5 >= 3 THEN doc_id % 10 "
-    "           ELSE doc_id % 400 END) AS STRING) || "
+    "CAST(CAST((CASE WHEN doc_id % 5 >= 3 THEN doc_id % 2 "
+    "           ELSE (doc_id - doc_id % 10) / 10 END) AS BIGINT) AS STRING) || "
     "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END || "
     "'?a=1' || "
     "CASE WHEN doc_id % 4 = 0 THEN '&utm_medium=rss' ELSE '&gclid=g7' END || "
@@ -728,8 +740,8 @@ def prepare_web_corpus_v3(spark, sf_dir):
     crawl → canonicalize (map-only, id-derived) → HOST dup-rate gate
     (drops the two trap hosts wholesale, stage −1) → canonical-URL
     keeper election (stage 0) → main-content extraction → minimum-
-    content gate → exact CONTENT dedup (collapses the (p, p+200) pages
-    that share text but not URL) → deterministic split.
+    content gate → exact CONTENT dedup (collapses pages that share text
+    but not URL — keepers agreeing mod 200) → deterministic split.
 
     Each stage has real planted work the previous stages cannot do:
     the host gate kills ~2/5 of the crawl in one broadcast verdict, URL
@@ -742,11 +754,17 @@ def prepare_web_corpus_v3(spark, sf_dir):
     #hosts rows joined back broadcast; survivors rejoin by id, and
     extraction sits above that semi-join — same staged order pinned for
     v2 in test_plans.py, now with the host gate in front."""
+    return _prepare_web_corpus_v3(_t(spark, sf_dir, "documents"))
+
+
+def _prepare_web_corpus_v3(docs):
+    """prepare_web_corpus_v3's body over an arbitrary docs frame — shared
+    with tools/measure_scale.py so the 100x row measures the shipped
+    composite."""
     from cdc_data_lake_pyspark_spark.functions.urls import canonical_url_sql
     from cdc_data_lake_pyspark_spark.operators.dedup_text import exact_dedup
     from cdc_data_lake_pyspark_spark.operators.relational import hash_split
 
-    docs = _t(spark, sf_dir, "documents")
     crawls = (
         docs.select("doc_id", (F.col("doc_id") % 200).alias("_src"))
         .join(

@@ -1170,6 +1170,10 @@ def measure_scale100(
         from cdc_data_lake_pyspark_spark.queries_phase9 import (
             _host_filter as _host_filter_at,
         )
+        from cdc_data_lake_pyspark_spark.queries_phase9 import (
+            _prepare_web_corpus_v2,
+            _prepare_web_corpus_v3,
+        )
 
         # synthetic per-doc score for the decile-gate machinery contrast
         # (token count as double; both paths consume the identical frame)
@@ -1295,6 +1299,21 @@ def measure_scale100(
                 # wall should track the scan and shuffle stay ~flat
                 "host_filter",
                 lambda: _host_filter_at(docs),
+            ),
+            (
+                # r10: the URL-first web capstone end-to-end — stage 0
+                # is id-only, so at 100x the text-carrying stages
+                # (extraction projection, content-digest shuffle) see
+                # only URL-keeper survivors
+                "web_corpus_v2",
+                lambda: _prepare_web_corpus_v2(docs),
+            ),
+            (
+                # r10: the full pipeline (host gate → URL keeper →
+                # extract → content dedup → split); the host verdict
+                # stays #hosts rows at any corpus size
+                "web_corpus_v3",
+                lambda: _prepare_web_corpus_v3(docs),
             ),
             (
                 # r10: epoch ordering — one exchange on the shard id +
