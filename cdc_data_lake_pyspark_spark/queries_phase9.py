@@ -28,6 +28,15 @@ streaming gates' single-batch reductions under the value-check gate.
   text → deterministic split.  Duplicate pages are planted by an
   id-residue rule in both engines; they collapse only because extraction
   strips the per-page boilerplate first.
+
+* r9-r10 URL-level stages and capstones: ``url_dedup_canonical``
+  (canonical-URL keeper election — the cheapest dedup stage),
+  ``host_filter_docs`` (host-level dup-rate gate — drop whole
+  boilerplate-farm hosts), ``prepare_web_corpus_v2`` (URL dedup as
+  stage 0, BEFORE extraction) and ``prepare_web_corpus_v3`` (the full
+  canonical order: host gate → URL keeper → extract → content gate →
+  content dedup → split, with size-invariant planted work at every
+  stage).
 """
 
 from __future__ import annotations
