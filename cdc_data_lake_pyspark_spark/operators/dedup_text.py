@@ -1163,3 +1163,127 @@ def substring_window_dedup(
         F.lit(0).cast("long").alias("n_dropped"),
     )
     return untouched_out.unionByName(touched_out)
+
+
+def minhash_index(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    k: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple:
+    """Build the persistent near-dup INDEX of a corpus — the two frames
+    an incremental pipeline materializes (e.g. to parquet) so tomorrow's
+    crawl never re-shingles today's corpus: ``(signatures, buckets)``
+    where signatures is ``(doc_id, sig: array<bigint>)`` and buckets is
+    the banded ``(doc_id, band, bucket)`` lookup table.
+
+    Index size is ``num_hashes`` longs + ``bands`` bucket rows per doc —
+    ~0.6 KB at the defaults, independent of document length; the corpus
+    TEXT is never needed again for candidate discovery.
+    """
+    sigs = minhash_signatures(
+        docs, num_hashes=num_hashes, k=k, id_col=id_col, text_col=text_col
+    )
+    return sigs, _banded(sigs, bands, rows_per_band)
+
+
+def minhash_probe(
+    batch: DataFrame,
+    index: tuple,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    k: int = 3,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    verify_docs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """INCREMENTAL near-dup: probe a NEW batch against a prebuilt
+    :func:`minhash_index` — the dedup mode a 100 TB pipeline actually
+    runs day over day (re-shingling the whole corpus per crawl is the
+    thing this exists to avoid; the novelty gate covers the EXACT-dup
+    analogue, this is its near-dup counterpart).  Returns
+    ``(batch_id, index_id, jaccard)``.
+
+    Two modes:
+
+    * ``verify_docs=None`` (pure incremental): ``jaccard`` is the
+      Broder ESTIMATE — the fraction of agreeing signature components —
+      computed entirely from the stored index; no document text is
+      touched beyond shingling the batch itself.  E[estimate] equals
+      true Jaccard; σ ≈ sqrt(J(1−J)/num_hashes) (~0.05 at J=0.8,
+      64 hashes) — callers gate slightly below their target threshold
+      and exact-verify survivors when precision matters.
+    * ``verify_docs=<frame>``: candidates are exactly verified against
+      the supplied texts (only candidate docs' rows are read — at scale
+      these are point lookups against the corpus store), giving
+      exact-Jaccard output with banding-recall candidates (the
+      ``dedup_minhash_lsh`` recall argument, now cross-corpus).
+
+    Scale shape: batch signatures are one map-side-combined aggregate
+    over the BATCH only; candidate discovery is a (band, bucket) hash
+    join against the stored bucket table — bucket sizes track duplicate
+    density, never corpus size; the estimate join moves two
+    ``num_hashes``-long arrays per candidate.
+    """
+    idx_sigs, idx_buckets = index
+    bsigs = _stage(
+        minhash_signatures(
+            batch, num_hashes=num_hashes, k=k, id_col=id_col,
+            text_col=text_col,
+        )
+    )
+    bban = _banded(bsigs, bands, rows_per_band)
+    cand = (
+        bban.alias("b")
+        .join(
+            idx_buckets.alias("i"),
+            (F.col("b.band") == F.col("i.band"))
+            & (F.col("b.bucket") == F.col("i.bucket")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("i.doc_id").alias("index_id"),
+        )
+        .distinct()
+    )
+    if verify_docs is not None:
+        ex = _exploded_hashes(verify_docs, id_col, text_col, k)
+        out = _verify_candidate_pairs(
+            cand.select(
+                F.col("batch_id").alias("a_id"),
+                F.col("index_id").alias("b_id"),
+            ),
+            ex,
+            threshold,
+        )
+        return out.select(
+            F.col("a_id").alias("batch_id"),
+            F.col("b_id").alias("index_id"),
+            "jaccard",
+        )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("bs.sig"),
+            F.col("ix.sig"),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(bsigs.alias("bs"), cand.batch_id == F.col("bs.doc_id"))
+        .join(idx_sigs.alias("ix"), cand.index_id == F.col("ix.doc_id"))
+        .select(
+            "batch_id",
+            "index_id",
+            (agree.cast("double") / F.lit(float(num_hashes))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -625,6 +625,13 @@ _DEMOTED: tuple[str, ...] = (
     # and URL keeper in front, and v2 + url_dedup_canonical +
     # host_filter_docs keep every stage independently in-window;
     # driver-green r6-r9
+    "dedup_minhash_star_clusters",
+    # minhash-cluster family (demoted mid-r10 for the NEW
+    # dedup_incremental_minhash window slot): dedup_minhash_cv_clusters
+    # runs the same star-capped banding PLUS the repair rounds in-window,
+    # and the new incremental entry drives signatures/banding/verify on
+    # a cross-split corpus; star path driver-green r9 (its r9 rotation's
+    # purpose) with the candidate bound pinned in tests/test_phase2.py
     "embedding_quantize",
     # embedding map-only family: embedding_pq_codes stays in-window;
     # driver-green r5, r8

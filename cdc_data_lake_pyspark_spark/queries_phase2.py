@@ -876,3 +876,55 @@ def dedup_paragraphs_global(spark, sf_dir):
     return paragraph_dedup_global(
         planted, max_df=1, id_col="doc_id", text_col="page"
     ).withColumnRenamed("page", "text")
+
+
+_INCREMENTAL_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_distinct(list_transform(
+           generate_series(1, greatest(len(string_split(lower(text),' ')) - 2, 0)),
+           i -> array_to_string(string_split(lower(text),' ')[i:i+2], ' '))) AS sh
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM toks
+), pairs AS (
+  SELECT b.doc_id AS batch_id, i.doc_id AS index_id,
+         count(*) AS common, any_value(b.n) AS nb, any_value(i.n) AS ni
+  FROM ex b JOIN ex i ON b.s = i.s
+  WHERE b.doc_id % 3 = 0 AND i.doc_id % 3 <> 0
+  GROUP BY b.doc_id, i.doc_id
+)
+SELECT batch_id, index_id,
+       CAST(common AS DOUBLE) / CAST(nb + ni - common AS DOUBLE) AS jaccard
+FROM pairs
+WHERE CAST(common AS DOUBLE) / CAST(nb + ni - common AS DOUBLE) >= 0.8
+"""
+
+
+@query("dedup_incremental_minhash", oracle=_INCREMENTAL_JACCARD_ORACLE)
+def dedup_incremental_minhash(spark, sf_dir):
+    """INCREMENTAL near-dup (operators/dedup_text.py::minhash_probe):
+    documents with ``doc_id % 3 != 0`` form yesterday's corpus, reduced
+    ONCE to a MinHash index (signatures + banded buckets — the frames a
+    real pipeline persists); today's batch (``doc_id % 3 == 0``) is
+    probed against the stored buckets and candidates are exactly
+    verified — the near-dup counterpart of the novelty gate, without
+    re-shingling the corpus.
+
+    Oracle = exact cross-split Jaccard ≥ 0.8: candidate discovery is
+    recall-1 on this corpus (the ``dedup_minhash_lsh`` banding argument,
+    P[miss] < 1e-7 per planted pair at 64 hashes / 16×4 banding), and
+    exact verification gives precision 1, so the probed result equals
+    the exhaustive cross-join answer.  The estimate-only mode (no text
+    at all beyond the batch) is pytest-pinned against exact Jaccard
+    (tests/test_phase2.py::test_minhash_probe_estimate_and_verify)."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        minhash_index,
+        minhash_probe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    return minhash_probe(
+        batch, minhash_index(corpus), threshold=0.8, verify_docs=docs
+    )

@@ -733,3 +733,47 @@ def test_prefix_float_safe_at_default_threshold(spark):
         for r in jaccard_similar_pairs_prefix(docs, threshold=0.8).collect()
     }
     assert pref == plain
+
+
+def test_minhash_probe_estimate_and_verify(spark, sf_dir):
+    """Incremental probe: (a) verify mode equals the exhaustive
+    cross-split exact-Jaccard answer; (b) estimate mode touches no
+    corpus text and its Broder estimates sit within the 64-hash
+    binomial band of the true Jaccard for every verified pair."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        minhash_index,
+        minhash_probe,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    index = minhash_index(corpus)
+
+    exact_pairs = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in jaccard_similar_pairs(docs, threshold=0.8).collect()
+        if (r.a_id % 3 == 0) != (r.b_id % 3 == 0)
+    }
+    cross = {
+        (a, b) if a % 3 == 0 else (b, a): j
+        for (a, b), j in exact_pairs.items()
+    }
+    verified = {
+        (r.batch_id, r.index_id): r.jaccard
+        for r in minhash_probe(
+            batch, index, threshold=0.8, verify_docs=docs
+        ).collect()
+    }
+    assert verified == cross and verified, (len(verified), len(cross))
+
+    # estimate mode: gate below target (estimator noise), then check
+    # every true pair is found with an estimate near its exact value
+    est = {
+        (r.batch_id, r.index_id): r.jaccard
+        for r in minhash_probe(batch, index, threshold=0.6).collect()
+    }
+    for pair, true_j in cross.items():
+        assert pair in est, pair
+        # 64 hashes: sd ~ 0.05 at J~0.8; 5 sd band
+        assert abs(est[pair] - true_j) <= 0.25, (pair, est[pair], true_j)

@@ -96,11 +96,14 @@ REQUIRED_VISIBLE = [
     "dedup_paragraphs_global",
     # r9-changed paths the driver re-signed in CORRECTNESS_r09 — kept
     # in-window because r10 touched them again (see CHANGED_THIS_ROUND)
+    # (dedup_minhash_star_clusters demoted mid-r10: cv runs the same
+    # star-capped machinery plus repair, incremental probe is new)
     "dedup_jaccard_pairs",
     "dedup_keep_canonical",
     "dedup_clusters",
-    "dedup_minhash_star_clusters",
     "contamination_report",
+    # NEW mid-r10: incremental near-dup probe against a prebuilt index
+    "dedup_incremental_minhash",
     # r10 rotate-backs (driver-green r8, tail-oracled since)
     "returned_item_customers",
     "cohort_retention",
@@ -134,6 +137,9 @@ CHANGED_THIS_ROUND = [
     # NEW mid-r10: the complete web pipeline in canonical order (host
     # gate -> URL dedup -> extract -> content dedup -> split)
     "prepare_web_corpus_v3",
+    # NEW mid-r10: incremental near-dup — probe a new batch against a
+    # prebuilt MinHash index (signatures + buckets), exact-verified
+    "dedup_incremental_minhash",
 ]
 
 

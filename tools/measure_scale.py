@@ -1063,8 +1063,10 @@ def measure_scale100(
     )
     from cdc_data_lake_pyspark_spark.functions.urls import canonicalize_url
     from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        minhash_index,
         minhash_near_dup_clusters_cv,
         minhash_near_duplicates,
+        minhash_probe,
         paragraph_dedup_global,
         substring_duplicate_positions,
         substring_window_dedup,
@@ -1359,6 +1361,47 @@ def measure_scale100(
                 "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
             }
             print("scale100", label, op, row["ops"][op], flush=True)
+
+        if (not only_ops) or ("incremental_probe" in only_ops):
+            # r10: incremental near-dup, ESTIMATE mode (the text-free
+            # daily path), with the ONE-TIME index construction split
+            # from the per-batch probe (the ivf_pq_auto fit/search
+            # lesson): 1/3 of the tagged corpus probed against the
+            # other 2/3's MATERIALIZED index — batch signatures + one
+            # (band,bucket) hash join + a two-array-per-candidate
+            # estimate join; probe shuffle tracks candidates, never
+            # corpus².
+            corpus_t = docs_t.filter(F.col("doc_id") % 3 != 0)
+            batch_t = docs_t.filter(F.col("doc_id") % 3 == 0)
+            t0 = time.time()
+            isigs, ibuckets = minhash_index(corpus_t)
+            isigs = isigs.cache()
+            ibuckets = ibuckets.cache()
+            n_indexed = isigs.count()
+            ibuckets.count()
+            build_sec = round(time.time() - t0, 2)
+            r0, w0 = shuffle_totals(spark)
+            t0 = time.time()
+            out_rows = minhash_probe(
+                batch_t, (isigs, ibuckets), threshold=0.6
+            ).count()
+            probe_sec = round(time.time() - t0, 2)
+            r1, w1 = shuffle_totals(spark)
+            row["ops"]["incremental_probe"] = {
+                "sec": round(build_sec + probe_sec, 2),
+                "build_sec": build_sec,
+                "probe_sec": probe_sec,
+                "n_indexed": n_indexed,
+                "out_rows": out_rows,
+                "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+            }
+            isigs.unpersist()
+            ibuckets.unpersist()
+            print(
+                "scale100", label, "incremental_probe",
+                row["ops"]["incremental_probe"], flush=True,
+            )
 
         if (not only_ops) or ("ivf_pq_auto" in only_ops):
             # auto-sized layout (r6): nlist ~ 4*sqrt(N), probes nlist/8,
