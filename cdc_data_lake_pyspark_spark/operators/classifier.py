@@ -1,0 +1,302 @@
+"""Learned quality-classifier gate: in-Spark TRAINING and scoring of a
+text classifier over hashed features, fully deterministic and replayable
+in any SQL engine.
+
+Capability addition for the §2.6 training-data surface (no reference
+citation — the reference's scope starts at structured CDC envelopes).
+The public LLM-corpus pipelines gate documents on a TRAINED classifier
+over cheap lexical features, not only on heuristics: GPT-3 (Brown et
+al. 2020, appendix A) filtered CommonCrawl with a logistic-regression
+classifier over hashed token features; DCLM (Li et al. 2024) and
+FineWeb-Edu gate on fastText-style linear classifiers.  The shared
+shape is `linear model over sparse lexical features` — exactly what a
+multinomial Naive Bayes over the hashing trick computes, with the
+enormous practical advantage that TRAINING is one aggregation pass
+(closed form, no epochs), so the fitted weights are a pure function of
+the labeled data: order-independent, partition-independent, and
+bit-identical in DuckDB.
+
+Determinism contract (the repo's micro-integer bridge):
+
+* features come from :func:`~cdc_data_lake_pyspark_spark.operators.
+  features.feature_hash`'s bucket function — the portable 60-bit md5
+  hash mod ``n_buckets`` (reproducible in any engine);
+* every log-probability is quantized to micro-bits
+  (``round(1e6 * log2 x)`` as BIGINT) BEFORE any combination, so
+  weights and scores are exact integer arithmetic end-to-end — the
+  only float op per term is one ``log2`` of an integer, whose
+  micro-rounding both engines agree on (the ``lm_quality.py`` bridge,
+  oracle-green since r6);
+* the keep decision is an integer comparison (``score_micro >= 0`` —
+  the maximum-a-posteriori rule), never a float threshold.
+
+Model.  Binary multinomial Naive Bayes with add-one smoothing over
+``B = n_buckets`` hashed token features.  With per-class token-
+occurrence counts ``c1[b]``/``c0[b]``, totals ``T1``/``T0``, and
+per-class document counts ``N1``/``N0``::
+
+    w[b]  = log2 (c1[b]+1)/(T1+B)  -  log2 (c0[b]+1)/(T0+B)
+    bias  = log2 N1 - log2 N0
+    score(doc) = bias + sum over token occurrences  w[bucket(token)]
+    keep(doc)  = score >= 0            (MAP: P(good|doc) >= P(bad|doc))
+
+every ``log2`` term individually micro-quantized, so ``w_micro`` and
+``score_micro`` are exact BIGINTs.
+
+Scale (100 TB).  Training runs over the LABELED set (small by
+construction — human or LLM labels are the expensive part) as one
+explode + one bucket-keyed aggregate with map-side combine; the weight
+table is ``n_buckets + 1`` rows — KILOBYTES — regardless of corpus
+size.  Scoring is the part that touches 100 TB and it is broadcast +
+map shaped: explode tokens, map each to its bucket weight via a
+broadcast hash join against the tiny weight table, and one
+doc-id-keyed sum with map-side partial aggregation — the only exchange
+carries ``(doc_id, partial_sum)`` pairs, bounded by document count,
+never token count.  No UDFs anywhere; every expression is builtin JVM
+code inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.functions.text import tokens
+from cdc_data_lake_pyspark_spark.operators.relational import portable_id_hash
+
+#: micro-bits: log-probabilities quantize to millionths of a bit before
+#: any arithmetic (shared contract with lm_quality.LOG_MICRO).
+LOG_MICRO = 1_000_000
+
+#: the bias (class-prior log-odds) rides in the weight frame as the
+#: ``bucket = -1`` row, so ONE frame is the whole persisted model.
+BIAS_BUCKET = -1
+
+
+def _q(col: F.Column) -> F.Column:
+    """micro-quantized log2: ``round(1e6 * log2 x)`` as BIGINT."""
+    return F.round(F.log2(col) * LOG_MICRO, 0).cast("long")
+
+
+def _bucket(tok: F.Column, n_buckets: int) -> F.Column:
+    """feature_hash's bucket function (portable md5 mod B)."""
+    return F.pmod(portable_id_hash(tok), F.lit(n_buckets)).cast("int")
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Fit the binary NB quality model on a labeled corpus
+    (``label_col`` ∈ {0, 1}; 1 = keep/high-quality) and return the
+    COMPLETE model as one tiny frame ``(bucket INT, w_micro BIGINT)``:
+
+    * one row per feature bucket ``0..n_buckets-1`` (a dense spine —
+      buckets unseen in training still get their smoothing-only weight,
+      so scoring never meets a missing key);
+    * one ``bucket = -1`` row carrying the class-prior log-odds (bias).
+
+    Both classes must be present in ``docs``: the class-prior log-odds
+    is ``log2 N1 - log2 N0``, which is mathematically degenerate when a
+    class is empty (the bias row comes out non-finite/NULL rather than
+    silently wrong — pinned in tests).  Fixture balance is the caller's
+    contract, exactly as for any supervised trainer.
+
+    Training is ONE explode + ONE bucket-keyed aggregate (map-side
+    combined) + literal-sized joins; the output is ``n_buckets + 1``
+    rows no matter how large the labeled set is.
+    """
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(label_col).cast("int").alias("_y"),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+    )
+    counts = toks.select(
+        "_y", _bucket(F.col("_tok"), n_buckets).alias("bucket")
+    ).groupBy("bucket").agg(
+        F.sum(F.when(F.col("_y") == 1, 1).otherwise(0)).alias("_c1"),
+        F.sum(F.when(F.col("_y") == 0, 1).otherwise(0)).alias("_c0"),
+    )
+    # totals: one row, cross-joined (broadcast) onto the spine
+    totals = counts.agg(
+        F.coalesce(F.sum("_c1"), F.lit(0)).alias("_t1"),
+        F.coalesce(F.sum("_c0"), F.lit(0)).alias("_t0"),
+    )
+    priors = docs.agg(
+        F.sum(F.when(F.col(label_col) == 1, 1).otherwise(0)).alias("_n1"),
+        F.sum(F.when(F.col(label_col) == 0, 1).otherwise(0)).alias("_n0"),
+    )
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    b = F.lit(n_buckets)
+    weights = (
+        spine.join(counts, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                _q(F.coalesce(F.col("_c1"), F.lit(0)) + 1)
+                - _q(F.col("_t1") + b)
+                - _q(F.coalesce(F.col("_c0"), F.lit(0)) + 1)
+                + _q(F.col("_t0") + b)
+            ).alias("w_micro"),
+        )
+    )
+    bias = priors.select(
+        F.lit(BIAS_BUCKET).cast("int").alias("bucket"),
+        (_q(F.col("_n1")) - _q(F.col("_n0"))).alias("w_micro"),
+    )
+    return weights.unionByName(bias)
+
+
+def nb_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Score every document under a fitted :func:`nb_train` model and
+    gate it: returns ``(id_col, score_micro BIGINT, keep INT)`` with
+    ``keep = 1`` iff ``score_micro >= 0`` (the MAP rule — the document
+    is more likely high-quality than low under the model).
+
+    ``n_buckets`` must match the value the model was trained with (the
+    bucket function is part of the model; a mismatch silently scatters
+    tokens into wrong buckets) — validated against the model frame by
+    the spine row count where the caller materializes it; composites
+    pass the constant through one shared variable.
+
+    Plan shape at 100 TB: explode tokens → bucket (map-only) → hash
+    join against the BROADCAST weight table (n_buckets rows) → per-doc
+    sum with map-side combine → one broadcast-bias add.  The single
+    exchange carries (doc_id, partial_sum) rows.  Documents whose
+    tokens all miss the spine cannot exist (pmod is total), and empty
+    documents score exactly ``bias + w[bucket('')]`` in both engines
+    (``split('', ' ')`` yields the one empty token in Spark and
+    DuckDB alike — the feature_hash parity contract).
+    """
+    wb = model.filter(F.col("bucket") >= 0)
+    bias = model.filter(F.col("bucket") == BIAS_BUCKET).select(
+        F.col("w_micro").alias("_bias")
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+    ).select(id_col, _bucket(F.col("_tok"), n_buckets).alias("bucket"))
+    sums = (
+        toks.join(F.broadcast(wb), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("w_micro").alias("_s"))
+    )
+    return (
+        docs.select(id_col)
+        .join(sums, id_col, "left")
+        .crossJoin(F.broadcast(bias))
+        .select(
+            id_col,
+            (F.coalesce(F.col("_s"), F.lit(0)) + F.col("_bias")).alias(
+                "score_micro"
+            ),
+            F.when(
+                F.coalesce(F.col("_s"), F.lit(0)) + F.col("_bias") >= 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB replay (oracle SQL generators)
+# ---------------------------------------------------------------------------
+
+def _portable_hash_sql(expr: str) -> str:
+    """DuckDB replay of relational.portable_id_hash (the phase-8
+    bridge, restated here so the classifier oracle is self-contained)."""
+    return (
+        "list_reduce(list_transform(generate_series(1, 15), "
+        f"i -> CAST(strpos('0123456789abcdef', "
+        f"substring(md5({expr}), i, 1)) - 1 AS BIGINT)), "
+        "(a, c) -> a * 16 + c)"
+    )
+
+
+def _q_sql(expr: str) -> str:
+    """DuckDB spelling of the micro-log2 quantizer."""
+    return f"CAST(round(log2({expr}) * {LOG_MICRO}, 0) AS BIGINT)"
+
+
+def nb_train_sql(labeled_cte: str, n_buckets: int = 64) -> str:
+    """DuckDB CTE block replaying :func:`nb_train` over a relation named
+    ``labeled_cte`` with columns ``(label, text)``; defines a final CTE
+    ``nb_model(bucket, w_micro)`` (spine + bias row).  The caller embeds
+    this inside its own WITH list (the fragment neither opens nor
+    closes the WITH)."""
+    h = _portable_hash_sql("t")
+    return f"""
+    nb_toks AS (
+      SELECT label AS y,
+             CAST({h} % {n_buckets} AS INT) AS bucket
+      FROM (SELECT label, unnest(string_split(lower(text), ' ')) AS t
+            FROM {labeled_cte})
+    ), nb_counts AS (
+      SELECT bucket,
+             sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS c0
+      FROM nb_toks GROUP BY bucket
+    ), nb_totals AS (
+      SELECT coalesce(sum(c1), 0) AS t1, coalesce(sum(c0), 0) AS t0
+      FROM nb_counts
+    ), nb_priors AS (
+      SELECT sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS n0
+      FROM {labeled_cte}
+    ), nb_spine AS (
+      SELECT CAST(range AS INT) AS bucket FROM range({n_buckets})
+    ), nb_model AS (
+      SELECT s.bucket,
+             {_q_sql("coalesce(c.c1, 0) + 1")}
+             - {_q_sql(f"t.t1 + {n_buckets}")}
+             - {_q_sql("coalesce(c.c0, 0) + 1")}
+             + {_q_sql(f"t.t0 + {n_buckets}")} AS w_micro
+      FROM nb_spine s LEFT JOIN nb_counts c USING (bucket)
+      CROSS JOIN nb_totals t
+      UNION ALL
+      SELECT CAST({BIAS_BUCKET} AS INT) AS bucket,
+             {_q_sql("n1")} - {_q_sql("n0")} AS w_micro
+      FROM nb_priors
+    )"""
+
+
+def nb_score_sql(docs_cte: str, id_col: str = "doc_id",
+                 n_buckets: int = 64) -> str:
+    """DuckDB CTE block replaying :func:`nb_score` over a relation named
+    ``docs_cte`` with columns ``(id_col, text)`` against ``nb_model``
+    (from :func:`nb_train_sql` in the same WITH list); defines
+    ``nb_scores(id_col, score_micro, keep)``."""
+    h = _portable_hash_sql("t")
+    return f"""
+    nb_doc_toks AS (
+      SELECT {id_col},
+             CAST({h} % {n_buckets} AS INT) AS bucket
+      FROM (SELECT {id_col}, unnest(string_split(lower(text), ' ')) AS t
+            FROM {docs_cte})
+    ), nb_doc_sums AS (
+      SELECT t.{id_col}, sum(m.w_micro) AS s
+      FROM nb_doc_toks t JOIN nb_model m USING (bucket)
+      WHERE m.bucket >= 0
+      GROUP BY t.{id_col}
+    ), nb_scores AS (
+      SELECT d.{id_col},
+             CAST(coalesce(s.s, 0) + b.w_micro AS BIGINT) AS score_micro,
+             CASE WHEN coalesce(s.s, 0) + b.w_micro >= 0
+                  THEN 1 ELSE 0 END AS keep
+      FROM {docs_cte} d
+      LEFT JOIN nb_doc_sums s USING ({id_col})
+      CROSS JOIN (SELECT w_micro FROM nb_model
+                  WHERE bucket = {BIAS_BUCKET}) b
+    )"""

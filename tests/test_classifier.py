@@ -1,0 +1,140 @@
+"""Learned quality-classifier gate (operators/classifier.py): NB
+training determinism, model-frame shape, MAP gating accuracy on a
+planted fixture, and the DuckDB replay of training AND scoring."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.operators.classifier import (
+    BIAS_BUCKET,
+    nb_score,
+    nb_score_sql,
+    nb_train,
+    nb_train_sql,
+)
+
+#: planted boilerplate phrase — the low-quality class's lexical signal
+BOILER = (
+    "click here subscribe now cookie policy accept all rights reserved "
+    "privacy terms conditions newsletter signup follow us"
+)
+
+
+def _fixture(spark, n=120, n_buckets=64):
+    """Deterministic labeled corpus: residue-0 ids carry the boilerplate
+    phrase prepended to a per-id body (label 0), everything else is the
+    clean body alone (label 1) — 1/3 low-quality at ANY n (the
+    size-invariant planting rule)."""
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 3 == 0,
+            F.concat(
+                F.lit(BOILER + " "),
+                F.lit("body text segment "),
+                F.col("id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("body text segment "), F.col("id").cast("string"))
+        )
+        .alias("text"),
+        F.when(F.col("id") % 3 == 0, F.lit(0)).otherwise(F.lit(1)).alias(
+            "label"
+        ),
+    )
+    return docs, nb_train(docs, n_buckets=n_buckets)
+
+
+def test_model_frame_shape(spark):
+    docs, model = _fixture(spark, n_buckets=64)
+    rows = model.collect()
+    assert len(rows) == 65  # dense spine + bias row
+    buckets = sorted(r["bucket"] for r in rows)
+    assert buckets == [BIAS_BUCKET] + list(range(64))
+    assert dict(model.dtypes) == {"bucket": "int", "w_micro": "bigint"}
+    # bias = micro-log2 prior odds: N1 = 80, N0 = 40 → exactly 1e6 micro
+    bias = next(r["w_micro"] for r in rows if r["bucket"] == BIAS_BUCKET)
+    assert bias == 1_000_000
+
+
+def test_training_is_layout_independent(spark):
+    docs, _ = _fixture(spark)
+    a = {
+        (r["bucket"]): r["w_micro"]
+        for r in nb_train(docs.repartition(13, "doc_id")).collect()
+    }
+    b = {
+        (r["bucket"]): r["w_micro"]
+        for r in nb_train(docs.coalesce(1)).collect()
+    }
+    assert a == b
+
+
+def test_map_gate_separates_planted_classes(spark):
+    docs, model = _fixture(spark)
+    scored = nb_score(docs, model).join(
+        docs.select("doc_id", "label"), "doc_id"
+    )
+    rows = scored.collect()
+    assert len(rows) == 120
+    # MAP rule recovers every planted label (the boilerplate tokens
+    # dominate the score; shared body tokens are near-zero weight)
+    assert all(r["keep"] == r["label"] for r in rows)
+
+
+def test_generalizes_to_held_out_docs(spark):
+    docs, _ = _fixture(spark, n=150)
+    train = docs.filter(F.col("doc_id") % 5 < 3)
+    model = nb_train(train)
+    held = nb_score(docs.filter(F.col("doc_id") % 5 >= 3), model).join(
+        docs.select("doc_id", "label"), "doc_id"
+    )
+    rows = held.collect()
+    assert rows and all(r["keep"] == r["label"] for r in rows)
+
+
+def test_empty_and_missing_token_docs_score(spark):
+    docs, model = _fixture(spark)
+    oov = spark.createDataFrame(
+        [(900, ""), (901, "zzqx unseen tokenoid")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in nb_score(oov, model).collect()}
+    assert set(rows) == {900, 901}
+    assert all(r["score_micro"] is not None for r in rows.values())
+
+
+def test_duckdb_replays_training_and_scoring(spark):
+    duckdb = pytest.importorskip("duckdb")
+    docs, model = _fixture(spark)
+    pdf = docs.toPandas()  # 120 rows — test-only transfer
+    con = duckdb.connect()
+    con.register("labeled", pdf)
+    sql_model = con.execute(
+        "WITH " + nb_train_sql("labeled") + " SELECT * FROM nb_model"
+    ).fetchall()
+    assert {(int(b), int(w)) for b, w in sql_model} == {
+        (r["bucket"], r["w_micro"]) for r in model.collect()
+    }
+    sql_scores = con.execute(
+        "WITH "
+        + nb_train_sql("labeled")
+        + ", "
+        + nb_score_sql("labeled")
+        + " SELECT doc_id, score_micro, keep FROM nb_scores"
+    ).fetchall()
+    spark_scores = {
+        r["doc_id"]: (r["score_micro"], r["keep"])
+        for r in nb_score(docs, model).collect()
+    }
+    assert {int(d): (int(s), int(k)) for d, s, k in sql_scores} == spark_scores
+
+
+def test_score_plan_is_broadcast_and_single_doc_exchange(spark):
+    """The 100 TB posture: the weight side is broadcast and the only
+    shuffle over the corpus is the doc-keyed partial-sum exchange."""
+    docs, model = _fixture(spark)
+    plan = nb_score(docs, model)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
