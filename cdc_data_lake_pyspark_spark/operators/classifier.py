@@ -177,6 +177,11 @@ def nb_score(
     (``split('', ' ')`` yields the one empty token in Spark and
     DuckDB alike — the feature_hash parity contract).
     """
+    # the model frame is consumed twice (weight join + bias add); stage it
+    # with a LAZY local checkpoint so the training aggregation runs once —
+    # it is n_buckets + 1 rows, so the stored blocks are bytes (the
+    # multi-consumer staging rule; in-query subtree reuse is not free)
+    model = model.localCheckpoint(eager=False)
     wb = model.filter(F.col("bucket") >= 0)
     bias = model.filter(F.col("bucket") == BIAS_BUCKET).select(
         F.col("w_micro").alias("_bias")

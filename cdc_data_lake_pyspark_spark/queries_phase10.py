@@ -143,3 +143,208 @@ def quality_classifier_gate(spark, sf_dir):
     return nb_score(base, model, n_buckets=N_BUCKETS).join(
         base.select("doc_id", "label"), "doc_id"
     ).select("doc_id", "label", "score_micro", "keep")
+
+
+# ---------------------------------------------------------------------------
+# prepare_web_corpus_v4 — the capstone with the learned gate as a stage
+# ---------------------------------------------------------------------------
+
+
+def _prepare_web_corpus_v4_oracle() -> str:
+    from cdc_data_lake_pyspark_spark.functions.html import main_text_sql
+    from cdc_data_lake_pyspark_spark.functions.urls import canonical_url_sql
+    from cdc_data_lake_pyspark_spark.queries_phase9 import (
+        _HOST_DUP_PPM_MAX,
+        _PAGE_SQL,
+        _V3_HOST_SQL,
+        _V3_URL_SQL,
+        _WEB_MIN_CHARS,
+    )
+
+    ex = main_text_sql(_PAGE_SQL, duck=True)
+    split_hash = _hash_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH crawls AS (
+      SELECT d.doc_id,
+             CASE WHEN s.doc_id % 3 = 0 THEN '{BOILER} ' || s.text
+                  ELSE s.text END AS text,
+             CASE WHEN s.doc_id % 3 = 0 THEN 0 ELSE 1 END AS label
+      FROM documents d JOIN documents s ON s.doc_id = d.doc_id % 200
+      WHERE s.text IS NOT NULL
+    ), canon AS (
+      SELECT doc_id,
+             {canonical_url_sql(f"({_V3_URL_SQL})", duck=True)} AS c,
+             {_V3_HOST_SQL} AS host
+      FROM crawls
+    ), hstats AS (
+      SELECT host,
+             CAST(round(1e6 * CAST(count(*) - count(DISTINCT c) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE)) AS BIGINT) AS dup_ppm
+      FROM canon GROUP BY host
+    ), good AS (
+      SELECT host FROM hstats WHERE dup_ppm <= {_HOST_DUP_PPM_MAX}
+    ), url_keep AS (
+      SELECT min(doc_id) AS doc_id
+      FROM canon JOIN good USING (host) GROUP BY c
+    ), ex AS (
+      SELECT cr.doc_id, cr.label, {ex} AS main_text
+      FROM crawls cr JOIN url_keep USING (doc_id)
+    ), gated AS (
+      SELECT doc_id, label, main_text FROM ex
+      WHERE length(main_text) >= {_WEB_MIN_CHARS}
+    ), seed AS (
+      SELECT label, main_text AS text FROM gated
+      WHERE {split_hash} % 10 < {_SEED_PCT}
+    ), scoreable AS (
+      SELECT doc_id, main_text AS text FROM gated
+    ), {nb_train_sql("seed", N_BUCKETS)},
+    {nb_score_sql("scoreable", n_buckets=N_BUCKETS)},
+    clean AS (
+      SELECT g.doc_id, g.main_text
+      FROM gated g JOIN nb_scores s USING (doc_id)
+      WHERE s.keep = 1
+    ), keep AS (
+      SELECT md5(lower(trim(main_text))) AS fingerprint,
+             CAST(min(doc_id) AS BIGINT) AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_urls
+      FROM clean GROUP BY 1
+    )
+    SELECT doc_id, fingerprint, n_urls,
+           CASE WHEN {split_hash} % 100 < 80 THEN 'train'
+                WHEN {split_hash} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM keep
+    """
+
+
+@query("prepare_web_corpus_v4", oracle=_prepare_web_corpus_v4_oracle)
+def prepare_web_corpus_v4(spark, sf_dir):
+    """The COMPLETE web pipeline with the LEARNED quality gate as a
+    first-class stage, in canonical order:
+
+    crawl → host dup-rate gate (stage −1) → canonical-URL keeper
+    (stage 0) → main-content extraction → minimum-content gate →
+    **NB classifier gate** (train on the 70 % labeled seed of the
+    survivors, score every survivor, keep MAP-positive docs) → exact
+    content dedup → deterministic split.
+
+    The classifier stage sits where FineWeb-Edu/DCLM put theirs: after
+    extraction (it needs the visible text) and BEFORE content dedup
+    (dropping low-quality docs first shrinks the dedup input — and the
+    plant keys on the SOURCE id, so verdicts are constant within each
+    content group and the gate can never split one).
+
+    Fixture: the v3 five-host crawl (size-invariant dup rates) with the
+    boilerplate phrase planted into pages whose source id ≡ 0 (mod 3) —
+    a 1/3 low-quality rate at any corpus size; the oracle replays
+    host stats, URL election, extraction, NB TRAINING, scoring, content
+    dedup, and split end-to-end.
+
+    Plan shape at 100 TB: stages −1/0 run on text-free projections
+    (the v2/v3 pinned order); extraction and the length gate are
+    map-only over URL-keeper survivors; classifier training aggregates
+    the labeled seed once into a 65-row broadcast model; scoring adds
+    one doc-keyed partial-sum exchange; content dedup shuffles 32-byte
+    digests."""
+    return _prepare_web_corpus_v4(_t(spark, sf_dir, "documents"))
+
+
+def _prepare_web_corpus_v4(docs):
+    """prepare_web_corpus_v4's body over an arbitrary docs frame — shared
+    with tools/measure_scale.py so the 100x row measures the shipped
+    composite."""
+    from cdc_data_lake_pyspark_spark.functions.html import main_text_sql
+    from cdc_data_lake_pyspark_spark.functions.urls import canonical_url_sql
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        _stage,
+        exact_dedup,
+    )
+    from cdc_data_lake_pyspark_spark.operators.relational import hash_split
+    from cdc_data_lake_pyspark_spark.queries_phase9 import (
+        _HOST_DUP_PPM_MAX,
+        _PAGE_SQL,
+        _V3_HOST_SQL,
+        _V3_URL_SQL,
+        _WEB_MIN_CHARS,
+    )
+
+    crawls = (
+        docs.select("doc_id", (F.col("doc_id") % 200).alias("_src"))
+        .join(
+            docs.select(
+                F.col("doc_id").alias("_src"), "text"
+            ).filter(F.col("text").isNotNull()),
+            "_src",
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("_src") % 3 == 0,
+                F.concat(F.lit(BOILER + " "), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            F.when(F.col("_src") % 3 == 0, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("label"),
+        )
+    )
+    canon = crawls.select(
+        "doc_id",
+        F.expr(canonical_url_sql(f"({_V3_URL_SQL})")).alias("_c"),
+        F.expr(_V3_HOST_SQL).alias("_host"),
+    )
+    good = (
+        canon.groupBy("_host")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct("_c").alias("_u"),
+        )
+        .filter(
+            F.round(
+                F.lit(1e6)
+                * (F.col("_n") - F.col("_u")).cast("double")
+                / F.col("_n").cast("double")
+            ).cast("bigint")
+            <= _HOST_DUP_PPM_MAX
+        )
+        .select("_host")
+    )
+    url_keep = (
+        canon.join(F.broadcast(good), "_host")
+        .groupBy("_c")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    survivors = crawls.join(url_keep.select("doc_id"), "doc_id", "left_semi")
+    extracted = survivors.select(
+        "doc_id",
+        "label",
+        F.expr(main_text_sql(_PAGE_SQL, duck=False)).alias("main_text"),
+    )
+    # gated feeds three consumers (seed training, scoring, the keep-side
+    # join-back); stage it so extraction runs once
+    gated = _stage(extracted.filter(F.length("main_text") >= _WEB_MIN_CHARS))
+    seed = gated.filter(
+        F.pmod(portable_id_hash(F.col("doc_id").cast("string")), F.lit(10))
+        < _SEED_PCT
+    ).select("label", F.col("main_text").alias("text"))
+    model = nb_train(seed, n_buckets=N_BUCKETS)
+    scores = nb_score(
+        gated.select("doc_id", F.col("main_text").alias("text")),
+        model,
+        n_buckets=N_BUCKETS,
+    )
+    clean = gated.join(
+        scores.filter(F.col("keep") == 1).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    keep = exact_dedup(clean, text_col="main_text").select(
+        "fingerprint",
+        F.col("keeper_id").alias("doc_id"),
+        F.col("n_docs").alias("n_urls"),
+    )
+    return hash_split(keep, id_col="doc_id").select(
+        "doc_id", "fingerprint", "n_urls", "split"
+    )
