@@ -104,3 +104,31 @@ def test_web_corpus_v2_url_stage_precedes_extraction(spark, sf_dir, registry):
     for i, l in enumerate(lines):
         if "HTTPS://Mi" in l and i > semi[0]:
             assert "text#" not in l, f"stage 0 carries text: {l[:200]}"
+
+
+def test_web_corpus_v4_classifier_gate_is_broadcast_and_staged(
+    spark, sf_dir, registry
+):
+    """prepare_web_corpus_v4's learned gate must ship the classifier's
+    100 TB shape: the 65-row model reaches the scored corpus via
+    BROADCAST joins (hash join for the bucket weights, nested-loop for
+    the one-row bias — never a shuffled join), the keep verdict applies
+    through a semi-join, and BOTH the extracted-survivor frame and the
+    model are STAGED (LogicalRDD leaves), so extraction and training
+    each run exactly once however many consumers read them.  The
+    URL-before-extraction stage order itself is pinned on the shared
+    machinery by test_web_corpus_v2_url_stage_precedes_extraction."""
+    df = registry["prepare_web_corpus_v4"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    assert any("Join LeftSemi" in l for l in lines), "keep semi-join missing"
+    # weight join + bias join both carry the broadcast hint
+    hinted = [l for l in lines if "rightHint=(strategy=broadcast)" in l]
+    assert len(hinted) >= 2, f"model joins not broadcast: {hinted}"
+    # staging: extraction/training subtrees are checkpointed leaves — the
+    # extraction template appears NOWHERE in the final plan because the
+    # gated frame materialized once behind a LogicalRDD
+    assert "</title>" not in plan
+    assert any("LogicalRDD" in l for l in lines)
+    phys = _plan(df)
+    assert "BroadcastHashJoin" in phys
