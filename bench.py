@@ -141,13 +141,22 @@ def scan_warnings(path: str):
             # progress bars share a "line" with log output until the
             # next newline — scan EVERY \r-delimited segment (ADVICE r9:
             # keeping only the last segment silently dropped a WARN that
-            # landed before a progress-bar carriage return)
+            # landed before a progress-bar carriage return).  Dedupe
+            # WITHIN the physical line (ADVICE r10: a progress bar that
+            # redraws the same WARN-bearing segment would otherwise
+            # inflate the count); distinct physical lines still count
+            # separately — repeated real WARNs are real.
+            seen_this_line = set()
             for line in raw.decode("utf-8", "replace").split("\r"):
                 if " WARN " not in line:
                     continue
                 if any(key in line for key in KNOWN_BENIGN_WARNINGS):
                     continue
-                unknown.append(line.strip())
+                stripped = line.strip()
+                if stripped in seen_this_line:
+                    continue
+                seen_this_line.add(stripped)
+                unknown.append(stripped)
     return len(unknown), sorted(set(unknown))[:10]
 
 
@@ -254,8 +263,12 @@ def main() -> None:
                 # legacy timings map (and core_headline_sec derived from
                 # it) keeps its historical min-of-two semantics — min of
                 # three would bias the r4-r9 trend line downward under
-                # the ~26 % draw noise (r10 review #2)
-                if pass_no < 2:
+                # the ~26 % draw noise (r10 review #2).  EXCEPT (ADVICE
+                # r10): a query that failed both earlier passes and
+                # succeeds only in pass 2 backfills its timing — popping
+                # its error while leaving timings empty would silently
+                # shrink the legacy core sum with no error recorded.
+                if pass_no < 2 or name not in timings:
                     timings[name] = min(timings.get(name, elapsed), elapsed)
                 errors.pop(name, None)
             flush_partial(state)

@@ -61,16 +61,29 @@ def _tracking_param_re(params: Sequence[str]) -> str:
     public parameter since r10): an unbalanced ``)`` would otherwise
     surface as an executor-side PatternSyntaxException at action time,
     and a leading/trailing ``|`` would add an EMPTY alternative that
-    silently matches every param.  An empty list disables dropping via
-    a never-matching pattern (``$.`` — a character after end-of-input)."""
+    silently matches every param.  Validation is an ALLOWLIST, not
+    ``re.compile`` (ADVICE r10): the fragment executes under Java regex
+    (Spark) and RE2 (DuckDB), so Python-only syntax — ``(?P<name>…)``,
+    lookbehind — could pass a Python-compile check yet fail or diverge
+    at action time.  Permitted characters are exactly the
+    engine-portable subset ``[A-Za-z0-9_.*+?|[\\]-]`` (literals,
+    character classes, greedy quantifiers, alternation — no groups, no
+    escapes, no anchors, no bounded repetition), each of which parses
+    and matches identically in Python re, Java regex, and RE2.  An
+    empty list disables dropping via a never-matching pattern (``$.`` —
+    a character after end-of-input)."""
     import re as _re
 
     if not params:
         return "$."
+    allowed = _re.compile(r"^[A-Za-z0-9_.*+?|\[\]-]+$")
     for p in params:
-        if "'" in p:
-            raise ValueError(f"tracking param pattern may not contain ': {p!r}")
-        if not p or p.startswith("|") or p.endswith("|") or "||" in p:
+        if not p or not allowed.match(p):
+            raise ValueError(
+                "tracking param pattern outside the portable subset "
+                f"[A-Za-z0-9_.*+?|[]-]: {p!r}"
+            )
+        if p.startswith("|") or p.endswith("|") or "||" in p:
             raise ValueError(
                 f"tracking param pattern adds an empty alternative: {p!r}"
             )

@@ -114,6 +114,25 @@ def test_tracking_params_reject_malformed():
             canonical_url_sql("url", tracking_params=(bad,))
 
 
+def test_tracking_params_reject_python_only_syntax():
+    """ADVICE r10: the fragment executes under Java regex and RE2, so
+    anything outside the portable allowlisted subset is rejected even
+    when Python's re would compile it — named groups, lookbehind,
+    escapes, groups, anchors, bounded repetition."""
+    for bad in (
+        "(?P<n>utm)",   # Python-only named group
+        "(?<=x)utm",    # lookbehind (no RE2 support)
+        r"utm\d+",      # escapes excluded from the subset
+        "(utm|ga)",     # groups excluded
+        "^utm",         # anchors excluded (matcher supplies its own)
+        "utm{1,3}",     # bounded repetition excluded
+    ):
+        with pytest.raises(ValueError):
+            canonical_url_sql("url", tracking_params=(bad,))
+    # the default list itself stays inside the subset
+    canonical_url_sql("url")
+
+
 def test_tracking_params_empty_disables_dropping(spark):
     got = (
         spark.createDataFrame(
