@@ -22,9 +22,9 @@ Scale design:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cdc_data_lake_pyspark_spark.functions.text import shingles, tokens
@@ -1165,6 +1165,28 @@ def substring_window_dedup(
     return untouched_out.unionByName(touched_out)
 
 
+class MinHashIndex(NamedTuple):
+    """The persistent near-dup index: the two frames plus the hashing
+    PARAMETERS they were built with.  The parameters are part of the
+    artifact (ADVICE r10): probing with a mismatched ``num_hashes``/
+    ``k``/banding layout would compare incompatible signatures —
+    ``zip_with`` pads the shorter array with NULLs, every agreement test
+    goes NULL, and the probe silently reports zero near-dups instead of
+    erroring.  :func:`minhash_probe` validates them before planning."""
+
+    signatures: DataFrame  # (doc_id BIGINT, sig ARRAY<BIGINT>)
+    buckets: DataFrame     # (doc_id BIGINT, band INT, bucket BIGINT)
+    num_hashes: int = 64
+    k: int = 3
+    bands: int = 16
+    rows_per_band: int = 4
+
+
+#: artifact schema contract, pinned by save/load and pytest
+_INDEX_SIG_SCHEMA = {"doc_id": "bigint", "sig": "array<bigint>"}
+_INDEX_BUCKET_SCHEMA = {"doc_id": "bigint", "band": "int", "bucket": "bigint"}
+
+
 def minhash_index(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -1173,12 +1195,13 @@ def minhash_index(
     rows_per_band: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> tuple:
-    """Build the persistent near-dup INDEX of a corpus — the two frames
-    an incremental pipeline materializes (e.g. to parquet) so tomorrow's
-    crawl never re-shingles today's corpus: ``(signatures, buckets)``
-    where signatures is ``(doc_id, sig: array<bigint>)`` and buckets is
-    the banded ``(doc_id, band, bucket)`` lookup table.
+) -> MinHashIndex:
+    """Build the persistent near-dup INDEX of a corpus — the frames an
+    incremental pipeline materializes (:func:`save_minhash_index`) so
+    tomorrow's crawl never re-shingles today's corpus: signatures
+    ``(doc_id, sig: array<bigint>)`` and the banded ``(doc_id, band,
+    bucket)`` lookup table, carried with their hashing parameters as a
+    :class:`MinHashIndex`.
 
     Index size is ``num_hashes`` longs + ``bands`` bucket rows per doc —
     ~0.6 KB at the defaults, independent of document length; the corpus
@@ -1187,12 +1210,63 @@ def minhash_index(
     sigs = minhash_signatures(
         docs, num_hashes=num_hashes, k=k, id_col=id_col, text_col=text_col
     )
-    return sigs, _banded(sigs, bands, rows_per_band)
+    return MinHashIndex(
+        sigs, _banded(sigs, bands, rows_per_band),
+        num_hashes, k, bands, rows_per_band,
+    )
+
+
+def save_minhash_index(index: MinHashIndex, path: str) -> None:
+    """Materialize a :class:`MinHashIndex` as the on-disk artifact a
+    100 TB pipeline keeps BETWEEN crawls: three parquet datasets under
+    ``path`` — ``signatures/``, ``buckets/``, and a one-row ``params/``
+    carrying the hashing layout, so a later session can refuse a
+    mismatched probe instead of silently missing every near-dup.
+
+    Layout note: both frames are written partitioned however the build
+    left them (signature construction ends in a doc-keyed aggregate);
+    at 100 TB a caller may ``repartition(n, "bucket")`` the bucket table
+    first so daily probe joins read co-located buckets."""
+    index.signatures.write.mode("overwrite").parquet(f"{path}/signatures")
+    index.buckets.write.mode("overwrite").parquet(f"{path}/buckets")
+    spark = index.signatures.sparkSession
+    spark.createDataFrame(
+        [(index.num_hashes, index.k, index.bands, index.rows_per_band)],
+        "num_hashes INT, k INT, bands INT, rows_per_band INT",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_minhash_index(spark: SparkSession, path: str) -> MinHashIndex:
+    """Reload a persisted :func:`save_minhash_index` artifact, validating
+    the schema contract before any query plans against it (a drifted
+    artifact fails HERE, at load, with a readable message — not deep in
+    an executor as a binding error or a silently-empty join)."""
+    params_rows = spark.read.parquet(f"{path}/params").collect()
+    if len(params_rows) != 1:
+        raise ValueError(
+            f"minhash index params at {path}/params must be exactly one "
+            f"row, found {len(params_rows)}"
+        )
+    p = params_rows[0]
+    sigs = spark.read.parquet(f"{path}/signatures")
+    buckets = spark.read.parquet(f"{path}/buckets")
+    for frame, want, what in (
+        (sigs, _INDEX_SIG_SCHEMA, "signatures"),
+        (buckets, _INDEX_BUCKET_SCHEMA, "buckets"),
+    ):
+        got = dict(frame.dtypes)
+        if got != want:
+            raise ValueError(
+                f"minhash index {what} schema drifted: {got} != {want}"
+            )
+    return MinHashIndex(
+        sigs, buckets, p.num_hashes, p.k, p.bands, p.rows_per_band
+    )
 
 
 def minhash_probe(
     batch: DataFrame,
-    index: tuple,
+    index: "MinHashIndex | tuple",
     threshold: float = 0.8,
     num_hashes: int = 64,
     k: int = 3,
@@ -1230,7 +1304,21 @@ def minhash_probe(
     density, never corpus size; the estimate join moves two
     ``num_hashes``-long arrays per candidate.
     """
-    idx_sigs, idx_buckets = index
+    if isinstance(index, MinHashIndex):
+        # the index carries its hashing layout (ADVICE r10): a probe
+        # built with different parameters would compare incompatible
+        # signatures — zip_with pads with NULLs, jaccard goes NULL, and
+        # every candidate silently filters out.  Refuse loudly instead.
+        got = (num_hashes, k, bands, rows_per_band)
+        built = (index.num_hashes, index.k, index.bands, index.rows_per_band)
+        if got != built:
+            raise ValueError(
+                "minhash_probe parameters (num_hashes, k, bands, "
+                f"rows_per_band) = {got} do not match the index's {built}"
+            )
+        idx_sigs, idx_buckets = index.signatures, index.buckets
+    else:  # legacy bare (signatures, buckets) pair: no validation possible
+        idx_sigs, idx_buckets = index
     bsigs = _stage(
         minhash_signatures(
             batch, num_hashes=num_hashes, k=k, id_col=id_col,

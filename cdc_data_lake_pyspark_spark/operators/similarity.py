@@ -813,6 +813,70 @@ def fit_ivf_pq(
     return centers, books
 
 
+#: persisted-prefit schema contract (pinned by save/load and pytest)
+_PREFIT_CENTER_SCHEMA = {"cell": "int", "center": "array<double>"}
+_PREFIT_BOOK_SCHEMA = {"subspace": "int", "code": "int", "center": "array<double>"}
+
+
+def save_ivf_pq_prefit(spark, prefit: tuple, path: str) -> None:
+    """Materialize a :func:`fit_ivf_pq` result as the on-disk artifact a
+    production index keeps between query batches: two parquet datasets —
+    ``centers/`` ``(cell, center)`` and ``codebooks/`` ``(subspace,
+    code, center)``.  Values are float64; parquet DOUBLE round-trips
+    them bit-exactly, so a reloaded prefit reproduces every ADC
+    distance and therefore every ranked result (pinned in
+    tests/test_index_persistence.py).  Sizes are tiny (nlist × d +
+    m_sub × n_codes × d/m_sub doubles), so a single file each."""
+    centers, books = prefit
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell INT, center ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centers")
+    m_sub, n_codes, _ = books.shape
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j][c]])
+            for j in range(m_sub)
+            for c in range(n_codes)
+        ],
+        "subspace INT, code INT, center ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def load_ivf_pq_prefit(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Reload a persisted :func:`save_ivf_pq_prefit` artifact as the
+    ``(centers, codebooks)`` numpy pair :func:`ivf_pq_top_k` accepts via
+    ``prefit=``.  Validates the schema contract and index contiguity at
+    load (a drifted or truncated artifact fails here with a readable
+    message, not as a wrong-shaped ranking downstream)."""
+    cdf = spark.read.parquet(f"{path}/centers")
+    bdf = spark.read.parquet(f"{path}/codebooks")
+    for frame, want, what in (
+        (cdf, _PREFIT_CENTER_SCHEMA, "centers"),
+        (bdf, _PREFIT_BOOK_SCHEMA, "codebooks"),
+    ):
+        got = dict(frame.dtypes)
+        if got != want:
+            raise ValueError(
+                f"ivf_pq prefit {what} schema drifted: {got} != {want}"
+            )
+    crows = sorted(cdf.collect(), key=lambda r: r.cell)
+    if [r.cell for r in crows] != list(range(len(crows))):
+        raise ValueError("ivf_pq prefit centers are not contiguous 0..C-1")
+    centers = np.array([r.center for r in crows], dtype=np.float64)
+    brows = sorted(bdf.collect(), key=lambda r: (r.subspace, r.code))
+    m_sub = 1 + max(r.subspace for r in brows)
+    n_codes = 1 + max(r.code for r in brows)
+    if [(r.subspace, r.code) for r in brows] != [
+        (j, c) for j in range(m_sub) for c in range(n_codes)
+    ]:
+        raise ValueError("ivf_pq prefit codebooks are not a dense grid")
+    books = np.array([r.center for r in brows], dtype=np.float64).reshape(
+        m_sub, n_codes, -1
+    )
+    return centers, books
+
+
 def ivf_pq_query_lut(
     queries_np: np.ndarray,
     centers: np.ndarray,

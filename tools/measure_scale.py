@@ -1371,33 +1371,59 @@ def measure_scale100(
             # (band,bucket) hash join + a two-array-per-candidate
             # estimate join; probe shuffle tracks candidates, never
             # corpus².
+            import shutil
+            import tempfile
+
+            from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+                load_minhash_index,
+                save_minhash_index,
+            )
+
             corpus_t = docs_t.filter(F.col("doc_id") % 3 != 0)
             batch_t = docs_t.filter(F.col("doc_id") % 3 == 0)
-            t0 = time.time()
-            isigs, ibuckets = minhash_index(corpus_t)
-            isigs = isigs.cache()
-            ibuckets = ibuckets.cache()
-            n_indexed = isigs.count()
-            ibuckets.count()
-            build_sec = round(time.time() - t0, 2)
-            r0, w0 = shuffle_totals(spark)
-            t0 = time.time()
-            out_rows = minhash_probe(
-                batch_t, (isigs, ibuckets), threshold=0.6
-            ).count()
-            probe_sec = round(time.time() - t0, 2)
-            r1, w1 = shuffle_totals(spark)
+            # the index lives ON DISK between crawls at 100 TB (VERDICT
+            # r10 #2): build+persist once, then reload and probe from the
+            # RELOADED frames — load_sec and probe_sec are the honest
+            # day-over-day costs; build_sec includes the parquet write.
+            idx_dir = tempfile.mkdtemp(prefix="minhash_index_")
+            try:
+                t0 = time.time()
+                save_minhash_index(minhash_index(corpus_t), idx_dir)
+                build_sec = round(time.time() - t0, 2)
+                t0 = time.time()
+                index = load_minhash_index(spark, idx_dir)
+                n_indexed = index.signatures.count()
+                index.buckets.count()
+                load_sec = round(time.time() - t0, 2)
+                r0, w0 = shuffle_totals(spark)
+                t0 = time.time()
+                out_rows = minhash_probe(
+                    batch_t, index, threshold=0.6
+                ).count()
+                probe_sec = round(time.time() - t0, 2)
+                r1, w1 = shuffle_totals(spark)
+                idx_mb = round(
+                    sum(
+                        os.path.getsize(os.path.join(dp, f))
+                        for dp, _, fs in os.walk(idx_dir)
+                        for f in fs
+                    )
+                    / 1e6,
+                    2,
+                )
+            finally:
+                shutil.rmtree(idx_dir, ignore_errors=True)
             row["ops"]["incremental_probe"] = {
-                "sec": round(build_sec + probe_sec, 2),
+                "sec": round(build_sec + load_sec + probe_sec, 2),
                 "build_sec": build_sec,
+                "load_sec": load_sec,
                 "probe_sec": probe_sec,
+                "index_disk_mb": idx_mb,
                 "n_indexed": n_indexed,
                 "out_rows": out_rows,
                 "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
                 "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
             }
-            isigs.unpersist()
-            ibuckets.unpersist()
             print(
                 "scale100", label, "incremental_probe",
                 row["ops"]["incremental_probe"], flush=True,
@@ -1414,11 +1440,15 @@ def measure_scale100(
             # (test_pq.py::test_ivf_pq_prefit_matches_inline_fit), so
             # the split row measures the identical computation.
             import math as _math
+            import shutil
+            import tempfile
 
             from cdc_data_lake_pyspark_spark.operators.similarity import (
                 auto_ivf_params,
                 auto_pq_codes,
                 fit_ivf_pq,
+                load_ivf_pq_prefit,
+                save_ivf_pq_prefit,
             )
 
             n_vec = emb.count()
@@ -1432,6 +1462,19 @@ def measure_scale100(
                 seed=42,
             )
             fit_sec = round(time.time() - t0, 2)
+            # the prefit lives on disk between query batches (VERDICT
+            # r10 #2): persist + reload, and search from the RELOADED
+            # artifact — parquet DOUBLE round-trips float64 bit-exactly,
+            # so the ranking is identical (pinned in
+            # tests/test_index_persistence.py)
+            pf_dir = tempfile.mkdtemp(prefix="ivf_pq_prefit_")
+            try:
+                t0 = time.time()
+                save_ivf_pq_prefit(spark, prefit, pf_dir)
+                loaded = load_ivf_pq_prefit(spark, pf_dir)
+                prefit_roundtrip_sec = round(time.time() - t0, 2)
+            finally:
+                shutil.rmtree(pf_dir, ignore_errors=True)
             r0, w0 = shuffle_totals(spark)
             t0 = time.time()
             out_rows = ivf_pq_top_k(
@@ -1442,13 +1485,14 @@ def measure_scale100(
                 n_probe=n_probe,
                 shortlist=max(50, 2 * int(_math.isqrt(n_vec))),
                 exclude_self=True,
-                prefit=prefit,
+                prefit=loaded,
             ).count()
             search_sec = round(time.time() - t0, 2)
             r1, w1 = shuffle_totals(spark)
             row["ops"]["ivf_pq_auto"] = {
                 "sec": round(fit_sec + search_sec, 2),
                 "fit_sec": fit_sec,
+                "prefit_roundtrip_sec": prefit_roundtrip_sec,
                 "search_sec": search_sec,
                 "out_rows": out_rows,
                 "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
