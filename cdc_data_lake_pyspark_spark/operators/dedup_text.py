@@ -1326,19 +1326,7 @@ def minhash_probe(
         )
     )
     bban = _banded(bsigs, bands, rows_per_band)
-    cand = (
-        bban.alias("b")
-        .join(
-            idx_buckets.alias("i"),
-            (F.col("b.band") == F.col("i.band"))
-            & (F.col("b.bucket") == F.col("i.bucket")),
-        )
-        .select(
-            F.col("b.doc_id").alias("batch_id"),
-            F.col("i.doc_id").alias("index_id"),
-        )
-        .distinct()
-    )
+    cand = _estimate_candidates(bban, idx_buckets)
     if verify_docs is not None:
         ex = _exploded_hashes(verify_docs, id_col, text_col, k)
         out = _verify_candidate_pairs(
@@ -1354,6 +1342,21 @@ def minhash_probe(
             F.col("b_id").alias("index_id"),
             "jaccard",
         )
+    return _estimate_filter(cand, bsigs, idx_sigs, threshold, num_hashes)
+
+
+def _estimate_filter(
+    cand: DataFrame,
+    bsigs: DataFrame,
+    idx_sigs: DataFrame,
+    threshold: float,
+    num_hashes: int,
+) -> DataFrame:
+    """Broder-estimate join over ``(batch_id, index_id)`` candidate
+    pairs: attach both signatures, score the component-agreement
+    fraction, keep pairs at/above ``threshold``.  Shared by
+    :func:`minhash_probe` (estimate mode) and the streaming near-dup
+    gate — the estimate semantics are defined ONCE."""
     agree = F.aggregate(
         F.zip_with(
             F.col("bs.sig"),
@@ -1374,4 +1377,26 @@ def minhash_probe(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _estimate_candidates(
+    bban: DataFrame, idx_buckets: DataFrame
+) -> DataFrame:
+    """Distinct ``(batch_id, index_id)`` banding collisions — the
+    candidate-discovery hash join of :func:`minhash_probe`, factored so
+    the streaming gate reuses it for both its cross-index and its
+    within-batch candidate sets."""
+    return (
+        bban.alias("b")
+        .join(
+            idx_buckets.alias("i"),
+            (F.col("b.band") == F.col("i.band"))
+            & (F.col("b.bucket") == F.col("i.bucket")),
+        )
+        .select(
+            F.col("b.doc_id").alias("batch_id"),
+            F.col("i.doc_id").alias("index_id"),
+        )
+        .distinct()
     )

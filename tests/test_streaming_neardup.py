@@ -1,0 +1,181 @@
+"""Streaming NEAR-dup gate soak (VERDICT r10 #3): the driver corpus plus
+planted near/exact duplicates, sliced into id-ordered micro-batches and
+streamed through ``StreamingNearDupGate``, must produce EXACTLY the
+batch rule — a doc survives iff no banding candidate with a SMALLER id
+estimates ≥ threshold (the ``minhash_probe`` machinery the oracled
+``dedup_incremental_minhash`` entry runs) — independent of how the
+stream was sliced, and stay idempotent across restarts and replays."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+    minhash_index,
+    minhash_probe,
+)
+from cdc_data_lake_pyspark_spark.streaming.neardup import (
+    StreamingNearDupGate,
+    start_neardup_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+THRESHOLD = 0.6
+N_SLICES = 4
+
+
+def _corpus(spark):
+    """300 base docs + near-dup re-crawls (one appended token) of the
+    first 75 under high ids + exact re-crawls of the next 25 — the
+    duplicates arrive LAST in id order, so the originals must win."""
+    base = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") < 300))
+    )
+    near = base.filter(F.col("doc_id") < 75).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    exact = base.filter(
+        (F.col("doc_id") >= 75) & (F.col("doc_id") < 100)
+    ).select((F.col("doc_id") + 600_000).alias("doc_id"), "text")
+    return base.unionByName(near).unionByName(exact).localCheckpoint()
+
+
+def _expected_novel(docs) -> set:
+    """The batch rule via the PUBLIC probe API: index the whole corpus,
+    probe it against itself, and drop every doc with an earlier
+    (smaller-id) estimate-candidate at/above threshold."""
+    index = minhash_index(docs)
+    pairs = minhash_probe(docs, index, threshold=THRESHOLD)
+    dropped = {
+        r.batch_id
+        for r in pairs.filter(
+            F.col("index_id") < F.col("batch_id")
+        ).collect()
+    }
+    return {r.doc_id for r in docs.collect()} - dropped
+
+
+def _drain(spark, src_dir, gate, ckpt):
+    stream = spark.readStream.schema("doc_id long, text string").json(src_dir)
+    q = start_neardup_stream(stream, gate, ckpt, available_now=True)
+    q.awaitTermination(600)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_sliced_stream_equals_batch_rule(spark, tmp_path):
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    docs = _corpus(spark)
+    sliced = docs.withColumn(
+        "_slice", F.ntile(N_SLICES).over(Window.orderBy("doc_id"))
+    ).localCheckpoint()
+
+    gate = StreamingNearDupGate(str(tmp_path / "index"), threshold=THRESHOLD)
+    for s in range(1, N_SLICES + 1):
+        sliced.filter(F.col("_slice") == s).select(
+            "doc_id", "text"
+        ).coalesce(1).write.mode("append").json(src)
+        _drain(spark, src, gate, ckpt)
+
+    expected = _expected_novel(docs)
+    got = {r.doc_id for r in gate.kept_docs(spark).collect()}
+    assert got == expected
+    # the planted duplicates were actually gated (not vacuous)
+    assert not any(d >= 600_000 for d in got)
+    assert len(got) < docs.count()
+
+    # restart with the same checkpoint and no new data: output unchanged
+    _drain(spark, src, gate, ckpt)
+    assert {r.doc_id for r in gate.kept_docs(spark).collect()} == expected
+
+    # a re-crawl of slice 1's CONTENT under fresh ids: everything is
+    # near-dup of the indexed originals — nothing new survives
+    sliced.filter(F.col("_slice") == 1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    ).coalesce(1).write.mode("append").json(src)
+    _drain(spark, src, gate, ckpt)
+    assert {r.doc_id for r in gate.kept_docs(spark).collect()} == expected
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_slicing_invariance(spark, tmp_path):
+    """ONE batch vs many micro-batches must agree doc for doc — the
+    seen-not-kept index design's whole claim (a kept-only index would
+    diverge on near-dup chains)."""
+    docs = _corpus(spark)
+    one = StreamingNearDupGate(str(tmp_path / "one"), threshold=THRESHOLD)
+    one.process_batch(docs, batch_id=0)
+    many = StreamingNearDupGate(str(tmp_path / "many"), threshold=THRESHOLD)
+    sliced = docs.withColumn(
+        "_slice", F.ntile(6).over(Window.orderBy("doc_id"))
+    ).localCheckpoint()
+    for s in range(1, 7):
+        many.process_batch(
+            sliced.filter(F.col("_slice") == s).select("doc_id", "text"),
+            batch_id=s,
+        )
+    assert {r.doc_id for r in one.kept_docs(spark).collect()} == {
+        r.doc_id for r in many.kept_docs(spark).collect()
+    }
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    gate = StreamingNearDupGate(str(tmp_path / "index"), threshold=THRESHOLD)
+    batch = _corpus(spark).filter(F.col("doc_id") < 100)
+    gate.process_batch(batch, batch_id=0)
+    kept = sorted(
+        (r.doc_id, r.batch_id) for r in gate.kept_docs(spark).collect()
+    )
+    n_sigs = gate.index(spark).signatures.count()
+    gate.process_batch(batch, batch_id=0)  # replay
+    assert (
+        sorted(
+            (r.doc_id, r.batch_id)
+            for r in gate.kept_docs(spark).collect()
+        )
+        == kept
+    )
+    assert gate.index(spark).signatures.count() == n_sigs
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_crash_between_writes_converges(spark, tmp_path):
+    """A batch that appended kept/ and buckets/ but died before the
+    signature append (the replay-guard's crash window) re-runs to the
+    same final state: verdicts unchanged, no duplicate kept rows."""
+    idx = str(tmp_path / "index")
+    gate = StreamingNearDupGate(idx, threshold=THRESHOLD)
+    first = _corpus(spark).filter(F.col("doc_id") < 150)
+    gate.process_batch(first, batch_id=0)
+    second = _corpus(spark).filter(
+        (F.col("doc_id") >= 150) | (F.col("doc_id") >= 500_000)
+    )
+    # simulate the crash: run the reduction and land ONLY kept + buckets
+    novel, bsigs = gate.batch_reduce(second, gate.index(spark))
+    bsigs = bsigs.localCheckpoint()
+    novel.withColumn("batch_id", F.lit(1).cast("long")).write.mode(
+        "append"
+    ).parquet(f"{idx}/kept")
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import _banded
+
+    _banded(bsigs, gate.bands, gate.rows_per_band).write.mode(
+        "append"
+    ).parquet(f"{idx}/buckets")
+    # checkpoint replay re-delivers the batch in full
+    gate.process_batch(second, batch_id=1)
+    whole = StreamingNearDupGate(str(tmp_path / "ref"), threshold=THRESHOLD)
+    whole.process_batch(first, batch_id=0)
+    whole.process_batch(second, batch_id=1)
+    assert sorted(
+        (r.doc_id, r.batch_id) for r in gate.kept_docs(spark).collect()
+    ) == sorted(
+        (r.doc_id, r.batch_id) for r in whole.kept_docs(spark).collect()
+    )
