@@ -54,7 +54,19 @@ HEADLINE = CORE + [
     # r10: the web capstone with URL dedup as stage 0 — tracked
     # round-over-round like the training composite
     "prepare_web_corpus_v2",
+    # r11: the FULL-pipeline web capstones — v3 (canonical stage order)
+    # joins the 3-pass median machinery below (VERDICT r10 #5), v4 adds
+    # the learned classifier gate
+    "prepare_web_corpus_v3",
+    "prepare_web_corpus_v4",
 ]
+
+#: queries that get the THIRD timed pass and per-query medians for
+#: tools/bench_compare.py (VERDICT r10 #5: the full-pipeline capstone is
+#: diffed round-over-round under the noise-robust median).  The CORE
+#: pass sums — core_headline_median_sec's contract — remain over CORE
+#: alone so the r4+ trend line keeps its meaning.
+MEDIAN_TRACKED = CORE + ["prepare_web_corpus_v3"]
 
 LOCAL_RESULTS = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
@@ -243,13 +255,13 @@ def main() -> None:
     errors: dict[str, str] = {}
     # per-query samples keyed by PASS index, so a query that fails one
     # pass cannot misalign another pass's draws (r10 review #1)
-    core_samples: dict[str, dict] = {n: {} for n in CORE}
+    core_samples: dict[str, dict] = {n: {} for n in MEDIAN_TRACKED}
     state = {"sf": sf, "queries": timings, "errors": errors, "done": False}
     for pass_no in range(3):
         for name in names:
             if pass_no >= 1 and name not in HEADLINE:
                 continue
-            if pass_no == 2 and name not in CORE:
+            if pass_no == 2 and name not in MEDIAN_TRACKED:
                 continue
             elapsed, err = timed_attempt(spark, name, sf_dir, prepared_env)
             if elapsed is None:
@@ -257,7 +269,7 @@ def main() -> None:
             if elapsed is None:
                 errors[name] = err or "unknown"
             else:
-                if name in CORE:
+                if name in MEDIAN_TRACKED:
                     core_samples[name][pass_no] = elapsed
                 # the third pass feeds ONLY the median machinery: the
                 # legacy timings map (and core_headline_sec derived from

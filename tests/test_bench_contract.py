@@ -82,4 +82,13 @@ def test_core_median_fields_present_in_artifact():
     assert 1 <= len(sums) <= 3, sums
     assert d["core_headline_median_sec"] == round(statistics.median(sums), 3)
     assert d["core_headline_min_sec"] == min(sums)
-    assert set(d["core_query_medians"]) <= set(bench.CORE)
+    assert set(d["core_query_medians"]) <= set(bench.MEDIAN_TRACKED)
+
+
+def test_median_tracked_covers_core_plus_v3():
+    """VERDICT r10 #5: the full-pipeline web capstone rides the 3-pass
+    median machinery (per-query medians for bench_compare), while the
+    CORE pass-sum contract stays the frozen 10-query set."""
+    assert bench.MEDIAN_TRACKED == bench.CORE + ["prepare_web_corpus_v3"]
+    assert "prepare_web_corpus_v3" in bench.HEADLINE
+    assert "prepare_web_corpus_v4" in bench.HEADLINE
