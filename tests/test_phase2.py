@@ -777,3 +777,57 @@ def test_minhash_probe_estimate_and_verify(spark, sf_dir):
         assert pair in est, pair
         # 64 hashes: sd ~ 0.05 at J~0.8; 5 sd band
         assert abs(est[pair] - true_j) <= 0.25, (pair, est[pair], true_j)
+
+
+def test_prefix_exactness_property_sweep(spark):
+    """VERDICT r10 #6: the ε-guards' WHOLE claim — prefix-join output ==
+    plain-join output — swept over randomized corpora × randomized
+    thresholds, not just the pinned 0.57/0.8 cases.  100 seeded random
+    corpora (base sequence + random delete/substitute/truncate edits, so
+    pairwise Jaccards land all over (0,1)) are unioned with seed-salted
+    tokens (no cross-corpus shingle can collide), then ONE plain and ONE
+    prefix run per threshold covers every corpus at once — 100 × 9
+    (corpus, threshold) combinations, exact equality required on pair
+    sets AND jaccard values."""
+    import random
+
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        jaccard_similar_pairs_prefix,
+    )
+
+    rows = []
+    for seed in range(100):
+        rng = random.Random(seed)
+        n = rng.randint(15, 30)
+        base = [f"s{seed}t{j}" for j in range(n)]
+        for i in range(rng.randint(4, 8)):
+            toks = list(base)
+            for _ in range(rng.randint(0, 3)):
+                op = rng.choice(("del", "sub", "trunc"))
+                if op == "del" and len(toks) > 6:
+                    toks.pop(rng.randrange(len(toks)))
+                elif op == "sub":
+                    toks[rng.randrange(len(toks))] = f"s{seed}x{rng.randrange(40)}"
+                elif len(toks) > 8:
+                    toks = toks[: rng.randrange(8, len(toks) + 1)]
+            rows.append(Row(doc_id=seed * 1000 + i, text=" ".join(toks)))
+    docs = spark.createDataFrame(rows).repartition(8).localCheckpoint()
+
+    rng = random.Random(4242)
+    thresholds = [round(rng.uniform(0.05, 0.95), 6) for _ in range(6)]
+    thresholds += [0.5, 2 / 3, 0.9999]  # exact-ratio + boundary spice
+    for t in thresholds:
+        plain = {
+            (r.a_id, r.b_id): round(r.jaccard, 9)
+            for r in jaccard_similar_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r.a_id, r.b_id): round(r.jaccard, 9)
+            for r in jaccard_similar_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert pref == plain, (
+            t,
+            len(pref),
+            len(plain),
+            set(plain) ^ set(pref),
+        )
