@@ -137,7 +137,13 @@ def quality_classifier_gate(spark, sf_dir):
     Plan shape (the 100 TB path): the 65-row model broadcasts; scoring
     is explode → broadcast hash join → one doc-keyed partial-sum
     exchange.  The corpus never shuffles its text."""
-    docs = _t(spark, sf_dir, "documents")
+    return _classifier_gate(_t(spark, sf_dir, "documents"))
+
+
+def _classifier_gate(docs):
+    """quality_classifier_gate's body over an arbitrary docs frame —
+    shared with tools/measure_scale.py so the 100x row measures the SAME
+    expressions the registry entry ships."""
     base, seed = _labeled_base(docs)
     model = nb_train(seed, n_buckets=N_BUCKETS)
     return nb_score(base, model, n_buckets=N_BUCKETS).join(

@@ -1176,6 +1176,10 @@ def measure_scale100(
             _prepare_web_corpus_v2,
             _prepare_web_corpus_v3,
         )
+        from cdc_data_lake_pyspark_spark.queries_phase10 import (
+            _classifier_gate,
+            _prepare_web_corpus_v4,
+        )
 
         # synthetic per-doc score for the decile-gate machinery contrast
         # (token count as double; both paths consume the identical frame)
@@ -1316,6 +1320,22 @@ def measure_scale100(
                 # stays #hosts rows at any corpus size
                 "web_corpus_v3",
                 lambda: _prepare_web_corpus_v3(docs),
+            ),
+            (
+                # r11: the LEARNED quality gate (NB over hashed
+                # features) — training aggregates the labeled seed once
+                # into a 65-row broadcast model; scoring is explode →
+                # broadcast weight join → ONE doc-keyed partial-sum
+                # exchange, so shuffle should track document COUNT
+                # (a few bytes per doc), never token volume
+                "classifier_gate",
+                lambda: _classifier_gate(docs),
+            ),
+            (
+                # r11: the capstone with the learned gate as a stage
+                # between the min-content gate and content dedup
+                "web_corpus_v4",
+                lambda: _prepare_web_corpus_v4(docs),
             ),
             (
                 # r10: epoch ordering — one exchange on the shard id +
