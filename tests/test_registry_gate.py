@@ -4,16 +4,16 @@ rotation policy holds (queries.py `_DEMOTED` rationale): new/changed
 operators sit inside the window, and previously demoted entries rotate
 back in so the driver re-verifies them round over round.
 
-Round-10 window: the r10 diffs made the prefix-join prunes float-safe
-(ε guards on plen / length / positional), swapped the cluster/keeper
-pair source to the prefix join, literal-quoted the paragraph separator
-and anchored the URL query regex — those entries stay in-window;
-prepare_web_corpus_v2 (URL dedup as stage 0) is NEW; and
-returned_item_customers / cohort_retention / chisq_lang_source
-(driver-green r8) rotate back IN.  similarity_topk_bruteforce,
-dedup_minhash_lsh, bm25_search and outlier_mad_events take their tail
-slots, each with a family sibling left in-window (rationales in
-queries._DEMOTED)."""
+Round-11 window: the NEW learned-classifier entries
+(quality_classifier_weights / quality_classifier_gate) and the v4 web
+capstone are in-window per the new-ops rule; dedup_incremental_minhash
+stays in-window because r11 changed the probe path (MinHashIndex
+params validation + persisted-artifact lifecycle); and pit_join_views /
+hll_distinct_users / funnel_conversion (tail-oracled since r5/r6)
+rotate back IN.  dedup_jaccard_pairs, prepare_training_corpus_lsh,
+embedding_pq_codes, returned_item_customers, cohort_retention and
+chisq_lang_source take the tail slots, each with a family sibling left
+in-window (rationales in queries._DEMOTED)."""
 
 from cdc_data_lake_pyspark_spark import queries as q
 
@@ -37,18 +37,21 @@ REQUIRED_VISIBLE = [
     "similarity_ivf",
     "similarity_ivf_pq",
     "similarity_pq_adc",
-    "embedding_pq_codes",
     # dedup exact-verify family (plain + prefix both in-window for r9 —
     # both rewritten this round and they share the IDENTICAL oracle)
     "dedup_jaccard_prefix",
     # composites
     "prepare_training_corpus",
-    "prepare_training_corpus_lsh",  # NEW r8: LSH-mode flagship composite
     "prepare_training_corpus_v2",
     # (prepare_web_corpus v1 demoted mid-r10: v3 runs its whole tail
     # verbatim behind the host gate + URL keeper)
-    "prepare_web_corpus_v2",  # NEW r10: URL dedup as stage 0
-    "prepare_web_corpus_v3",  # NEW r10: full pipeline, host gate first
+    "prepare_web_corpus_v2",  # URL dedup as stage 0 (r10)
+    "prepare_web_corpus_v3",  # full pipeline, host gate first (r10)
+    "prepare_web_corpus_v4",  # NEW r11: + the learned classifier gate
+    # learned quality classifier (NEW r11): in-Spark NB training +
+    # scoring over hashed features, DuckDB-replayable end-to-end
+    "quality_classifier_weights",
+    "quality_classifier_gate",
     # LM / text scoring (bm25_search demoted r10: token_entropy +
     # bpe_learned_tokenize and the v2 composite's CE/DSIR machinery
     # stay in-window)
@@ -72,7 +75,6 @@ REQUIRED_VISIBLE = [
     # linkage / quality / skew diagnostics (outlier_mad_events demoted
     # r10; chisq_lang_source rotates back in alongside key_skew_report)
     "entity_resolution_customers",
-    "chisq_lang_source",
     "key_skew_report",
     # graph (pagerank_parts demoted mid-r10 for the training-order
     # entry; schedule stays tail-oracled + bit-exact in pytest)
@@ -94,51 +96,33 @@ REQUIRED_VISIBLE = [
     "url_dedup_canonical",
     # corpus-wide paragraph dedup (NEW r9)
     "dedup_paragraphs_global",
-    # r9-changed paths the driver re-signed in CORRECTNESS_r09 — kept
-    # in-window because r10 touched them again (see CHANGED_THIS_ROUND)
-    # (dedup_minhash_star_clusters demoted mid-r10: cv runs the same
-    # star-capped machinery plus repair, incremental probe is new)
-    "dedup_jaccard_pairs",
+    # r10-changed paths kept in-window (cluster/keeper pair source =
+    # the prefix join; dedup_jaccard_pairs demoted r11 — the prefix
+    # entry runs the identical oracle and the r11 property sweep pins
+    # plain ≡ prefix over 100 corpora × 9 thresholds)
     "dedup_keep_canonical",
     "dedup_clusters",
     "contamination_report",
-    # NEW mid-r10: incremental near-dup probe against a prebuilt index
+    # incremental near-dup probe — r11-changed (index params + persist)
     "dedup_incremental_minhash",
-    # r10 rotate-backs (driver-green r8, tail-oracled since)
-    "returned_item_customers",
-    "cohort_retention",
+    # r11 rotate-backs (tail-oracled every round since r5/r6)
+    "pit_join_views",
+    "hll_distinct_users",
+    "funnel_conversion",
 ]
 
 # Operators added or materially changed this round: the rotation policy
 # requires them INSIDE the gated window (ADVICE r4).
 CHANGED_THIS_ROUND = [
-    # r10: float-safe ε guards on the prefix path's plen / length /
-    # positional prunes (ADVICE r9)
-    "dedup_jaccard_prefix",
-    # r10: pair source swapped to the prefix-filtered exact join
-    # (VERDICT r9 #1)
-    "dedup_clusters",
-    "dedup_keep_canonical",
-    # r10: flagship composite consumes the changed prefix path
-    "prepare_training_corpus",
-    # r10: separator literal-quoted before F.split (ADVICE r9)
-    "dedup_paragraphs_global",
-    # r10: anchored pre-fragment query regex + parameterized
-    # tracking-param list (ADVICE r9 / VERDICT r9 #4)
-    "url_dedup_canonical",
-    # NEW r10: web capstone with URL dedup as stage 0 (VERDICT r9 #6)
-    "prepare_web_corpus_v2",
-    # NEW mid-r10: host-level quality gating (RefinedWeb-style URL
-    # filtering — per-host dup-rate aggregate + blocklist gate)
-    "host_filter_docs",
-    # NEW mid-r10: deterministic epoch ordering (seeded-shuffle
-    # (shard, pos) assignment, replayed exactly by the oracle)
-    "training_order_shards",
-    # NEW mid-r10: the complete web pipeline in canonical order (host
-    # gate -> URL dedup -> extract -> content dedup -> split)
-    "prepare_web_corpus_v3",
-    # NEW mid-r10: incremental near-dup — probe a new batch against a
-    # prebuilt MinHash index (signatures + buckets), exact-verified
+    # NEW r11: the learned quality-classifier family (VERDICT r10 #1) —
+    # NB training + scoring, weights AND per-doc verdicts value-checked
+    "quality_classifier_weights",
+    "quality_classifier_gate",
+    # NEW r11: web capstone with the learned gate as a stage
+    "prepare_web_corpus_v4",
+    # r11-changed: minhash_probe now validates the index's hashing
+    # params (ADVICE r10) and the index round-trips through parquet
+    # (VERDICT r10 #2) — the entry drives the changed probe path
     "dedup_incremental_minhash",
 ]
 
