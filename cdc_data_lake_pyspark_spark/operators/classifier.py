@@ -216,6 +216,151 @@ def nb_score(
 
 
 # ---------------------------------------------------------------------------
+# Fixed-point logistic regression (full-batch gradient descent)
+# ---------------------------------------------------------------------------
+#
+# The second classifier flavor (the one GPT-3's appendix A names
+# explicitly): logistic regression over the same hashed features,
+# trained by K FULL-BATCH gradient steps whose arithmetic is exact
+# integers end-to-end, so the ENTIRE TRAINING LOOP replays in SQL as K
+# unrolled CTE blocks (the pagerank-oracle pattern applied to learning).
+#
+# Determinism recipe per step (weights in micro units):
+#   z_d    = bias + Σ_b tf[d,b] · w[b]                (exact BIGINT)
+#   p_d    = clamp(½e6 + floor(z_d / 4.0), 0, 1e6)    (hard sigmoid —
+#            piecewise-linear σ̂(z) = clip(z/4 + ½, 0, 1); /4.0 is a
+#            power-of-two division, exact in binary, floor deterministic)
+#   err_d  = y_d·1e6 − p_d                            (exact BIGINT)
+#   grad   = Σ_d tf[d,b] · err_d ;  grad_bias = Σ_d err_d   (BIGINT)
+#   w'     = w + floor(grad / (n · 4.0))              (η = ¼ averaged;
+#            IEEE division is correctly rounded from exact integers —
+#            bit-identical in every engine — and floor pins the result)
+#
+# Full-batch (not SGD) is the point: gradients are order-independent
+# integer SUMS, so the fitted weights are a pure function of the labeled
+# set — partitioning, engines, and row order cannot change them.
+
+#: gradient-descent defaults shared by the Spark and SQL spellings
+LR_STEPS = 3
+
+
+def _hard_sigmoid_micro(z: F.Column) -> F.Column:
+    """p_micro = clamp(500000 + floor(z/4.0), 0, 1e6)."""
+    return F.least(
+        F.greatest(
+            F.lit(500_000)
+            + F.floor(z.cast("double") / F.lit(4.0)).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(LOG_MICRO).cast("long"),
+    )
+
+
+def lr_train(
+    docs: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    steps: int = LR_STEPS,
+) -> DataFrame:
+    """Fit the logistic-regression quality model with ``steps``
+    full-batch gradient-descent steps in fixed-point integer arithmetic
+    and return the same one-frame model shape as :func:`nb_train`:
+    ``(bucket INT, w_micro BIGINT)`` with the dense bucket spine and the
+    ``bucket = -1`` bias row.  :func:`nb_score` scores it unchanged —
+    the gate is linear either way; only training differs.
+
+    Scale: the ``(doc, bucket, tf)`` design matrix is built ONCE (one
+    explode + one aggregate over the labeled set) and lazily staged;
+    each step is one broadcast join against the 65-row weight frame, a
+    doc-keyed margin sum, and a bucket-keyed gradient sum — per-step
+    shuffle is bounded by the labeled set's (doc, bucket) sparsity,
+    and the weight state that crosses steps is 65 rows."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.col(label_col).cast("long").alias("_y"),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+    )
+    tf = (
+        toks.select(
+            "_d", "_y", _bucket(F.col("_tok"), n_buckets).alias("bucket")
+        )
+        .groupBy("_d", "_y", "bucket")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+        .localCheckpoint(eager=False)  # consumed 2x per step
+    )
+    labeled = tf.select("_d", "_y").distinct().localCheckpoint(eager=False)
+    n = labeled.count()
+    if n == 0:
+        raise ValueError("lr_train needs a non-empty labeled set")
+    spine = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    weights = spine.select(
+        "bucket", F.lit(0).cast("long").alias("w_micro")
+    )
+    bias = F.lit(0).cast("long")
+    bias_frame = spark.range(1).select(bias.alias("_bias"))
+    for _ in range(steps):
+        margins = (
+            tf.join(F.broadcast(weights), "bucket")
+            .groupBy("_d", "_y")
+            .agg(F.sum(F.col("_tf") * F.col("w_micro")).alias("_dot"))
+            .crossJoin(F.broadcast(bias_frame))
+            .select(
+                "_d",
+                "_y",
+                (
+                    F.col("_y") * LOG_MICRO
+                    - _hard_sigmoid_micro(F.col("_bias") + F.col("_dot"))
+                ).alias("_err"),
+            )
+        )
+        # docs with NO tf rows cannot exist (split('',' ') yields one
+        # empty token), so margins covers every labeled doc
+        grads = (
+            tf.join(margins.select("_d", "_err"), "_d")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("_tf") * F.col("_err")).alias("_g"))
+        )
+        delta = F.floor(
+            F.col("_g").cast("double") / F.lit(float(n * 4))
+        ).cast("long")
+        weights = (
+            weights.join(grads, "bucket", "left")
+            .select(
+                "bucket",
+                (
+                    F.col("w_micro")
+                    + F.coalesce(delta, F.lit(0).cast("long"))
+                ).alias("w_micro"),
+            )
+            .localCheckpoint(eager=False)  # consumed by next step + output
+        )
+        bias_frame = (
+            margins.agg(F.sum("_err").alias("_gb"))
+            .crossJoin(F.broadcast(bias_frame))
+            .select(
+                (
+                    F.col("_bias")
+                    + F.floor(
+                        F.col("_gb").cast("double") / F.lit(float(n * 4))
+                    ).cast("long")
+                ).alias("_bias")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return weights.unionByName(
+        bias_frame.select(
+            F.lit(BIAS_BUCKET).cast("int").alias("bucket"),
+            F.col("_bias").alias("w_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB replay (oracle SQL generators)
 # ---------------------------------------------------------------------------
 
@@ -277,12 +422,17 @@ def nb_train_sql(labeled_cte: str, n_buckets: int = 64) -> str:
     )"""
 
 
-def nb_score_sql(docs_cte: str, id_col: str = "doc_id",
-                 n_buckets: int = 64) -> str:
+def nb_score_sql(
+    docs_cte: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    model_cte: str = "nb_model",
+) -> str:
     """DuckDB CTE block replaying :func:`nb_score` over a relation named
-    ``docs_cte`` with columns ``(id_col, text)`` against ``nb_model``
-    (from :func:`nb_train_sql` in the same WITH list); defines
-    ``nb_scores(id_col, score_micro, keep)``."""
+    ``docs_cte`` with columns ``(id_col, text)`` against ``model_cte``
+    (``nb_model`` from :func:`nb_train_sql` or ``lr_model`` from
+    :func:`lr_train_sql`, in the same WITH list — the gate is linear
+    either way); defines ``nb_scores(id_col, score_micro, keep)``."""
     h = _portable_hash_sql("t")
     return f"""
     nb_doc_toks AS (
@@ -292,7 +442,7 @@ def nb_score_sql(docs_cte: str, id_col: str = "doc_id",
             FROM {docs_cte})
     ), nb_doc_sums AS (
       SELECT t.{id_col}, sum(m.w_micro) AS s
-      FROM nb_doc_toks t JOIN nb_model m USING (bucket)
+      FROM nb_doc_toks t JOIN {model_cte} m USING (bucket)
       WHERE m.bucket >= 0
       GROUP BY t.{id_col}
     ), nb_scores AS (
@@ -302,6 +452,82 @@ def nb_score_sql(docs_cte: str, id_col: str = "doc_id",
                   THEN 1 ELSE 0 END AS keep
       FROM {docs_cte} d
       LEFT JOIN nb_doc_sums s USING ({id_col})
-      CROSS JOIN (SELECT w_micro FROM nb_model
+      CROSS JOIN (SELECT w_micro FROM {model_cte}
                   WHERE bucket = {BIAS_BUCKET}) b
     )"""
+
+
+def lr_train_sql(
+    labeled_cte: str,
+    n_buckets: int = 64,
+    steps: int = LR_STEPS,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB CTE block replaying :func:`lr_train`'s ENTIRE training
+    loop — ``steps`` unrolled gradient-descent blocks (the unrolled-CTE
+    pagerank-oracle pattern applied to learning) over a relation named
+    ``labeled_cte`` with columns ``(id_col, label, text)``; defines
+    ``lr_model(bucket, w_micro)``.  Every intermediate (margins, hard
+    sigmoid, errors, gradients, updates) is the same exact-integer
+    arithmetic as the Spark spelling, so the fitted weights hash-match
+    bit for bit."""
+    h = _portable_hash_sql("t")
+    parts = [
+        f"""
+    lr_tf AS (
+      SELECT d, y, bucket, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT {id_col} AS d, CAST(label AS BIGINT) AS y,
+                   CAST({h} % {n_buckets} AS INT) AS bucket
+            FROM (SELECT {id_col}, label,
+                         unnest(string_split(lower(text), ' ')) AS t
+                  FROM {labeled_cte}))
+      GROUP BY 1, 2, 3
+    ), lr_n AS (
+      SELECT count(DISTINCT d) AS n FROM lr_tf
+    ), lr_spine AS (
+      SELECT CAST(range AS INT) AS bucket FROM range({n_buckets})
+    ), lr_w0 AS (
+      SELECT bucket, CAST(0 AS BIGINT) AS w FROM lr_spine
+    ), lr_b0 AS (
+      SELECT CAST(0 AS BIGINT) AS bias
+    )"""
+    ]
+    for t in range(1, steps + 1):
+        parts.append(f"""
+    lr_err{t} AS (
+      SELECT m.d,
+             CAST(m.y * {LOG_MICRO}
+                  - least(greatest(500000
+                        + CAST(floor((b.bias + m.dot) / 4.0) AS BIGINT),
+                      0), {LOG_MICRO}) AS BIGINT) AS err
+      FROM (SELECT t.d, t.y, sum(t.tf * w.w) AS dot
+            FROM lr_tf t JOIN lr_w{t - 1} w USING (bucket)
+            GROUP BY 1, 2) m
+      CROSS JOIN lr_b{t - 1} b
+    ), lr_g{t} AS (
+      SELECT t.bucket, sum(t.tf * e.err) AS g
+      FROM lr_tf t JOIN lr_err{t} e USING (d) GROUP BY 1
+    ), lr_w{t} AS (
+      SELECT w.bucket,
+             CAST(w.w + coalesce(
+               CAST(floor(g.g / (n.n * 4.0)) AS BIGINT), 0) AS BIGINT)
+               AS w
+      FROM lr_w{t - 1} w
+      LEFT JOIN lr_g{t} g USING (bucket)
+      CROSS JOIN lr_n n
+    ), lr_b{t} AS (
+      SELECT CAST(b.bias
+                  + CAST(floor(eg.gb / (n.n * 4.0)) AS BIGINT)
+               AS BIGINT) AS bias
+      FROM lr_b{t - 1} b
+      CROSS JOIN (SELECT sum(err) AS gb FROM lr_err{t}) eg
+      CROSS JOIN lr_n n
+    )""")
+    parts.append(f"""
+    lr_model AS (
+      SELECT bucket, w AS w_micro FROM lr_w{steps}
+      UNION ALL
+      SELECT CAST({BIAS_BUCKET} AS INT) AS bucket, bias AS w_micro
+      FROM lr_b{steps}
+    )""")
+    return ",".join(parts)

@@ -138,3 +138,67 @@ def test_score_plan_is_broadcast_and_single_doc_exchange(spark):
     docs, model = _fixture(spark)
     plan = nb_score(docs, model)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_lr_training_separates_and_replays_in_duckdb(spark):
+    """The fixed-point logistic-regression trainer: K full-batch
+    gradient steps in exact integer arithmetic — layout-independent,
+    classifies the planted fixture, and the ENTIRE training loop
+    replays bit-for-bit as unrolled CTEs in DuckDB."""
+    duckdb = pytest.importorskip("duckdb")
+    from cdc_data_lake_pyspark_spark.operators.classifier import (
+        lr_train,
+        lr_train_sql,
+    )
+
+    docs, _ = _fixture(spark)
+    model = lr_train(docs)
+    rows = model.collect()
+    assert len(rows) == 65
+    assert dict(model.dtypes) == {"bucket": "int", "w_micro": "bigint"}
+    # layout independence: same weights from a different partitioning
+    alt = {
+        r["bucket"]: r["w_micro"]
+        for r in lr_train(docs.repartition(13, "doc_id")).collect()
+    }
+    got = {r["bucket"]: r["w_micro"] for r in rows}
+    assert alt == got
+    # the linear gate over the LR weights recovers every planted label
+    scored = nb_score(docs, model).join(
+        docs.select("doc_id", "label"), "doc_id"
+    )
+    assert all(r["keep"] == r["label"] for r in scored.collect())
+    # DuckDB replays training AND scoring exactly
+    con = duckdb.connect()
+    con.register("labeled", docs.toPandas())
+    sql_model = con.execute(
+        "WITH " + lr_train_sql("labeled") + " SELECT * FROM lr_model"
+    ).fetchall()
+    assert {(int(b), int(w)) for b, w in sql_model} == set(
+        (r["bucket"], r["w_micro"]) for r in rows
+    )
+    sql_scores = con.execute(
+        "WITH "
+        + lr_train_sql("labeled")
+        + ", "
+        + nb_score_sql("labeled", model_cte="lr_model")
+        + " SELECT doc_id, score_micro, keep FROM nb_scores"
+    ).fetchall()
+    spark_scores = {
+        r["doc_id"]: (r["score_micro"], r["keep"])
+        for r in nb_score(docs, model).collect()
+    }
+    assert {
+        int(d): (int(s), int(k)) for d, s, k in sql_scores
+    } == spark_scores
+
+
+def test_lr_weights_actually_moved(spark):
+    """Guard against a degenerate all-zero fit: after K steps the bias
+    and the boilerplate buckets must have non-zero weights."""
+    from cdc_data_lake_pyspark_spark.operators.classifier import lr_train
+
+    docs, _ = _fixture(spark)
+    rows = {r["bucket"]: r["w_micro"] for r in lr_train(docs).collect()}
+    assert any(w != 0 for b, w in rows.items() if b >= 0)
+    assert rows[BIAS_BUCKET] != 0
