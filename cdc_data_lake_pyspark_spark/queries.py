@@ -620,6 +620,18 @@ _DEMOTED: tuple[str, ...] = (
     # in-window classifier entries also exercise the lang×source
     # contingency shape (label plant + per-class aggregation); rotated
     # in for r10 re-verification, driver-green r8, r10
+    "dedup_clusters",
+    # minhash-cluster family (demoted mid-r11 for the NEW
+    # lr_classifier_weights window slot): dedup_keep_canonical runs the
+    # same prefix-join pair source through components + keeper election
+    # in-window, and dedup_minhash_cv_clusters drives the banded cluster
+    # path; driver-green r9, r10
+    "range_join_view_purchase",
+    # temporal-join family (demoted mid-r11 for the NEW
+    # lr_classifier_gate window slot): pit_join_views (rotated back in
+    # this round) exercises the same union-and-window as-of composition,
+    # and the hop expansion stays property-tested in pytest;
+    # driver-green r6-r10
     # --- rotated OUT in r10: the r10 diffs touched the prefix-join
     # --- prunes (float-safe ε guards), the cluster/keeper pair source
     # --- (now the prefix join), the paragraph-dedup separator, and the

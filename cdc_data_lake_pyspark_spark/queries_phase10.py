@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cdc_data_lake_pyspark_spark.operators.classifier import (
+    lr_train,
+    lr_train_sql,
     nb_score,
     nb_score_sql,
     nb_train,
@@ -146,6 +148,53 @@ def _classifier_gate(docs):
     expressions the registry entry ships."""
     base, seed = _labeled_base(docs)
     model = nb_train(seed, n_buckets=N_BUCKETS)
+    return nb_score(base, model, n_buckets=N_BUCKETS).join(
+        base.select("doc_id", "label"), "doc_id"
+    ).select("doc_id", "label", "score_micro", "keep")
+
+
+@query(
+    "lr_classifier_weights",
+    oracle=f"""
+    WITH {_BASE_SQL}, {lr_train_sql("seed", N_BUCKETS)}
+    SELECT bucket, w_micro FROM lr_model
+    """,
+)
+def lr_classifier_weights(spark, sf_dir):
+    """The LOGISTIC-REGRESSION quality model (the GPT-3 appendix-A
+    flavor): three full-batch gradient-descent steps in fixed-point
+    integer arithmetic over the same labeled seed — and the oracle
+    replays the ENTIRE TRAINING LOOP as three unrolled CTE blocks
+    (margins → hard sigmoid → errors → gradients → updates), so every
+    fitted weight is value-checked against SQL-trained weights.
+
+    Scale: the (doc, bucket, tf) design matrix builds once over the
+    labeled set; each step is a broadcast join against the 65-row
+    weight state + two keyed integer sums — per-step shuffle tracks the
+    labeled set's sparsity, and the cross-step state is 65 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    _, seed = _labeled_base(docs)
+    return lr_train(seed, n_buckets=N_BUCKETS)
+
+
+@query(
+    "lr_classifier_gate",
+    oracle=f"""
+    WITH {_BASE_SQL}, {lr_train_sql("seed", N_BUCKETS)},
+    {nb_score_sql("base", n_buckets=N_BUCKETS, model_cte="lr_model")}
+    SELECT b.doc_id, b.label, s.score_micro, s.keep
+    FROM base b JOIN nb_scores s USING (doc_id)
+    """,
+)
+def lr_classifier_gate(spark, sf_dir):
+    """Gate every document under the gradient-descent-trained LR model
+    (the linear scorer is shared with the NB gate — only training
+    differs): per-doc margins and MAP verdicts value-checked, with the
+    training loop itself inside the oracle.  Same broadcast + one
+    doc-keyed exchange scoring shape as quality_classifier_gate."""
+    docs = _t(spark, sf_dir, "documents")
+    base, seed = _labeled_base(docs)
+    model = lr_train(seed, n_buckets=N_BUCKETS)
     return nb_score(base, model, n_buckets=N_BUCKETS).join(
         base.select("doc_id", "label"), "doc_id"
     ).select("doc_id", "label", "score_micro", "keep")

@@ -69,8 +69,10 @@ REQUIRED_VISIBLE = [
     # for the new paragraph-dedup entry; graph family keeps pagerank+bfs)
     "revenue_cube",
     "series_correlation_events",
-    # temporal / time-bucketed
-    "range_join_view_purchase",
+    # temporal / time-bucketed (range_join_view_purchase demoted
+    # mid-r11: pit_join_views rotated back in runs the same as-of
+    # union-and-window composition)
+    "pit_join_views",
     "daily_gapfill_locf",
     # linkage / quality / skew diagnostics (outlier_mad_events demoted
     # r10; chisq_lang_source rotates back in alongside key_skew_report)
@@ -100,13 +102,14 @@ REQUIRED_VISIBLE = [
     # the prefix join; dedup_jaccard_pairs demoted r11 — the prefix
     # entry runs the identical oracle and the r11 property sweep pins
     # plain ≡ prefix over 100 corpora × 9 thresholds)
+    # (dedup_clusters demoted mid-r11 for the LR window slots:
+    # keep_canonical runs the same pair source through components +
+    # keeper election, cv drives the banded cluster path)
     "dedup_keep_canonical",
-    "dedup_clusters",
     "contamination_report",
     # incremental near-dup probe — r11-changed (index params + persist)
     "dedup_incremental_minhash",
     # r11 rotate-backs (tail-oracled every round since r5/r6)
-    "pit_join_views",
     "hll_distinct_users",
     "funnel_conversion",
 ]
@@ -124,6 +127,9 @@ CHANGED_THIS_ROUND = [
     # params (ADVICE r10) and the index round-trips through parquet
     # (VERDICT r10 #2) — the entry drives the changed probe path
     "dedup_incremental_minhash",
+    # NEW mid-r11: gradient-descent training replayed in SQL
+    "lr_classifier_weights",
+    "lr_classifier_gate",
 ]
 
 
