@@ -1207,8 +1207,14 @@ def minhash_index(
     ~0.6 KB at the defaults, independent of document length; the corpus
     TEXT is never needed again for candidate discovery.
     """
-    sigs = minhash_signatures(
-        docs, num_hashes=num_hashes, k=k, id_col=id_col, text_col=text_col
+    # the signature frame feeds BOTH index datasets (and, in
+    # save_minhash_index, two writes): stage it lazily so shingling +
+    # the num_hashes-column aggregate run once, not once per consumer
+    sigs = _stage(
+        minhash_signatures(
+            docs, num_hashes=num_hashes, k=k, id_col=id_col,
+            text_col=text_col,
+        )
     )
     return MinHashIndex(
         sigs, _banded(sigs, bands, rows_per_band),
