@@ -1,6 +1,8 @@
-"""Learned quality-classifier gate: in-Spark TRAINING and scoring of a
-text classifier over hashed features, fully deterministic and replayable
-in any SQL engine.
+"""Learned quality-classifier gate: in-Spark TRAINING and scoring of
+text classifiers over hashed features — a closed-form multinomial Naive
+Bayes (:func:`nb_train`) and a fixed-point full-batch logistic
+regression (:func:`lr_train`) — fully deterministic and replayable in
+any SQL engine, including the LR GRADIENT LOOP itself.
 
 Capability addition for the §2.6 training-data surface (no reference
 citation — the reference's scope starts at structured CDC envelopes).

@@ -12,15 +12,19 @@ training is ONE aggregation pass (closed form: order-, partition- and
 engine-independent), all log-probabilities ride the integer micro-log2
 bridge, so DuckDB replays TRAINING and SCORING bit-for-bit.
 
-Three entries:
+Five entries:
 
-* ``quality_classifier_weights`` — the fitted model itself (dense
+* ``quality_classifier_weights`` — the fitted NB model itself (dense
   bucket spine + bias row) under the value gate: every weight is an
   exact BIGINT both engines must agree on.
 * ``quality_classifier_gate`` — per-document scores and MAP keep
   verdicts over the full corpus, trained on a 70 % deterministic seed
   split (the held-out 30 % demonstrates generalization under the same
   oracle).
+* ``lr_classifier_weights`` / ``lr_classifier_gate`` — the
+  LOGISTIC-REGRESSION flavor (GPT-3 appendix A): three full-batch
+  gradient-descent steps in fixed-point integer arithmetic, with the
+  ENTIRE training loop replayed in the oracle as unrolled CTE blocks.
 * ``prepare_web_corpus_v4`` — the full web capstone with the learned
   gate as a first-class stage: host gate → URL keeper → extract →
   min-content gate → **classifier gate (train on seed, score all)** →
