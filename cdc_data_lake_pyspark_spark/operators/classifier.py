@@ -218,6 +218,42 @@ def nb_score(
 
 
 # ---------------------------------------------------------------------------
+# Model persistence
+# ---------------------------------------------------------------------------
+
+#: persisted-model schema contract (pinned by save/load and pytest)
+_MODEL_SCHEMA = {"bucket": "int", "w_micro": "bigint"}
+
+
+def save_model(model: DataFrame, path: str) -> None:
+    """Materialize a fitted model (:func:`nb_train` or :func:`lr_train` —
+    same one-frame shape) as a parquet artifact: the thing a production
+    pipeline actually ships between the offline trainer and the online
+    scoring job.  65 rows at the default width — one file."""
+    model.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_model(spark, path: str, n_buckets: int = 64) -> DataFrame:
+    """Reload a persisted model, validating the schema AND the model's
+    completeness — the dense ``0..n_buckets-1`` spine plus exactly one
+    bias row — before any scoring plans against it.  A truncated or
+    wrong-width artifact (e.g. trained at a different ``n_buckets``
+    than the scorer expects — the bucket function is part of the model)
+    fails HERE with a readable message, not as silently-skewed scores."""
+    df = spark.read.parquet(path)
+    got = dict(df.dtypes)
+    if got != _MODEL_SCHEMA:
+        raise ValueError(f"classifier model schema drifted: {got} != {_MODEL_SCHEMA}")
+    buckets = sorted(r.bucket for r in df.select("bucket").collect())
+    if buckets != [BIAS_BUCKET] + list(range(n_buckets)):
+        raise ValueError(
+            f"classifier model at {path} is not a dense {n_buckets}-bucket "
+            "spine + bias row — was it trained with a different n_buckets?"
+        )
+    return df
+
+
+# ---------------------------------------------------------------------------
 # Fixed-point logistic regression (full-batch gradient descent)
 # ---------------------------------------------------------------------------
 #

@@ -202,3 +202,39 @@ def test_lr_weights_actually_moved(spark):
     rows = {r["bucket"]: r["w_micro"] for r in lr_train(docs).collect()}
     assert any(w != 0 for b, w in rows.items() if b >= 0)
     assert rows[BIAS_BUCKET] != 0
+
+
+def test_model_roundtrip_through_parquet(spark, tmp_path):
+    """The model artifact lifecycle (the minhash/IVF-PQ persistence
+    pattern applied to the classifier): save → reload in a fresh
+    session → identical scores; drifted or wrong-width artifacts are
+    rejected at load."""
+    from cdc_data_lake_pyspark_spark.operators.classifier import (
+        load_model,
+        save_model,
+    )
+
+    docs, model = _fixture(spark)
+    path = str(tmp_path / "model")
+    save_model(model, path)
+    fresh = spark.newSession()
+    loaded = load_model(fresh, path)
+    want = {
+        (r["doc_id"], r["score_micro"], r["keep"])
+        for r in nb_score(docs, model).collect()
+    }
+    fresh_docs, _ = _fixture(fresh)
+    got = {
+        (r["doc_id"], r["score_micro"], r["keep"])
+        for r in nb_score(fresh_docs, loaded).collect()
+    }
+    assert got == want
+    # wrong n_buckets expectation → loud failure, not skewed scores
+    with pytest.raises(ValueError, match="different n_buckets"):
+        load_model(fresh, path, n_buckets=128)
+    # schema drift → loud failure
+    spark.range(3).select(
+        F.col("id").cast("int").alias("bucket"), F.lit("x").alias("w_micro")
+    ).write.mode("overwrite").parquet(path)
+    with pytest.raises(ValueError, match="schema drifted"):
+        load_model(fresh, path)
