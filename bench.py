@@ -257,26 +257,7 @@ def main() -> None:
     # pass cannot misalign another pass's draws (r10 review #1)
     core_samples: dict[str, dict] = {n: {} for n in MEDIAN_TRACKED}
     state = {"sf": sf, "queries": timings, "errors": errors, "done": False}
-
-    def release_orphaned_blocks():
-        """Lazy localCheckpoint blocks (the staging pattern) are only
-        released when the JVM garbage-collects the dropped DataFrame
-        references and the ContextCleaner unpersists their RDDs — which
-        Spark forces just once per spark.cleaner.periodicGC.interval
-        (default 30 min, longer than this whole run).  A 144-entry sweep
-        accumulates every staged query's blocks in executor storage;
-        collecting at pass boundaries keeps later passes measuring the
-        queries, not the sweep's leftover memory pressure."""
-        import gc as _gc
-
-        _gc.collect()
-        try:
-            spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
-
     for pass_no in range(3):
-        release_orphaned_blocks()
         for name in names:
             if pass_no >= 1 and name not in HEADLINE:
                 continue
