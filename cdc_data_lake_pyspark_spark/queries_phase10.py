@@ -185,21 +185,27 @@ def lr_classifier_weights(spark, sf_dir):
     "lr_classifier_gate",
     oracle=f"""
     WITH {_BASE_SQL}, {lr_train_sql("seed", N_BUCKETS)},
-    {nb_score_sql("base", n_buckets=N_BUCKETS, model_cte="lr_model")}
+    {nb_score_sql("base", n_buckets=N_BUCKETS, model_cte="lr_model",
+                  binary=True)}
     SELECT b.doc_id, b.label, s.score_micro, s.keep
     FROM base b JOIN nb_scores s USING (doc_id)
     """,
 )
 def lr_classifier_gate(spark, sf_dir):
     """Gate every document under the gradient-descent-trained LR model
-    (the linear scorer is shared with the NB gate — only training
-    differs): per-doc margins and MAP verdicts value-checked, with the
-    training loop itself inside the oracle.  Same broadcast + one
-    doc-keyed exchange scoring shape as quality_classifier_gate."""
+    (the linear scorer is shared with the NB gate, in PRESENCE mode —
+    the LR feature map; only training differs): per-doc margins and MAP
+    verdicts value-checked, with the training loop itself inside the
+    oracle.  On the registry fixture the fitted gate keeps exactly the
+    planted 2/3 with per-doc label agreement 1.0 at every SF (the r11
+    raw-tf degeneracy — length saturating the hard sigmoid — is fixed
+    by the presence feature map; see operators/classifier.py).  Same
+    broadcast + one doc-keyed exchange scoring shape as
+    quality_classifier_gate."""
     docs = _t(spark, sf_dir, "documents")
     base, seed = _labeled_base(docs)
     model = lr_train(seed, n_buckets=N_BUCKETS)
-    return nb_score(base, model, n_buckets=N_BUCKETS).join(
+    return nb_score(base, model, n_buckets=N_BUCKETS, binary=True).join(
         base.select("doc_id", "label"), "doc_id"
     ).select("doc_id", "label", "score_micro", "keep")
 

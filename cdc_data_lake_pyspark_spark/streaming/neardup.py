@@ -141,7 +141,7 @@ class StreamingNearDupGate:
     # -- the pure reduction -------------------------------------------------
     def batch_reduce(
         self, batch_df: DataFrame, index: MinHashIndex
-    ) -> DataFrame:
+    ) -> tuple[DataFrame, DataFrame]:
         """The gate's pure single-batch reduction against a GIVEN index:
         returns ``(novel, batch_signatures)`` where novel is the batch's
         surviving ``(doc_id)`` rows — no state I/O, so batch-vs-stream

@@ -55,15 +55,29 @@ class StreamingQualityGate:
         self,
         model: DataFrame,
         out_dir: str,
-        n_buckets: int = 64,
+        n_buckets: int | None = None,
         id_col: str = "doc_id",
         text_col: str = "text",
+        binary: bool = False,
     ) -> None:
-        self.model = model
+        # stage the static model ONCE here, not per micro-batch (ADVICE
+        # r11: a long-running stream re-checkpointing the 65-row frame
+        # every batch accumulates RDD blocks until the ContextCleaner
+        # catches up) — and derive/validate the feature width from the
+        # model's own spine so the gate can never score with a
+        # mismatched bucket function
+        self.model = model.localCheckpoint(eager=False)
+        spine_n = self.model.filter(F.col("bucket") >= 0).count()
+        if n_buckets is not None and n_buckets != spine_n:
+            raise ValueError(
+                f"StreamingQualityGate configured with n_buckets="
+                f"{n_buckets} but the model's spine has {spine_n}"
+            )
+        self.n_buckets = spine_n
         self.out_dir = out_dir
-        self.n_buckets = n_buckets
         self.id_col = id_col
         self.text_col = text_col
+        self.binary = binary
 
     def batch_reduce(self, batch_df: DataFrame) -> DataFrame:
         """The gate's pure reduction: the batch with ``score_micro`` and
@@ -75,6 +89,8 @@ class StreamingQualityGate:
             id_col=self.id_col,
             text_col=self.text_col,
             n_buckets=self.n_buckets,
+            binary=self.binary,
+            staged=True,
         )
         return batch_df.join(scores, self.id_col)
 
