@@ -313,3 +313,32 @@ def test_model_roundtrip_through_parquet(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{path}/weights")
     with pytest.raises(ValueError, match="schema drifted"):
         load_model(fresh, path)
+
+
+def test_classifier_eval_pins_separation_on_registry_fixture(spark):
+    """VERDICT r11 #2: the evaluation entry's VALUES are the degeneracy
+    detector — at the MAP threshold (0) both flavors must separate the
+    planted registry fixture exactly (fp = fn = 0, keep = 2/3); the r11
+    degenerate LR would have shown fp = n/3 at every threshold."""
+    import os
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        pytest.skip("driver testdata not present")
+    from cdc_data_lake_pyspark_spark.queries_phase10 import classifier_eval
+
+    rows = {
+        (r["model"], r["threshold_micro"]): r
+        for r in classifier_eval(spark, sf_dir).collect()
+    }
+    for flavor in ("nb", "lr"):
+        at0 = rows[(flavor, 0)]
+        assert at0["fp"] == 0 and at0["fn"] == 0, flavor
+        assert at0["keep_n"] == at0["tp"] > 0
+        # keep curve is monotone non-increasing in the threshold
+        curve = [
+            v["keep_n"]
+            for k, v in sorted(rows.items())
+            if k[0] == flavor
+        ]
+        assert curve == sorted(curve, reverse=True)
