@@ -63,10 +63,11 @@ HEADLINE = CORE + [
 
 #: queries that get the THIRD timed pass and per-query medians for
 #: tools/bench_compare.py (VERDICT r10 #5: the full-pipeline capstone is
-#: diffed round-over-round under the noise-robust median).  The CORE
-#: pass sums — core_headline_median_sec's contract — remain over CORE
-#: alone so the r4+ trend line keeps its meaning.
-MEDIAN_TRACKED = CORE + ["prepare_web_corpus_v3"]
+#: diffed round-over-round under the noise-robust median; VERDICT r11
+#: #5: v4 — the single most expensive headline query — joins it).  The
+#: CORE pass sums — core_headline_median_sec's contract — remain over
+#: CORE alone so the r4+ trend line keeps its meaning.
+MEDIAN_TRACKED = CORE + ["prepare_web_corpus_v3", "prepare_web_corpus_v4"]
 
 LOCAL_RESULTS = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"

@@ -89,6 +89,8 @@ def test_median_tracked_covers_core_plus_v3():
     """VERDICT r10 #5: the full-pipeline web capstone rides the 3-pass
     median machinery (per-query medians for bench_compare), while the
     CORE pass-sum contract stays the frozen 10-query set."""
-    assert bench.MEDIAN_TRACKED == bench.CORE + ["prepare_web_corpus_v3"]
+    assert bench.MEDIAN_TRACKED == bench.CORE + [
+        "prepare_web_corpus_v3", "prepare_web_corpus_v4"
+    ]
     assert "prepare_web_corpus_v3" in bench.HEADLINE
     assert "prepare_web_corpus_v4" in bench.HEADLINE
