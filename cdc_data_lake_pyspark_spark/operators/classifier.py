@@ -540,34 +540,39 @@ def nb_score_sql(
     n_buckets: int = 64,
     model_cte: str = "nb_model",
     binary: bool = False,
+    cte_prefix: str = "nb_",
 ) -> str:
     """DuckDB CTE block replaying :func:`nb_score` over a relation named
     ``docs_cte`` with columns ``(id_col, text)`` against ``model_cte``
     (``nb_model`` from :func:`nb_train_sql` or ``lr_model`` from
     :func:`lr_train_sql`, in the same WITH list — the gate is linear
-    either way); defines ``nb_scores(id_col, score_micro, keep)``.
-    ``binary=True`` mirrors the Spark scorer's presence mode (one
-    DISTINCT (doc, bucket) row per present feature — the LR flavor)."""
+    either way); defines ``{cte_prefix}scores(id_col, score_micro,
+    keep)``.  ``binary=True`` mirrors the Spark scorer's presence mode
+    (one DISTINCT (doc, bucket) row per present feature — the LR
+    flavor); ``cte_prefix`` disambiguates multiple scorings in one WITH
+    list (the incremental capstone scores under yesterday's model on
+    two different days)."""
     h = _portable_hash_sql("t")
     distinct = "DISTINCT " if binary else ""
+    p = cte_prefix
     return f"""
-    nb_doc_toks AS (
+    {p}doc_toks AS (
       SELECT {distinct}{id_col},
              CAST({h} % {n_buckets} AS INT) AS bucket
       FROM (SELECT {id_col}, unnest(string_split(lower(text), ' ')) AS t
             FROM {docs_cte})
-    ), nb_doc_sums AS (
+    ), {p}doc_sums AS (
       SELECT t.{id_col}, sum(m.w_micro) AS s
-      FROM nb_doc_toks t JOIN {model_cte} m USING (bucket)
+      FROM {p}doc_toks t JOIN {model_cte} m USING (bucket)
       WHERE m.bucket >= 0
       GROUP BY t.{id_col}
-    ), nb_scores AS (
+    ), {p}scores AS (
       SELECT d.{id_col},
              CAST(coalesce(s.s, 0) + b.w_micro AS BIGINT) AS score_micro,
              CASE WHEN coalesce(s.s, 0) + b.w_micro >= 0
                   THEN 1 ELSE 0 END AS keep
       FROM {docs_cte} d
-      LEFT JOIN nb_doc_sums s USING ({id_col})
+      LEFT JOIN {p}doc_sums s USING ({id_col})
       CROSS JOIN (SELECT w_micro FROM {model_cte}
                   WHERE bucket = {BIAS_BUCKET}) b
     )"""

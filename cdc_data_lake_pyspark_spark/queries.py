@@ -902,3 +902,4 @@ def _load_phase2() -> None:
     import cdc_data_lake_pyspark_spark.queries_phase8  # noqa: F401
     import cdc_data_lake_pyspark_spark.queries_phase9  # noqa: F401
     import cdc_data_lake_pyspark_spark.queries_phase10  # noqa: F401
+    import cdc_data_lake_pyspark_spark.queries_phase11  # noqa: F401
