@@ -273,6 +273,10 @@ def _prepare_web_corpus_incremental(docs):
             .alias("text"),
         )
     )
+    # crawls feeds three consumers (canon + both days' extraction);
+    # stage it so the source self-join runs once (measured: unstaged,
+    # the day-1 marginal cost re-paid the join — tools/measure_incremental.py)
+    crawls = _stage(crawls)
     canon = crawls.select(
         "doc_id",
         "day",
