@@ -87,6 +87,43 @@ def _tracking_param_re(params: Sequence[str]) -> str:
             raise ValueError(
                 f"tracking param pattern adds an empty alternative: {p!r}"
             )
+        # structural scan (ADVICE r11): the Python-compile probe below
+        # is laxer than Java regex / RE2 in exactly one reachable spot —
+        # character classes ('[]]' is a ]-class in Python but a
+        # PatternSyntaxException in Java) — so brackets are checked
+        # structurally: every class opens with '[', closes with a ']'
+        # that is not its first member, and never nests a raw '['
+        in_class = False
+        class_start = -1
+        for i, ch in enumerate(p):
+            if not in_class:
+                if ch == "[":
+                    in_class, class_start = True, i
+                elif ch == "]":
+                    raise ValueError(
+                        f"unbalanced ']' in tracking param pattern {p!r}"
+                    )
+            else:
+                if ch == "[":
+                    raise ValueError(
+                        f"nested '[' in tracking param pattern {p!r} — "
+                        "literal '[' inside a class is not portable"
+                    )
+                if ch == "]":
+                    if i == class_start + 1:
+                        raise ValueError(
+                            "empty or ]-leading character class in "
+                            f"tracking param pattern {p!r} is not "
+                            "portable (Java regex rejects it)"
+                        )
+                    in_class = False
+        if in_class:
+            raise ValueError(
+                f"unterminated character class in tracking param "
+                f"pattern {p!r}"
+            )
+        # the compile probe rejects dangling quantifiers ('*foo',
+        # 'a|?b', 'a**') — Python, Java, and RE2 agree on those
         try:
             _re.compile(f"^({p})=")
         except _re.error as exc:

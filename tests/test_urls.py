@@ -143,3 +143,30 @@ def test_tracking_params_empty_disables_dropping(spark):
         .c
     )
     assert got == "https://ex.com/a?b=2&utm_source=x"
+
+
+def test_tracking_param_validator_rejects_structural_hazards():
+    """ADVICE r11: fragments inside the character allowlist can still be
+    invalid regex ('utm[', '*foo') or Python-valid but Java-invalid
+    (']]-leading classes') — construction must reject them all, never
+    an executor-side PatternSyntaxException at action time."""
+    import pytest
+
+    from cdc_data_lake_pyspark_spark.functions.urls import (
+        _tracking_param_re,
+    )
+
+    for bad in (
+        "utm[",        # unterminated class
+        "*foo",        # dangling quantifier
+        "a**",         # double quantifier
+        "a|?b",        # quantifier after alternation
+        "ab]",         # unbalanced close
+        "[]]",         # Python-valid, Java PatternSyntaxException
+        "[]",          # empty class
+        "a[[b]c",      # nested raw '[' (not portable)
+    ):
+        with pytest.raises(ValueError):
+            _tracking_param_re([bad])
+    # the good subset still passes
+    assert _tracking_param_re(["utm_[a-z0-9_]*", "gclid"]).startswith("^(")
