@@ -585,13 +585,41 @@ def top_customers_per_segment(spark, sf_dir):
 # sibling covering its operator family; the policy is documented in
 # COVERAGE.md (§ gate window).
 _DEMOTED: tuple[str, ...] = (
-    # --- rotated OUT in r11: the three NEW r11 entries
-    # --- (quality_classifier_weights, quality_classifier_gate,
-    # --- prepare_web_corpus_v4) sit in-window per policy, and three
+    # --- rotated OUT in r12: the two NEW r12 entries (classifier_eval,
+    # --- prepare_web_corpus_incremental) plus prepare_web_corpus_v4
+    # --- (displaced to pos 50 by r12's classifier_eval; its NB stages
+    # --- changed this round) sit in-window per policy, and three
     # --- long-tail entries rotate back IN for driver re-verification
-    # --- (pit_join_views, hll_distinct_users, funnel_conversion — all
+    # --- (lm_cross_entropy, daily_revenue_ma7, shipping_priority —
     # --- tail-verified every round via tools/check_oracles.py since
-    # --- their r5/r6 demotions).  The six below take the slots.
+    # --- their r6/r7 demotions).  The five below take the slots.
+    "dedup_keep_canonical",
+    # minhash-cluster/keeper family: dedup_minhash_cv_clusters stays
+    # in-window driving the same banded clustering + repair rounds, and
+    # dedup_jaccard_prefix runs the keeper election's pair source with
+    # the identical oracle; driver-green r9-r11
+    "hll_distinct_users",
+    # distinct-count sketch family: rotated in for r11 re-verification
+    # and driver-green r11 (its rotation's purpose); HLL register
+    # bounds stay pinned in tests/test_sketch.py and the approx-sketch
+    # machinery runs in-window inside prepare_training_corpus_v2
+    "funnel_conversion",
+    # keyed ordered-sequence family: rotated in for r11 re-verification
+    # and driver-green r11; event_transition_matrix stays in-window on
+    # the same per-key ordered aggregation shape
+    "semantic_gate_batch",
+    # streaming-gate batch-reduction family: the learned quality gates
+    # (quality_classifier_gate + v4 + the incremental capstone) now
+    # drive broadcast-model batch reduction in-window, and the
+    # semantic/novelty gates stay soak-tested in pytest; driver-green
+    # r10, r11
+    "label_encode_docs",
+    # one-aggregate feature-encoding family: the in-window classifier
+    # entries drive the same portable-hash bucket cells
+    # (feature_hash's bucket function IS the classifier feature map);
+    # encoding determinism stays pinned in pytest; driver-green r5-r11
+    # --- rotated OUT in r11 (kept demoted; rationales below still
+    # --- hold with the r12 window).
     "dedup_jaccard_pairs",
     # prefix-join family: dedup_jaccard_prefix stays in-window running
     # the IDENTICAL oracle through the pruned plan, and the r11 property
@@ -700,17 +728,9 @@ _DEMOTED: tuple[str, ...] = (
     "skew_salted_agg",
     # skew family: key_skew_report stays in-window; salted ≡ plain pinned
     # in tests/test_skew.py; driver-green r7
-    "lm_cross_entropy",
-    # LM-scoring family: token_entropy stays in-window and the quantized
-    # micro-log2 bridge runs inside the in-window
-    # prepare_training_corpus_v2 (DSIR/CE machinery); driver-green r7
-    # --- rotated OUT in r7 (start of round).
-    "daily_revenue_ma7",
-    # time-bucketed-agg family: daily_gapfill_locf stays in-window on
-    # the same day-truncated spine; driver-green r6
-    "shipping_priority",
-    # TPC-H join+agg family: revenue_cube (rotated in) drives the same
-    # join+aggregate shape through the Expand plan; driver-green r6
+    # --- lm_cross_entropy, daily_revenue_ma7 and shipping_priority
+    # --- rotated back IN for r12 driver re-verification (demoted r6/r7,
+    # --- tail-verified every round since).
     "embedding_normalize",
     # embedding map-only family: embedding_pq_codes stays in-window;
     # driver-green r6

@@ -4,16 +4,19 @@ rotation policy holds (queries.py `_DEMOTED` rationale): new/changed
 operators sit inside the window, and previously demoted entries rotate
 back in so the driver re-verifies them round over round.
 
-Round-11 window: the NEW learned-classifier entries
-(quality_classifier_weights / quality_classifier_gate) and the v4 web
-capstone are in-window per the new-ops rule; dedup_incremental_minhash
-stays in-window because r11 changed the probe path (MinHashIndex
-params validation + persisted-artifact lifecycle); and pit_join_views /
-hll_distinct_users / funnel_conversion (tail-oracled since r5/r6)
-rotate back IN.  dedup_jaccard_pairs, prepare_training_corpus_lsh,
-embedding_pq_codes, returned_item_customers, cohort_retention and
-chisq_lang_source take the tail slots, each with a family sibling left
-in-window (rationales in queries._DEMOTED)."""
+Round-12 window: the NEW entries (classifier_eval — the confusion
+matrix/keep-curve degeneracy detector — and
+prepare_web_corpus_incremental — the day-over-day refresh capstone)
+are in-window per the new-ops rule; the classifier family
+(quality_* / lr_* / prepare_web_corpus_v4) stays in-window because r12
+changed NB/LR internals (presence features, priors guard, spine-derived
+width); dedup_incremental_minhash stays in-window because r12 changed
+the probe path again (bucket-partition pruning); and lm_cross_entropy /
+daily_revenue_ma7 / shipping_priority (tail-oracled since r6/r7) rotate
+back IN.  dedup_keep_canonical, hll_distinct_users, funnel_conversion,
+semantic_gate_batch and label_encode_docs take the tail slots, each
+with a family sibling left in-window (rationales in
+queries._DEMOTED)."""
 
 from cdc_data_lake_pyspark_spark import queries as q
 
@@ -81,17 +84,18 @@ REQUIRED_VISIBLE = [
     # graph (pagerank_parts demoted mid-r10 for the training-order
     # entry; schedule stays tail-oracled + bit-exact in pytest)
     "bfs_part_distances",
-    # sparse similarity / features
+    # sparse similarity / features (label_encode_docs demoted r12: the
+    # classifier entries run the same portable-hash bucket cells)
     "sparse_cosine_docs",
-    "label_encode_docs",
     # IVM / layout
     "ivm_orders_by_status",
     "compact_orders_roundtrip",
     # multimodal codecs
     "multimodal_decode",
-    # streaming gates (novelty_gate_batch demoted mid-r10 for the new
-    # host-filter entry; soak-tested + Bloom family in-window)
-    "semantic_gate_batch",
+    # streaming gates: semantic_gate_batch demoted r12 — the learned
+    # gates (quality_classifier_gate, v4, the incremental capstone)
+    # drive broadcast-model batch reduction in-window, and the
+    # semantic/novelty gates stay soak-tested in pytest
     # host-level URL-quality gating (NEW r10)
     "host_filter_docs",
     # web-pipeline URL stage (NEW r9)
@@ -102,34 +106,37 @@ REQUIRED_VISIBLE = [
     # the prefix join; dedup_jaccard_pairs demoted r11 — the prefix
     # entry runs the identical oracle and the r11 property sweep pins
     # plain ≡ prefix over 100 corpora × 9 thresholds)
-    # (dedup_clusters demoted mid-r11 for the LR window slots:
-    # keep_canonical runs the same pair source through components +
-    # keeper election, cv drives the banded cluster path)
-    "dedup_keep_canonical",
+    # (dedup_clusters demoted mid-r11 and dedup_keep_canonical r12:
+    # dedup_minhash_cv_clusters + dedup_jaccard_prefix keep the
+    # cluster/keeper machinery in-window)
     "contamination_report",
     # incremental near-dup probe — r11-changed (index params + persist)
     "dedup_incremental_minhash",
-    # r11 rotate-backs (tail-oracled every round since r5/r6)
-    "hll_distinct_users",
-    "funnel_conversion",
+    # NEW r12: classifier evaluation + the incremental refresh capstone
+    "classifier_eval",
+    "prepare_web_corpus_incremental",
+    # r12 rotate-backs (tail-oracled every round since r6/r7)
+    "lm_cross_entropy",
+    "daily_revenue_ma7",
+    "shipping_priority",
 ]
 
 # Operators added or materially changed this round: the rotation policy
 # requires them INSIDE the gated window (ADVICE r4).
 CHANGED_THIS_ROUND = [
-    # NEW r11: the learned quality-classifier family (VERDICT r10 #1) —
-    # NB training + scoring, weights AND per-doc verdicts value-checked
+    # r12-changed: LR moved to binary presence features (the r11
+    # degeneracy fix) and NB gained the priors guard + spine-derived
+    # scoring width — every classifier-family entry re-verifies
     "quality_classifier_weights",
     "quality_classifier_gate",
-    # NEW r11: web capstone with the learned gate as a stage
     "prepare_web_corpus_v4",
-    # r11-changed: minhash_probe now validates the index's hashing
-    # params (ADVICE r10) and the index round-trips through parquet
-    # (VERDICT r10 #2) — the entry drives the changed probe path
-    "dedup_incremental_minhash",
-    # NEW mid-r11: gradient-descent training replayed in SQL
     "lr_classifier_weights",
     "lr_classifier_gate",
+    # NEW r12: the evaluation surface and the refresh capstone
+    "classifier_eval",
+    "prepare_web_corpus_incremental",
+    # r12-changed: minhash_probe gained bucket-partition pruning
+    "dedup_incremental_minhash",
 ]
 
 
