@@ -132,3 +132,27 @@ def test_web_corpus_v4_classifier_gate_is_broadcast_and_staged(
     assert any("LogicalRDD" in l for l in lines)
     phys = _plan(df)
     assert "BroadcastHashJoin" in phys
+
+
+def test_web_corpus_incremental_day1_is_broadcast_and_staged(
+    spark, sf_dir, registry
+):
+    """The incremental capstone's day-1 half must ship the daily 100 TB
+    shape: the persisted 65-row model reaches both days' scored docs
+    via BROADCAST joins, survivors gate through semi-joins, the
+    frontier drops yesterday's canonicals with an ANTI-join, and the
+    heavy shared frames (crawl self-join, canonicalization, extraction,
+    day-0 clean corpus) are STAGED — LogicalRDD leaves — so none of
+    them re-runs per consumer.  The extraction template must appear
+    nowhere in the final plan (it ran once, behind the staging)."""
+    df = registry["prepare_web_corpus_incremental"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    assert any("Join LeftSemi" in l for l in lines), "keep semi-join missing"
+    assert any("Join LeftAnti" in l for l in lines), "frontier anti missing"
+    hinted = [l for l in lines if "rightHint=(strategy=broadcast)" in l]
+    assert len(hinted) >= 2, f"model joins not broadcast: {hinted}"
+    assert "</title>" not in plan  # extraction staged, never re-planned
+    assert any("LogicalRDD" in l for l in lines)
+    phys = _plan(df)
+    assert "BroadcastHashJoin" in phys
