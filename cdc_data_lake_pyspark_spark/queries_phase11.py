@@ -223,18 +223,22 @@ def prepare_web_corpus_incremental(spark, sf_dir):
     return _prepare_web_corpus_incremental(_t(spark, sf_dir, "documents"))
 
 
-def _prepare_web_corpus_incremental(docs):
+def _prepare_web_corpus_incremental(docs, work_dir=None):
     """Body over an arbitrary docs frame — shared with
     tools/measure_incremental.py so the 100x row measures the shipped
-    composite."""
+    composite.  ``work_dir`` pins where the day-0 artifacts (and the
+    day-1 index UPDATE) land — tests pass a tmp dir and probe the
+    post-run index; the registry entry uses a fresh temp dir."""
     from cdc_data_lake_pyspark_spark.functions.html import main_text_sql
     from cdc_data_lake_pyspark_spark.functions.urls import canonical_url_sql
     from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        _banded,
         _stage,
         exact_dedup,
         load_minhash_index,
         minhash_index,
         minhash_probe,
+        minhash_signatures,
         save_minhash_index,
     )
     from cdc_data_lake_pyspark_spark.queries_phase9 import (
@@ -333,7 +337,8 @@ def _prepare_web_corpus_incremental(docs):
     ).select("label", F.col("main_text").alias("text"))
     # persist + reload the model: day 1 scores under the ARTIFACT, the
     # exact train-offline/score-online split a daily pipeline ships
-    model_dir = tempfile.mkdtemp(prefix="incr_model_")
+    work_dir = work_dir or tempfile.mkdtemp(prefix="incr_")
+    model_dir = f"{work_dir}/model"
     save_model(nb_train(seed, n_buckets=N_BUCKETS), model_dir)
     model0 = load_model(spark, model_dir, n_buckets=N_BUCKETS)
     scores0 = nb_score(
@@ -354,7 +359,7 @@ def _prepare_web_corpus_incremental(docs):
         F.col("n_docs").alias("n_urls"),
     )
     # persist + reload the near-dup index of the kept day-0 corpus
-    index_dir = tempfile.mkdtemp(prefix="incr_index_")
+    index_dir = f"{work_dir}/index"
     save_minhash_index(
         minhash_index(clean0, text_col="main_text"), index_dir
     )
@@ -389,11 +394,27 @@ def _prepare_web_corpus_incremental(docs):
         model0,
         n_buckets=N_BUCKETS,
     )
-    clean1 = nd1.join(
-        scores1.filter(F.col("keep") == 1).select("doc_id"),
-        "doc_id",
-        "left_semi",
+    clean1 = _stage(
+        nd1.join(
+            scores1.filter(F.col("keep") == 1).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     )
+    # index UPDATE: tomorrow's probe must see today's accepted content —
+    # append the day-1 survivors' signatures and banded buckets to the
+    # persisted artifact (the streaming gate's append discipline applied
+    # to the batch lifecycle; day-2 visibility pinned in
+    # tests/test_phase11.py)
+    sigs1 = _stage(
+        minhash_signatures(
+            clean1.select("doc_id", F.col("main_text").alias("text"))
+        )
+    )
+    sigs1.write.mode("append").parquet(f"{index_dir}/signatures")
+    _banded(
+        sigs1, index0.bands, index0.rows_per_band
+    ).write.mode("append").parquet(f"{index_dir}/buckets")
     keep1 = exact_dedup(clean1, text_col="main_text").select(
         "fingerprint",
         F.col("keeper_id").alias("doc_id"),

@@ -1,0 +1,75 @@
+"""Incremental corpus-refresh capstone (queries_phase11.py): the
+artifact lifecycle the oracle cannot see — after the entry runs, the
+persisted index must have been UPDATED with day-1's accepted content,
+so a DAY-2 probe finds both days without re-shingling anything."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+    load_minhash_index,
+    minhash_probe,
+)
+from cdc_data_lake_pyspark_spark.queries_phase11 import (
+    _prepare_web_corpus_incremental,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_day1_survivors_update_the_index_for_day2(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = _prepare_web_corpus_incremental(docs, work_dir=str(tmp_path))
+    rows = out.collect()
+    day0 = {r.doc_id for r in rows if r.day == 0}
+    day1 = {r.doc_id for r in rows if r.day == 1}
+    assert day0 and day1  # non-degenerate on both days (the r12 lesson)
+    index = load_minhash_index(spark, f"{tmp_path}/index")
+    indexed = {r.doc_id for r in index.signatures.select("doc_id").collect()}
+    # every kept keeper from BOTH days is probe-visible tomorrow
+    assert day0 <= indexed and day1 <= indexed
+    # a day-2 re-crawl of a day-1 survivor: rebuild its extracted text
+    # through the same page/extraction templates and probe the RELOADED
+    # index — it must hit its day-1 original (estimate 1.0)
+    from cdc_data_lake_pyspark_spark.functions.html import main_text_sql
+    from cdc_data_lake_pyspark_spark.queries_phase10 import BOILER
+    from cdc_data_lake_pyspark_spark.queries_phase11 import (
+        _DAY0_SQL,
+        _SRC_SQL,
+    )
+    from cdc_data_lake_pyspark_spark.queries_phase9 import _PAGE_SQL
+
+    target = min(day1)
+    crawl = (
+        docs.select(
+            "doc_id",
+            F.expr(_DAY0_SQL).alias("day"),
+            F.expr(_SRC_SQL).alias("_src"),
+        )
+        .filter(F.col("doc_id") == target)
+        .join(
+            docs.select(F.col("doc_id").alias("_src"), "text"), "_src"
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.col("_src") % 3 == 0,
+                F.concat(F.lit(BOILER + " "), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    day2 = crawl.select(
+        F.lit(999_999_999).cast("long").alias("doc_id"),
+        F.expr(main_text_sql(_PAGE_SQL, duck=False)).alias("text"),
+    )
+    hits = minhash_probe(day2, index, threshold=0.99).collect()
+    assert any(r.index_id == target for r in hits), hits
