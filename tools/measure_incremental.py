@@ -5,16 +5,16 @@ Runs the SHIPPED composite body
 (`queries_phase11._prepare_web_corpus_incremental`) on the sf corpus
 replicated Nx and splits the wall into:
 
-* ``build_sec`` — calling the body: day-0 training + model persistence
-  + index build/persist/reload run EAGERLY inside it (the artifacts are
-  real parquet round-trips);
-* ``day0_sec`` — materializing the day-0 corpus (``day = 0`` count;
-  Catalyst constant-folds the day-1 union branch away under the
-  literal filter);
-* ``day1_marginal_sec`` — materializing the day-1 appendix (``day =
-  1`` count): frontier anti-join + extraction + probe against the
-  RELOADED index + scoring under the RELOADED model + dedup.  This is
-  the number a daily pipeline pays per crawl.
+* ``day0_bootstrap_sec`` — start → the body's ``day0_done`` timing
+  checkpoint: host/URL gates, extraction, NB training, model + index
+  persistence and reload (day-0's corpus materializes inside the index
+  save);
+* ``day1_marginal_sec`` — ``day0_done`` → ``day1_done``: frontier
+  anti-join + extraction + probe against the RELOADED index + scoring
+  under the RELOADED model + the day-1 index UPDATE appends.  This is
+  the number a daily pipeline pays per crawl batch;
+* ``output_sec`` — materializing the final two-day union (the residual
+  dedup aggregates over already-staged survivors).
 
 Run: python tools/measure_incremental.py [sf_dir] [reps...]
 Writes INCREMENTAL_100X.json at the repo root.
@@ -60,21 +60,19 @@ def main() -> None:
                 ),
                 "text",
             )
+        marks: dict = {}
         t0 = time.time()
-        out = _prepare_web_corpus_incremental(docs)
-        build_sec = round(time.time() - t0, 2)
-        t0 = time.time()
+        out = _prepare_web_corpus_incremental(docs, timings=marks)
+        t1 = time.time()
         d0 = out.filter(F.col("day") == 0).count()
-        day0_sec = round(time.time() - t0, 2)
-        t0 = time.time()
         d1 = out.filter(F.col("day") == 1).count()
-        day1_sec = round(time.time() - t0, 2)
+        t2 = time.time()
         row = {
             "rep": rep,
-            "build_sec": build_sec,
-            "day0_sec": day0_sec,
+            "day0_bootstrap_sec": round(marks["day0_done"] - t0, 2),
+            "day1_marginal_sec": round(marks["day1_done"] - marks["day0_done"], 2),
+            "output_sec": round(t2 - t1, 2),
             "day0_rows": d0,
-            "day1_marginal_sec": day1_sec,
             "day1_rows": d1,
         }
         rows.append(row)
