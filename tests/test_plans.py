@@ -134,25 +134,25 @@ def test_web_corpus_v4_classifier_gate_is_broadcast_and_staged(
     assert "BroadcastHashJoin" in phys
 
 
-def test_web_corpus_incremental_day1_is_broadcast_and_staged(
+def test_web_corpus_incremental_output_is_fully_staged(
     spark, sf_dir, registry
 ):
-    """The incremental capstone's day-1 half must ship the daily 100 TB
-    shape: the persisted 65-row model reaches both days' scored docs
-    via BROADCAST joins, survivors gate through semi-joins, the
-    frontier drops yesterday's canonicals with an ANTI-join, and the
-    heavy shared frames (crawl self-join, canonicalization, extraction,
-    day-0 clean corpus) are STAGED — LogicalRDD leaves — so none of
-    them re-runs per consumer.  The extraction template must appear
-    nowhere in the final plan (it ran once, behind the staging)."""
+    """The incremental capstone's RESIDUAL plan must be trivial: every
+    heavy stage (crawl self-join, canonicalization, both extractions,
+    the probe, both scorings, both dedups) runs EXACTLY ONCE while the
+    body builds and persists the artifacts, so what the returned frame
+    re-executes per action is just a union of two staged keeper frames
+    — LogicalRDD leaves, no joins, no aggregation, and the extraction
+    template absent.  (The broadcast/semi-join shape of the scoring
+    and probe machinery is pinned where the plans are visible:
+    test_classifier.py's broadcast pin and the v4 pin above; staged
+    frames hide their subtrees by design.)"""
     df = registry["prepare_web_corpus_incremental"](spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    lines = plan.splitlines()
-    assert any("Join LeftSemi" in l for l in lines), "keep semi-join missing"
-    assert any("Join LeftAnti" in l for l in lines), "frontier anti missing"
-    hinted = [l for l in lines if "rightHint=(strategy=broadcast)" in l]
-    assert len(hinted) >= 2, f"model joins not broadcast: {hinted}"
-    assert "</title>" not in plan  # extraction staged, never re-planned
-    assert any("LogicalRDD" in l for l in lines)
+    lines = [l for l in plan.splitlines() if l.strip()]
+    assert sum("LogicalRDD" in l for l in lines) == 2, plan
+    assert any("Union" in l for l in lines)
+    for heavy in ("Join", "Aggregate", "</title>", "Generate"):
+        assert heavy not in plan, f"{heavy} re-executes per action"
     phys = _plan(df)
-    assert "BroadcastHashJoin" in phys
+    assert "Scan ExistingRDD" in phys and "Exchange" not in phys
