@@ -164,6 +164,64 @@ class StreamingNearDupGate:
         fold here is what makes that crash window harmless."""
         return self._read(spark, "kept", KEPT_SCHEMA).distinct()
 
+    # -- maintenance --------------------------------------------------------
+    def compact(self, spark: SparkSession, target_files: int = 4) -> None:
+        """Compact the gate's four append stores: per-batch parquet
+        appends accumulate one small file set per micro-batch (the §20
+        "compact small batch files periodically" operational posture,
+        now code), and a crash-replayed batch may have leaked DUPLICATE
+        rows into any store (harmless by the fold arguments, but dead
+        weight).  Compaction rewrites each store as ``target_files``
+        files with exact duplicates folded — every reader either
+        distincts anyway (kept) or is insensitive to duplicates by the
+        process_batch fold argument, so verdicts are IDENTICAL before
+        and after (pinned in tests).
+
+        Run OFFLINE — between micro-batches, like any store rewrite
+        (the gate is single-writer by the foreachBatch contract).  The
+        swap is crash-RECOVERABLE rather than atomic: the old store is
+        parked at ``<sub>__old`` until the compacted one is in place,
+        and :meth:`compact` repairs a half-finished swap (parked old
+        present, store missing) before doing anything else — so a crash
+        anywhere leaves a readable store for the next call."""
+        import os
+        import shutil
+
+        for sub, schema in (
+            ("signatures", SIG_SCHEMA),
+            ("buckets", BUCKET_SCHEMA),
+            ("kept", KEPT_SCHEMA),
+            ("batches", MANIFEST_SCHEMA),
+        ):
+            d = f"{self.index_dir}/{sub}"
+            old, new = f"{d}__old", f"{d}__new"
+            # recover a swap that died between the two renames
+            if os.path.isdir(old) and not os.path.isdir(d):
+                os.rename(old, d)
+            if not os.path.isdir(d):
+                continue  # store not created yet — nothing to compact
+            shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(new, ignore_errors=True)
+            read_schema = schema
+            if sub == "buckets" and self.bucket_partitions > 0:
+                read_schema = T.StructType(
+                    list(schema.fields)
+                    + [T.StructField("_pfx", T.IntegerType(), True)]
+                )
+            df = (
+                spark.read.schema(read_schema)
+                .parquet(d)
+                .distinct()
+                .coalesce(target_files)
+            )
+            writer = df.write.mode("overwrite")
+            if sub == "buckets" and self.bucket_partitions > 0:
+                writer = writer.partitionBy("_pfx")
+            writer.parquet(new)
+            os.rename(d, old)
+            os.rename(new, d)
+            shutil.rmtree(old, ignore_errors=True)
+
     # -- the pure reduction -------------------------------------------------
     def batch_reduce(
         self, batch_df: DataFrame, index: MinHashIndex

@@ -255,3 +255,69 @@ def test_bucket_partitioned_gate_agrees_with_flat(spark, tmp_path):
         name.startswith("_pfx=")
         for name in os.listdir(f"{tmp_path}/part/buckets")
     )
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_compaction_preserves_verdicts_and_folds_leaks(spark, tmp_path):
+    """Store compaction (the §20 operational posture, now code): after
+    streaming + a simulated crash-leak, compact() must fold duplicate
+    rows physically, shrink the file sets, recover a half-finished
+    swap, and leave every future verdict IDENTICAL to an uncompacted
+    twin gate's."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import _banded
+
+    docs = _corpus(spark)
+    a = StreamingNearDupGate(str(tmp_path / "a"), threshold=THRESHOLD)
+    b = StreamingNearDupGate(str(tmp_path / "b"), threshold=THRESHOLD)
+    first = docs.filter(F.col("doc_id") < 200)
+    second = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300))
+    for g in (a, b):
+        g.process_batch(first, batch_id=0)
+        # crash-leak batch 1's appends (no manifest row) then replay it:
+        # the stores now hold duplicate signature/bucket/kept rows
+        novel, bsigs = g.batch_reduce(second, g.index(spark))
+        bsigs = bsigs.localCheckpoint()
+        novel.localCheckpoint().withColumn(
+            "batch_id", F.lit(1).cast("long")
+        ).write.mode("append").parquet(f"{g.index_dir}/kept")
+        _banded(bsigs, g.bands, g.rows_per_band).write.mode(
+            "append"
+        ).parquet(f"{g.index_dir}/buckets")
+        bsigs.write.mode("append").parquet(f"{g.index_dir}/signatures")
+        g.process_batch(second, batch_id=1)
+    n_dup = a.index(spark).signatures.count()
+    n_docs = a.index(spark).signatures.select("doc_id").distinct().count()
+    assert n_dup > n_docs  # the leak is really there
+
+    def _n_files(d):
+        return sum(
+            1
+            for root, _, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    files_before = _n_files(f"{a.index_dir}/signatures")
+    a.compact(spark)
+    assert a.index(spark).signatures.count() == n_docs  # leaks folded
+    assert _n_files(f"{a.index_dir}/signatures") < files_before
+    # future verdicts identical to the uncompacted twin
+    third = docs.filter(F.col("doc_id") >= 300)
+    a.process_batch(third, batch_id=2)
+    b.process_batch(third, batch_id=2)
+    assert {
+        (r.doc_id, r.batch_id) for r in a.kept_docs(spark).collect()
+    } == {(r.doc_id, r.batch_id) for r in b.kept_docs(spark).collect()}
+    # replay guard survives compaction (manifest rows folded, not lost)
+    n_sigs = a.index(spark).signatures.count()
+    a.process_batch(second, batch_id=1)
+    assert a.index(spark).signatures.count() == n_sigs
+    # half-finished swap (old parked, store missing) recovers
+    os.rename(f"{a.index_dir}/kept", f"{a.index_dir}/kept__old")
+    a.compact(spark)
+    kept_after = {
+        (r.doc_id, r.batch_id) for r in a.kept_docs(spark).collect()
+    }
+    assert kept_after == {
+        (r.doc_id, r.batch_id) for r in b.kept_docs(spark).collect()
+    }
