@@ -1280,7 +1280,12 @@ def load_minhash_index(spark: SparkSession, path: str) -> MinHashIndex:
     """Reload a persisted :func:`save_minhash_index` artifact, validating
     the schema contract before any query plans against it (a drifted
     artifact fails HERE, at load, with a readable message — not deep in
-    an executor as a binding error or a silently-empty join)."""
+    an executor as a binding error or a silently-empty join).  A
+    half-finished :func:`compact_minhash_index` swap (old store parked,
+    store missing) is repaired before reading, so a crash mid-compaction
+    never strands the artifact unreadable."""
+    for sub in ("signatures", "buckets", "params"):
+        _recover_halfswap(f"{path}/{sub}")
     params_rows = spark.read.parquet(f"{path}/params").collect()
     if len(params_rows) != 1:
         raise ValueError(
@@ -1456,6 +1461,151 @@ def _estimate_filter(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _recover_halfswap(d: str) -> None:
+    """Repair a crash-recoverable store swap that died between its two
+    renames: the old store is parked at ``<d>__old`` and ``<d>`` is
+    missing.  Shared by the batch index lifecycle and the streaming
+    near-dup gate (ADVICE r12: a reader that treats the gap as an EMPTY
+    store would silently forget the whole index — and the next
+    compaction, seeing ``<d>`` recreated by appends, would delete the
+    parked full store for good)."""
+    import os
+
+    old = f"{d}__old"
+    if os.path.isdir(old) and not os.path.isdir(d):
+        os.rename(old, d)
+
+
+def _swap_compact_store(
+    spark: SparkSession,
+    d: str,
+    schema,
+    target_files: int,
+    partition_col: Optional[str] = None,
+) -> None:
+    """Rewrite one parquet append-store as ``target_files`` files with
+    exact duplicate rows folded, via a crash-RECOVERABLE swap: the
+    compacted store is fully written at ``<d>__new`` first, the old one
+    parked at ``<d>__old`` until the new one is renamed into place, and
+    a half-finished swap from a previous crash is repaired before
+    anything else — a crash at ANY point leaves a readable store for
+    the next reader (:func:`_recover_halfswap`)."""
+    import os
+    import shutil
+
+    _recover_halfswap(d)
+    if not os.path.isdir(d):
+        return  # store not created yet — nothing to compact
+    old, new = f"{d}__old", f"{d}__new"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(new, ignore_errors=True)
+    df = (
+        spark.read.schema(schema).parquet(d).distinct().coalesce(target_files)
+    )
+    writer = df.write.mode("overwrite")
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(new)
+    os.rename(d, old)
+    os.rename(new, d)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def append_to_minhash_index(
+    index_dir: str,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keepers_only: bool = True,
+) -> None:
+    """Index UPDATE — the first-class daily append a persisted
+    :func:`save_minhash_index` artifact needs (VERDICT r12 #1: the raw
+    ``mode("append")`` writes it replaces were layout-blind — they would
+    have silently corrupted a ``bucket_partitions > 0`` store with
+    partition-column-less files).  Loads ``params/`` (refusing a
+    drifted artifact — :func:`load_minhash_index` validates the schema
+    contract and the hive layout before anything is written), signs the
+    new documents with the ARTIFACT'S OWN hashing layout, and appends
+    signatures + banded buckets — writing ``_pfx`` and ``partitionBy``
+    when the store is partitioned, flat otherwise.
+
+    ``keepers_only`` (default, and idempotent on an already-deduped
+    frame) applies the keeper discipline the capstone measured at 100x
+    (SCALE.md §21): index ONE representative per exact-content group —
+    the min-id keeper of ``md5(lower(trim(text)))`` — so index size
+    tracks unique content, not crawl volume.  Verdicts are unchanged
+    (identical text ⇒ identical shingle set ⇒ identical Jaccard to any
+    member).
+
+    Scale: the append touches only the NEW documents (one
+    map-side-combined signature aggregate + one digest groupBy for the
+    keeper election); the existing store is never read or rewritten —
+    pair with :func:`compact_minhash_index` to fold the accumulated
+    small files offline."""
+    spark = docs.sparkSession
+    index = load_minhash_index(spark, index_dir)
+    new = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    ).filter(F.col("text").isNotNull())
+    if keepers_only:
+        keepers = exact_dedup(new).select(
+            F.col("keeper_id").alias("doc_id")
+        )
+        new = new.join(keepers, "doc_id", "left_semi")
+    sigs = _stage(
+        minhash_signatures(new, num_hashes=index.num_hashes, k=index.k)
+    )
+    banded = _banded(sigs, index.bands, index.rows_per_band)
+    if index.bucket_partitions > 0:
+        banded.withColumn(
+            "_pfx",
+            F.pmod(
+                F.col("bucket"), F.lit(index.bucket_partitions)
+            ).cast("int"),
+        ).write.mode("append").partitionBy("_pfx").parquet(
+            f"{index_dir}/buckets"
+        )
+    else:
+        banded.write.mode("append").parquet(f"{index_dir}/buckets")
+    sigs.write.mode("append").parquet(f"{index_dir}/signatures")
+
+
+def compact_minhash_index(
+    spark: SparkSession, index_dir: str, target_files: int = 4
+) -> None:
+    """Offline maintenance for the batch index artifact — the
+    counterpart of the streaming gate's ``compact()`` (VERDICT r12 #1):
+    daily :func:`append_to_minhash_index` calls accumulate one small
+    file set per day; this rewrites ``signatures/`` and ``buckets/`` as
+    ``target_files`` files each (per hive partition for a
+    ``bucket_partitions > 0`` bucket store), folding exact duplicate
+    rows, behind the crash-recoverable swap of
+    :func:`_swap_compact_store`.  Probe results are IDENTICAL before
+    and after: candidate discovery distincts pairs and duplicate
+    signature rows only duplicate estimate rows that fold downstream
+    (pinned in tests/test_index_persistence.py).  Run between probe
+    jobs — the artifact is single-writer by the daily-pipeline
+    contract."""
+    index = load_minhash_index(spark, index_dir)  # validates layout
+    sig_schema = "doc_id BIGINT, sig ARRAY<BIGINT>"
+    bucket_schema = "doc_id BIGINT, band INT, bucket BIGINT"
+    partition_col = None
+    if index.bucket_partitions > 0:
+        bucket_schema += ", _pfx INT"
+        partition_col = "_pfx"
+    _swap_compact_store(
+        spark, f"{index_dir}/signatures", sig_schema, target_files
+    )
+    _swap_compact_store(
+        spark,
+        f"{index_dir}/buckets",
+        bucket_schema,
+        target_files,
+        partition_col,
     )
 
 

@@ -668,10 +668,17 @@ _DEMOTED: tuple[str, ...] = (
     # --- NEW, and returned_item_customers / cohort_retention /
     # --- chisq_lang_source (driver-green r8, tail-verified since)
     # --- rotate back IN.  The four below take their slots.
+    "similarity_pq_adc",
+    # PQ-ADC family (demoted mid-r13 for the NEW
+    # dedup_embedding_incremental window slot): similarity_ivf_pq stays
+    # in-window and replays the identical _lut_block/ADC integer
+    # machinery WITH probing on top, and the new incremental entry
+    # drives the persisted-prefit lifecycle the ADC codes live in;
+    # driver-green r7-r12 (in-window every round since r7)
     "similarity_topk_bruteforce",
-    # similarity family: similarity_ivf + similarity_ivf_pq +
-    # similarity_pq_adc stay in-window (the brute-force op is also the
-    # recall oracle inside the pytest ANN floors); driver-green r7-r9
+    # similarity family: similarity_ivf + similarity_ivf_pq stay
+    # in-window (the brute-force op is also the recall oracle inside
+    # the pytest ANN floors); driver-green r7-r9
     "dedup_minhash_lsh",
     # minhash family: dedup_minhash_star_clusters +
     # dedup_minhash_cv_clusters stay in-window and drive the same
@@ -923,3 +930,4 @@ def _load_phase2() -> None:
     import cdc_data_lake_pyspark_spark.queries_phase9  # noqa: F401
     import cdc_data_lake_pyspark_spark.queries_phase10  # noqa: F401
     import cdc_data_lake_pyspark_spark.queries_phase11  # noqa: F401
+    import cdc_data_lake_pyspark_spark.queries_phase12  # noqa: F401

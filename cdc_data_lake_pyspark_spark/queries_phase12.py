@@ -1,0 +1,160 @@
+"""Phase-12 inventory (round 13): the INCREMENTAL embedding-dedup path
+(VERDICT r12 missing #3) — the vector counterpart of
+``dedup_incremental_minhash`` (queries_phase2.py:903).  The text side
+has had the full index-once / probe-daily lifecycle since r12; this
+closes the vector side: a daily pipeline dedups NEW embeddings against
+yesterday's persisted IVF-PQ index exactly like it probes yesterday's
+MinHash index —
+
+    load_ivf_pq_prefit → cell-assign the batch → probe n_probe cells →
+    exact-cosine rescore against the indexed corpus → drop ≥ threshold
+
+with the prefit artifact round-tripping parquet INSIDE the entry, so
+the persistence lifecycle itself sits under the correctness gate (the
+``prepare_web_corpus_incremental`` discipline).
+
+The oracle replays the whole probe in DuckDB with the deterministic
+coarse quantizer pinned as literals (the ``similarity_ivf`` /
+``similarity_ivf_pq`` pattern): cell assignment and probe selection are
+``row_number`` replays of the stable argmin/argsort, and every emitted
+cosine is the strict sequential fold both engines share.  Recall is
+probe-coverage-bound (floor pinned in tests/test_pq.py); precision is 1.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.queries import _t, query
+
+#: cross-split near-dup threshold (exact cosine); the synthetic
+#: embeddings' cross-split similarity mass sits in [0.3, 0.5) — 0.4
+#: yields a non-degenerate drop set at every SF (checked per-SF by the
+#: entry's out_rows and pinned in tests/test_pq.py)
+_EMB_ND_THRESHOLD = 0.4
+
+_N_CLUSTERS = 16
+_N_PROBE = 4
+
+
+def _emb_incremental_oracle() -> str:
+    """Replay: re-run the deterministic coarse fit on the same
+    id-ordered corpus sample the entry uses (``fit_ivf_pq`` orders by
+    vec_id over the corpus split), pin the centroids as DOUBLE[]
+    literals, then replay assignment (stable argmin), probing (stable
+    top-``n_probe``), and the exact-cosine rescore in SQL."""
+    import duckdb
+    import numpy as np
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import fit_kmeans
+    from cdc_data_lake_pyspark_spark.queries_phase2 import (
+        _double_array_sql,
+        _oracle_sf_dir,
+    )
+
+    sf_dir = _oracle_sf_dir()
+    pdf = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id % 3 <> 0 ORDER BY vec_id LIMIT 200000"
+    ).df()
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    centers = fit_kmeans(X, _N_CLUSTERS, seed=42)
+    cent_values = ",\n    ".join(
+        f"({i}, {_double_array_sql(c)})" for i, c in enumerate(centers)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cent(i, c) AS (
+      VALUES {cent_values}
+    ), vd AS (
+      SELECT e.vec_id, cent.i,
+             list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cent.c)
+               + list_dot_product(cent.c, cent.c) AS d
+      FROM e CROSS JOIN cent
+    ), cells AS (
+      SELECT vec_id, i AS cell FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, i ASC) AS rn
+        FROM vd WHERE vec_id % 3 <> 0
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS batch_id, i AS cell FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, i ASC) AS rn
+        FROM vd WHERE vec_id % 3 = 0
+      ) WHERE rn <= {_N_PROBE}
+    ), cand AS (
+      SELECT p.batch_id, cl.vec_id AS index_id
+      FROM probes p JOIN cells cl ON cl.cell = p.cell
+    ), scored AS (
+      SELECT c.batch_id, c.index_id,
+             list_dot_product(eb.v, ei.v)
+             / (sqrt(list_dot_product(eb.v, eb.v))
+              * sqrt(list_dot_product(ei.v, ei.v))) AS cosine
+      FROM cand c
+      JOIN e eb ON eb.vec_id = c.batch_id
+      JOIN e ei ON ei.vec_id = c.index_id
+    )
+    SELECT batch_id, index_id, cosine
+    FROM scored WHERE cosine >= {_EMB_ND_THRESHOLD}
+    """
+
+
+@query("dedup_embedding_incremental", oracle=_emb_incremental_oracle)
+def dedup_embedding_incremental(spark, sf_dir):
+    """INCREMENTAL embedding dedup
+    (operators/similarity.py::ivf_dedup_batch): embeddings with
+    ``vec_id % 3 != 0`` form yesterday's indexed corpus — its IVF-PQ
+    prefit is fit once, PERSISTED (``save_ivf_pq_prefit``) and RELOADED
+    (``load_ivf_pq_prefit``) so today's probe runs against the parquet
+    artifact, not in-memory lineage; today's batch (``vec_id % 3 ==
+    0``) assigns to its ``n_probe`` nearest cells and every probed-cell
+    candidate is exact-cosine rescored, emitting ``(batch_id, index_id,
+    cosine)`` at/above threshold — the pairs a daily pipeline anti-joins
+    to drop re-embedded near-duplicate content.
+
+    Plan shape at 100 TB: the corpus shuffles ONCE on its cell key (the
+    IVF layout — at scale this is the stored index itself, so even that
+    shuffle is amortized across days); the batch explodes to n_probe
+    cell-keyed rows and cogroups cell-at-a-time; per-batch-vector work
+    is n_probe/n_clusters of the corpus.  The ``shortlist`` ADC mode
+    bounds the full-precision reads per batch vector via the prefit's
+    residual PQ codes (equivalence + recall pinned in
+    tests/test_pq.py); the oracled entry runs the exact-rescore mode
+    the SQL replays literally."""
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        fit_ivf_pq,
+        ivf_dedup_batch,
+        load_ivf_pq_prefit,
+        save_ivf_pq_prefit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    work = tempfile.mkdtemp(prefix="emb_incr_")
+    try:
+        save_ivf_pq_prefit(
+            spark,
+            fit_ivf_pq(corpus, n_clusters=_N_CLUSTERS, m_sub=8, k=16, seed=42),
+            work,
+        )
+        # the loaded prefit is driver-resident numpy — the parquet
+        # artifact is not needed after this line
+        prefit = load_ivf_pq_prefit(spark, work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return ivf_dedup_batch(
+        corpus,
+        batch,
+        prefit,
+        threshold=_EMB_ND_THRESHOLD,
+        n_probe=_N_PROBE,
+    )

@@ -25,10 +25,13 @@ of batches, NOT the corpus (VERDICT r11 #2: the previous id-level
 anti-join re-scanned the full signature store every micro-batch).
 foreachBatch replays a failed batch under the same batch_id (the
 Structured Streaming checkpoint contract), and a crash BETWEEN the
-appends and the manifest write converges because batch_reduce never
-compares a document against its own batch's leaked index rows (the
-candidate-set exclusion) and every duplicated append row folds
-downstream — see process_batch.
+appends and the manifest write converges because every index row
+carries the batch_id that wrote it and the replay excludes index rows
+FROM ITS OWN batch_id from candidacy (a precise replay-leak filter —
+ADVICE r12: the earlier doc_id-keyed exclusion both missed true
+near-dups on id collisions and double-kept legitimately re-delivered
+ids), while every duplicated append row folds downstream — see
+process_batch.
 
 Scale: per batch, signature construction touches BATCH text only (one
 map-side-combined aggregate); candidate discovery is one (band, bucket)
@@ -42,7 +45,11 @@ store is hive-partitioned by ``pmod(bucket, P)`` and each batch's
 candidate join PRUNES to its own prefixes (the save_minhash_index
 layout — implemented, not advice, since r12; measured day-N curve in
 SCALE.md), and compact small batch files periodically — same
-operational posture as the novelty index.
+operational posture as the novelty index.  The layout is PERSISTED in
+the gate's ``params/`` dataset and validated before every read
+(ADVICE r12: a gate constructed with a mismatched ``bucket_partitions``
+over an existing store would otherwise read ``_pfx`` as NULL and
+silently drop every pre-existing index row from candidacy).
 """
 
 from __future__ import annotations
@@ -60,13 +67,19 @@ from cdc_data_lake_pyspark_spark.operators.dedup_text import (
     _estimate_candidates,
     _estimate_filter,
     _pruned_index_buckets,
+    _recover_halfswap,
+    _swap_compact_store,
     minhash_signatures,
 )
 
+#: signatures/buckets carry the batch_id that WROTE each row so a
+#: checkpoint replay can exclude exactly its own dead attempt's leaked
+#: rows (ADVICE r12 — precise replay-leak filter, not a doc_id guess)
 SIG_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), True),
         T.StructField("sig", T.ArrayType(T.LongType()), True),
+        T.StructField("batch_id", T.LongType(), True),
     ]
 )
 
@@ -75,6 +88,7 @@ BUCKET_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType(), True),
         T.StructField("band", T.IntegerType(), False),
         T.StructField("bucket", T.LongType(), True),
+        T.StructField("batch_id", T.LongType(), True),
     ]
 )
 
@@ -90,13 +104,20 @@ MANIFEST_SCHEMA = T.StructType(
     [T.StructField("batch_id", T.LongType(), True)]
 )
 
+#: persisted gate layout (mirrors save_minhash_index's params dataset)
+PARAMS_SCHEMA = (
+    "num_hashes INT, k INT, bands INT, rows_per_band INT, "
+    "bucket_partitions INT"
+)
+
 
 class StreamingNearDupGate:
     """``foreachBatch`` target maintaining the updating MinHash index.
 
     Per micro-batch: replay-guard (processed-batch manifest, O(1)) →
     batch signatures (one aggregate over batch text) → cross-index
-    candidates + within-batch candidates (``a.id < b.id``) → Broder
+    candidates (excluding index rows leaked by a dead replay of THIS
+    batch_id) + within-batch candidates (``a.id < b.id``) → Broder
     estimate ≥ ``threshold`` drops the later document → append ALL
     batch signatures/buckets to the index and the survivors to the
     kept set → append the manifest row."""
@@ -128,26 +149,102 @@ class StreamingNearDupGate:
 
     # -- state readers ----------------------------------------------------
     def _read(self, spark: SparkSession, sub: str, schema) -> DataFrame:
-        try:
-            return spark.read.schema(schema).parquet(
-                f"{self.index_dir}/{sub}"
-            )
-        except Exception:
-            return spark.createDataFrame([], schema)
+        """One append-store as a typed frame.  A half-finished compact()
+        swap is repaired FIRST, and only a genuinely-absent directory
+        reads as empty — any other failure raises (ADVICE r12: the old
+        blanket ``except`` returned an empty frame for a store stranded
+        mid-swap, so a restarted stream silently ran against an EMPTY
+        index and the next compaction deleted the parked full store)."""
+        import os
 
-    def index(self, spark: SparkSession) -> MinHashIndex:
-        """Current index over every SEEN document (empty-typed frames
-        before the first batch), as the same :class:`MinHashIndex`
-        artifact the batch save/load lifecycle uses."""
-        bucket_schema = BUCKET_SCHEMA
+        d = f"{self.index_dir}/{sub}"
+        _recover_halfswap(d)
+        if not os.path.isdir(d):
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(d)
+
+    def _params(self) -> tuple:
+        return (
+            self.num_hashes,
+            self.k,
+            self.bands,
+            self.rows_per_band,
+            self.bucket_partitions,
+        )
+
+    def _check_params(self, spark: SparkSession) -> None:
+        """Validate the constructor layout against the store's persisted
+        ``params/`` (ADVICE r12): ``bucket_partitions`` shapes both the
+        on-disk bucket layout and the probe-side pruning, so a mismatch
+        must raise — constructed-trusted, it silently dropped every
+        pre-existing index row from candidate discovery."""
+        import os
+
+        d = f"{self.index_dir}/params"
+        _recover_halfswap(d)
+        if not os.path.isdir(d):
+            return  # store not initialized yet — first batch writes it
+        rows = spark.read.parquet(d).collect()
+        if len(rows) != 1:
+            raise ValueError(
+                f"near-dup gate params at {d} must be exactly one row, "
+                f"found {len(rows)}"
+            )
+        r = rows[0]
+        stored = (
+            r.num_hashes,
+            r.k,
+            r.bands,
+            r.rows_per_band,
+            r.bucket_partitions,
+        )
+        if stored != self._params():
+            raise ValueError(
+                "near-dup gate layout mismatch: store was written with "
+                f"(num_hashes, k, bands, rows_per_band, bucket_partitions)"
+                f" = {stored}, gate constructed with {self._params()}"
+            )
+
+    def _bucket_schema(self) -> T.StructType:
         if self.bucket_partitions > 0:
-            bucket_schema = T.StructType(
+            return T.StructType(
                 list(BUCKET_SCHEMA.fields)
                 + [T.StructField("_pfx", T.IntegerType(), True)]
             )
+        return BUCKET_SCHEMA
+
+    def index(
+        self, spark: SparkSession, exclude_batch_id: Optional[int] = None
+    ) -> MinHashIndex:
+        """Current index over every SEEN document (empty-typed frames
+        before the first batch), as the same :class:`MinHashIndex`
+        artifact the batch save/load lifecycle uses (writer batch_id
+        dropped).  ``exclude_batch_id`` filters out rows WRITTEN BY that
+        batch — the replay-leak exclusion: under a crash-between-writes
+        replay the dead attempt's own appends are in the store, and
+        without the filter every batch doc would drop as a jaccard-1.0
+        near-dup of its own leaked signature.  Scoped to the writing
+        batch (not the doc_id), a legitimately re-delivered id in a
+        LATER batch is still compared against its earlier copy, and
+        id collisions never mask true near-dups (ADVICE r12).  The
+        equality filter pushes into both parquet scans."""
+        self._check_params(spark)
+        sigs = self._read(spark, "signatures", SIG_SCHEMA)
+        buckets = self._read(spark, "buckets", self._bucket_schema())
+        if exclude_batch_id is not None:
+            # null-SAFE inequality: a store seeded directly from
+            # save_minhash_index (the batch artifact layout, no writer
+            # batch_id — the test_incremental_stream.py composition) reads
+            # batch_id as NULL; those rows are pre-stream history and must
+            # stay candidates, never be mistaken for replay leaks
+            excl = ~F.col("batch_id").eqNullSafe(
+                F.lit(exclude_batch_id).cast("long")
+            )
+            sigs = sigs.filter(excl)
+            buckets = buckets.filter(excl)
         return MinHashIndex(
-            self._read(spark, "signatures", SIG_SCHEMA),
-            self._read(spark, "buckets", bucket_schema),
+            sigs.drop("batch_id"),
+            buckets.drop("batch_id"),
             self.num_hashes,
             self.k,
             self.bands,
@@ -179,48 +276,30 @@ class StreamingNearDupGate:
 
         Run OFFLINE — between micro-batches, like any store rewrite
         (the gate is single-writer by the foreachBatch contract).  The
-        swap is crash-RECOVERABLE rather than atomic: the old store is
-        parked at ``<sub>__old`` until the compacted one is in place,
-        and :meth:`compact` repairs a half-finished swap (parked old
-        present, store missing) before doing anything else — so a crash
+        swap is crash-RECOVERABLE rather than atomic
+        (:func:`~cdc_data_lake_pyspark_spark.operators.dedup_text._swap_compact_store`):
+        the old store is parked at ``<sub>__old`` until the compacted
+        one is in place, and BOTH this method and every ``_read`` repair
+        a half-finished swap before touching the store — so a crash
         anywhere leaves a readable store for the next call."""
-        import os
-        import shutil
-
-        for sub, schema in (
-            ("signatures", SIG_SCHEMA),
-            ("buckets", BUCKET_SCHEMA),
-            ("kept", KEPT_SCHEMA),
-            ("batches", MANIFEST_SCHEMA),
+        self._check_params(spark)
+        for sub, schema, partition_col in (
+            ("signatures", SIG_SCHEMA, None),
+            (
+                "buckets",
+                self._bucket_schema(),
+                "_pfx" if self.bucket_partitions > 0 else None,
+            ),
+            ("kept", KEPT_SCHEMA, None),
+            ("batches", MANIFEST_SCHEMA, None),
         ):
-            d = f"{self.index_dir}/{sub}"
-            old, new = f"{d}__old", f"{d}__new"
-            # recover a swap that died between the two renames
-            if os.path.isdir(old) and not os.path.isdir(d):
-                os.rename(old, d)
-            if not os.path.isdir(d):
-                continue  # store not created yet — nothing to compact
-            shutil.rmtree(old, ignore_errors=True)
-            shutil.rmtree(new, ignore_errors=True)
-            read_schema = schema
-            if sub == "buckets" and self.bucket_partitions > 0:
-                read_schema = T.StructType(
-                    list(schema.fields)
-                    + [T.StructField("_pfx", T.IntegerType(), True)]
-                )
-            df = (
-                spark.read.schema(read_schema)
-                .parquet(d)
-                .distinct()
-                .coalesce(target_files)
+            _swap_compact_store(
+                spark,
+                f"{self.index_dir}/{sub}",
+                schema,
+                target_files,
+                partition_col,
             )
-            writer = df.write.mode("overwrite")
-            if sub == "buckets" and self.bucket_partitions > 0:
-                writer = writer.partitionBy("_pfx")
-            writer.parquet(new)
-            os.rename(d, old)
-            os.rename(new, d)
-            shutil.rmtree(old, ignore_errors=True)
 
     # -- the pure reduction -------------------------------------------------
     def batch_reduce(
@@ -229,10 +308,13 @@ class StreamingNearDupGate:
         """The gate's pure single-batch reduction against a GIVEN index:
         returns ``(novel, batch_signatures)`` where novel is the batch's
         surviving ``(doc_id)`` rows — no state I/O, so batch-vs-stream
-        agreement is testable on exactly this function.  Within-batch
-        pairs use the same banding + estimate machinery with the
-        ``smaller id = earlier`` convention; the signature frame rides
-        along so the caller's appends never recompute shingling."""
+        agreement is testable on exactly this function.  The caller is
+        responsible for handing an index that excludes its own dead
+        replay's leaked rows (``index(spark, exclude_batch_id=...)``).
+        Within-batch pairs use the same banding + estimate machinery
+        with the ``smaller id = earlier`` convention; the signature
+        frame rides along so the caller's appends never recompute
+        shingling."""
         batch = batch_df.select(
             F.col(self.id_col).cast("long").alias("doc_id"),
             F.col(self.text_col).alias("text"),
@@ -241,20 +323,8 @@ class StreamingNearDupGate:
             batch, num_hashes=self.num_hashes, k=self.k
         ).localCheckpoint(eager=False)
         bban = _banded(bsigs, self.bands, self.rows_per_band)
-        # cross-index candidates, EXCLUDING pairs whose index side is one
-        # of this batch's own ids: in normal operation the index cannot
-        # contain them (the manifest guard admits each batch once), so
-        # the filter matches nothing — but under a crash-between-writes
-        # replay the dead attempt's own appends ARE in the store, and
-        # without the exclusion every batch doc would drop as a
-        # jaccard-1.0 near-dup of its own leaked signature (and earlier
-        # batch ids would wrongly drop later ones both ways).  The
-        # filter runs on the CANDIDATE set (small), not the index.
-        own = bsigs.select(F.col("doc_id").alias("index_id"))
         cross = _estimate_filter(
-            _estimate_candidates(
-                bban, _pruned_index_buckets(bban, index)
-            ).join(F.broadcast(own), "index_id", "left_anti"),
+            _estimate_candidates(bban, _pruned_index_buckets(bban, index)),
             bsigs,
             index.signatures,
             self.threshold,
@@ -291,7 +361,22 @@ class StreamingNearDupGate:
         done = self._read(spark, "batches", MANIFEST_SCHEMA)
         if not done.filter(F.col("batch_id") == batch_id).isEmpty():
             return
-        index = self.index(spark)
+        # persist the layout before the first data append so every later
+        # construction over this store is validated (ADVICE r12); written
+        # once — idempotent under replay (overwrite of identical row)
+        import os
+
+        if not os.path.isdir(f"{self.index_dir}/params"):
+            spark.createDataFrame(
+                [self._params()], PARAMS_SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{self.index_dir}/params"
+            )
+        # the replay-leak exclusion: index rows WRITTEN BY this batch_id
+        # (a dead attempt's leaked appends) are excluded from candidacy,
+        # so the re-run reproduces the original verdicts.  In normal
+        # operation the filter matches nothing.
+        index = self.index(spark, exclude_batch_id=batch_id)
         novel, bsigs = self.batch_reduce(batch_df, index)
         # eager-stage the batch artifacts so the three appends share one
         # signature computation (multi-consumer staging)
@@ -302,22 +387,23 @@ class StreamingNearDupGate:
         # The manifest row is written LAST: a batch that dies
         # mid-sequence is absent from batches/, so the replay re-runs it
         # in full.  The dead attempt's partial appends are harmless by
-        # construction — batch_reduce never compares a document against
-        # its own batch's leaked index rows (the candidate-set
-        # exclusion above), so the re-run reproduces the original
-        # verdicts; duplicate kept rows carry the same (doc_id,
-        # batch_id) and fold in kept_docs()'s distinct; duplicate
-        # bucket rows fold in candidate discovery's distinct; duplicate
-        # signature rows only duplicate future candidate PAIRS, which
-        # fold in batch_reduce's dropped.distinct() (and add identical
-        # estimate rows to minhash_probe output); orphan bucket rows
-        # (bucket write landed, crash before signatures) cannot flip
-        # verdicts: their estimate join finds no signature row and
-        # drops the pair.
+        # construction — the replay's candidate discovery excludes rows
+        # carrying its own batch_id (above), so the re-run reproduces
+        # the original verdicts; duplicate kept rows carry the same
+        # (doc_id, batch_id) and fold in kept_docs()'s distinct;
+        # duplicate bucket rows fold in candidate discovery's distinct;
+        # duplicate signature rows only duplicate future candidate
+        # PAIRS, which fold in batch_reduce's dropped.distinct() (and
+        # add identical estimate rows to minhash_probe output); orphan
+        # bucket rows (bucket write landed, crash before signatures)
+        # cannot flip verdicts: their estimate join finds no signature
+        # row and drops the pair.
         novel.withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         ).write.mode("append").parquet(f"{self.index_dir}/kept")
-        bban_out = _banded(bsigs, self.bands, self.rows_per_band)
+        bban_out = _banded(bsigs, self.bands, self.rows_per_band).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
         if self.bucket_partitions > 0:
             bban_out.withColumn(
                 "_pfx",
@@ -331,7 +417,9 @@ class StreamingNearDupGate:
             bban_out.write.mode("append").parquet(
                 f"{self.index_dir}/buckets"
             )
-        bsigs.write.mode("append").parquet(f"{self.index_dir}/signatures")
+        bsigs.withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        ).write.mode("append").parquet(f"{self.index_dir}/signatures")
         spark.createDataFrame(
             [(int(batch_id),)], MANIFEST_SCHEMA
         ).coalesce(1).write.mode("append").parquet(

@@ -181,3 +181,135 @@ def test_bucket_partitioned_layout_prunes_and_matches_flat(
         .toString()
     )
     assert "_pfx" in plan  # the isin partition filter reached the scan
+
+
+def _probe_pairs(batch, index, threshold=0.5):
+    return {
+        (r.batch_id, r.index_id, round(r.jaccard, 9))
+        for r in minhash_probe(batch, index, threshold=threshold).collect()
+    }
+
+
+def _n_parquet_files(d):
+    import os
+
+    return sum(
+        1
+        for _, _, files in os.walk(d)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def test_append_api_updates_flat_and_partitioned_stores(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r12 #1: the first-class index UPDATE.  Appending new docs
+    through ``append_to_minhash_index`` must make them probe-visible in
+    BOTH layouts with identical verdicts — and for a
+    ``bucket_partitions > 0`` store the appended bucket files must carry
+    the ``_pfx`` hive layout (the raw ``mode("append")`` writes this API
+    replaces silently corrupted exactly that)."""
+    import os
+
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        append_to_minhash_index,
+    )
+
+    corpus, batch = _corpus(spark, sf_dir)
+    day0 = corpus.filter(F.col("doc_id") % 2 == 1)
+    day1 = corpus.filter(F.col("doc_id") % 2 == 0)
+    index = minhash_index(day0)
+    flat, part = str(tmp_path / "flat"), str(tmp_path / "part")
+    save_minhash_index(index, flat)
+    save_minhash_index(index, part, bucket_partitions=8)
+    for path in (flat, part):
+        append_to_minhash_index(path, day1)
+    # the appended bucket files landed INSIDE the hive partitions —
+    # no partition-column-less stragglers at the store root
+    root_files = [
+        f
+        for f in os.listdir(f"{part}/buckets")
+        if f.endswith(".parquet")
+    ]
+    assert root_files == []
+    lf = load_minhash_index(spark, flat)
+    lp = load_minhash_index(spark, part)
+    want = _probe_pairs(batch, minhash_index(corpus))
+    assert _probe_pairs(batch, lf) == want
+    assert _probe_pairs(batch, lp) == want
+    # day-1 content is genuinely probe-visible (non-vacuous)
+    assert any(
+        idx_id % 2 == 0 for _, idx_id, _ in want
+    ), "fixture degenerate: no probe hits on appended docs"
+
+
+def test_append_api_keeper_discipline_and_drift_refusal(
+    spark, sf_dir, tmp_path
+):
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        append_to_minhash_index,
+    )
+
+    corpus, _ = _corpus(spark, sf_dir)
+    day0 = corpus.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "idx")
+    save_minhash_index(minhash_index(day0), path)
+    n0 = load_minhash_index(spark, path).signatures.count()
+    # three exact copies of one new doc: the keeper discipline indexes ONE
+    new = spark.createDataFrame(
+        [(10_000_001, "fresh content alpha beta gamma delta epsilon"),
+         (10_000_002, "fresh content alpha beta gamma delta epsilon"),
+         (10_000_003, "fresh content alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    append_to_minhash_index(path, new)
+    sigs = load_minhash_index(spark, path).signatures
+    assert sigs.count() == n0 + 1
+    assert sigs.filter(F.col("doc_id") == 10_000_001).count() == 1
+    # a drifted artifact refuses the append BEFORE anything is written
+    spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit("oops").alias("sig")
+    ).write.mode("overwrite").parquet(f"{path}/signatures")
+    with pytest.raises(ValueError, match="schema drifted"):
+        append_to_minhash_index(path, new)
+
+
+def test_compact_minhash_index_folds_and_preserves_probes(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r12 #1: batch-artifact compaction.  Daily appends (plus a
+    simulated double-append leak) accumulate small files; compaction
+    must shrink the file sets, fold exact-duplicate rows, keep the hive
+    layout, recover a half-finished swap, and leave probe results
+    IDENTICAL."""
+    import os
+
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        append_to_minhash_index,
+        compact_minhash_index,
+    )
+
+    corpus, batch = _corpus(spark, sf_dir)
+    day0 = corpus.filter(F.col("doc_id") % 2 == 1)
+    day1 = corpus.filter(F.col("doc_id") % 2 == 0)
+    path = str(tmp_path / "idx")
+    save_minhash_index(minhash_index(day0), path, bucket_partitions=8)
+    append_to_minhash_index(path, day1)
+    append_to_minhash_index(path, day1)  # a replayed day: exact dup rows
+    loaded = load_minhash_index(spark, path)
+    want = _probe_pairs(batch, loaded)
+    n_docs = loaded.signatures.select("doc_id").distinct().count()
+    assert loaded.signatures.count() > n_docs  # the leak is really there
+    files_before = _n_parquet_files(f"{path}/signatures")
+    compact_minhash_index(spark, path)
+    compacted = load_minhash_index(spark, path)
+    assert compacted.signatures.count() == n_docs  # dups folded
+    assert _n_parquet_files(f"{path}/signatures") < files_before
+    assert any(
+        name.startswith("_pfx=") for name in os.listdir(f"{path}/buckets")
+    )  # hive layout survived the rewrite
+    assert _probe_pairs(batch, compacted) == want
+    # half-finished swap (old parked, store missing): load repairs it
+    os.rename(f"{path}/signatures", f"{path}/signatures__old")
+    assert _probe_pairs(batch, load_minhash_index(spark, path)) == want

@@ -353,3 +353,75 @@ def test_scale100_ivf_pq_auto_fit_search_split():
         _pytest.skip("scale100 ivf_pq_auto not re-measured with the split yet")
     assert row["fit_sec"] > 0 and row["search_sec"] > 0, row
     assert abs(row["fit_sec"] + row["search_sec"] - row["sec"]) < 0.05, row
+
+
+def test_ivf_dedup_batch_modes_recall_and_precision(emb):
+    """INCREMENTAL embedding dedup (VERDICT r12 #2,
+    operators/similarity.py::ivf_dedup_batch): (1) the ADC-shortlist
+    mode at a generous S emits exactly the exact-rescore mode's pairs
+    with identical cosines (the oracled entry runs the exact mode; the
+    100 TB path runs the shortlist mode); (2) recall vs the exhaustive
+    cross-split pairs clears the probe-coverage floor and every emitted
+    pair IS an exhaustive pair (precision 1); (3) the probe runs
+    identically from a RELOADED prefit artifact; (4) drops are
+    non-degenerate."""
+    from pyspark.sql import functions as F
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        fit_ivf_pq,
+        ivf_dedup_batch,
+        load_ivf_pq_prefit,
+        save_ivf_pq_prefit,
+    )
+
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    prefit = fit_ivf_pq(corpus, n_clusters=16, m_sub=8, k=16, seed=42)
+
+    def pairs(pf, shortlist=None):
+        return {
+            (r.batch_id, r.index_id, round(r.cosine, 12))
+            for r in ivf_dedup_batch(
+                corpus, batch, pf, threshold=0.4, n_probe=4,
+                shortlist=shortlist,
+            ).collect()
+        }
+
+    exact_mode = pairs(prefit)
+    assert exact_mode, "fixture degenerate: no drops at threshold 0.4"
+    # (1) generous shortlist ≡ exact mode, bit-identical cosines
+    assert pairs(prefit, shortlist=100_000) == exact_mode
+    # (3) reloaded artifact ≡ in-memory prefit
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        save_ivf_pq_prefit(emb.sparkSession, prefit, d)
+        loaded = load_ivf_pq_prefit(emb.sparkSession, d)
+    assert pairs(loaded) == exact_mode
+    # (2) exhaustive cross-split truth: precision 1, recall ≥ floor
+    import duckdb
+
+    truth = {
+        (b, i, round(c, 12))
+        for b, i, c in duckdb.sql(
+            f"""
+            WITH e AS (SELECT vec_id,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                       FROM '{SF_DIR}/embeddings.parquet')
+            SELECT * FROM (
+              SELECT b.vec_id AS bid, i.vec_id AS iid,
+                     list_dot_product(b.v, i.v)
+                     / (sqrt(list_dot_product(b.v, b.v))
+                      * sqrt(list_dot_product(i.v, i.v))) AS c
+              FROM e b JOIN e i ON b.vec_id % 3 = 0 AND i.vec_id % 3 <> 0
+            ) WHERE c >= 0.4
+            """
+        ).fetchall()
+    }
+    emitted_keys = {(b, i) for b, i, _ in exact_mode}
+    truth_keys = {(b, i) for b, i, _ in truth}
+    assert emitted_keys <= truth_keys  # precision 1
+    assert len(emitted_keys) >= 0.6 * len(truth_keys)  # probe-coverage floor
+    # a tighter ADC shortlist stays a SUBSET with identical cosines
+    tight = pairs(prefit, shortlist=5)
+    assert tight <= exact_mode

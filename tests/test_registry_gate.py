@@ -4,19 +4,16 @@ rotation policy holds (queries.py `_DEMOTED` rationale): new/changed
 operators sit inside the window, and previously demoted entries rotate
 back in so the driver re-verifies them round over round.
 
-Round-12 window: the NEW entries (classifier_eval — the confusion
-matrix/keep-curve degeneracy detector — and
-prepare_web_corpus_incremental — the day-over-day refresh capstone)
-are in-window per the new-ops rule; the classifier family
-(quality_* / lr_* / prepare_web_corpus_v4) stays in-window because r12
-changed NB/LR internals (presence features, priors guard, spine-derived
-width); dedup_incremental_minhash stays in-window because r12 changed
-the probe path again (bucket-partition pruning); and lm_cross_entropy /
-daily_revenue_ma7 / shipping_priority (tail-oracled since r6/r7) rotate
-back IN.  dedup_keep_canonical, hll_distinct_users, funnel_conversion,
-semantic_gate_batch and label_encode_docs take the tail slots, each
-with a family sibling left in-window (rationales in
-queries._DEMOTED)."""
+Round-13 window: the NEW dedup_embedding_incremental (incremental
+embedding dedup against the persisted IVF-PQ prefit) is in-window per
+the new-ops rule, taking the slot of similarity_pq_adc (demoted with
+rationale: similarity_ivf_pq replays the identical ADC integer
+machinery WITH probing on top, driver-green r7-r12);
+prepare_web_corpus_incremental and dedup_incremental_minhash stay
+in-window because r13 changed their machinery again (digest frontier
+anti-join, append-API index update, half-swap-recovering load).  The
+r12 window rationale history lives in git; demotion rationales in
+queries._DEMOTED."""
 
 from cdc_data_lake_pyspark_spark import queries as q
 
@@ -36,10 +33,15 @@ REQUIRED_VISIBLE = [
     "dedup_semantic_clusters",
     "dedup_exact_normalized",
     "dedup_substring_windows",
-    # similarity / PQ family (r6-changed code re-signed per ADVICE r6)
+    # similarity / PQ family (r6-changed code re-signed per ADVICE r6;
+    # similarity_pq_adc demoted mid-r13 for the NEW
+    # dedup_embedding_incremental slot — similarity_ivf_pq replays the
+    # identical _lut_block/ADC machinery WITH probing on top)
     "similarity_ivf",
     "similarity_ivf_pq",
-    "similarity_pq_adc",
+    # NEW r13: incremental embedding dedup against the persisted
+    # IVF-PQ prefit (new ops sit in-window per policy)
+    "dedup_embedding_incremental",
     # dedup exact-verify family (plain + prefix both in-window for r9 —
     # both rewritten this round and they share the IDENTICAL oracle)
     "dedup_jaccard_prefix",

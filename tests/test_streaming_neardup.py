@@ -159,6 +159,8 @@ def test_crash_between_writes_converges(spark, tmp_path):
         (F.col("doc_id") >= 150) | (F.col("doc_id") >= 500_000)
     )
     # simulate the crash: run the reduction and land ONLY kept + buckets
+    # (every index append carries the writing batch_id, as process_batch's
+    # writes do — the replay-leak exclusion keys on it)
     novel, bsigs = gate.batch_reduce(second, gate.index(spark))
     bsigs = bsigs.localCheckpoint()
     novel.withColumn("batch_id", F.lit(1).cast("long")).write.mode(
@@ -166,9 +168,9 @@ def test_crash_between_writes_converges(spark, tmp_path):
     ).parquet(f"{idx}/kept")
     from cdc_data_lake_pyspark_spark.operators.dedup_text import _banded
 
-    _banded(bsigs, gate.bands, gate.rows_per_band).write.mode(
-        "append"
-    ).parquet(f"{idx}/buckets")
+    _banded(bsigs, gate.bands, gate.rows_per_band).withColumn(
+        "batch_id", F.lit(1).cast("long")
+    ).write.mode("append").parquet(f"{idx}/buckets")
     # checkpoint replay re-delivers the batch in full
     gate.process_batch(second, batch_id=1)
     whole = StreamingNearDupGate(str(tmp_path / "ref"), threshold=THRESHOLD)
@@ -206,10 +208,12 @@ def test_crash_after_all_appends_converges(spark, tmp_path):
     novel.localCheckpoint().withColumn(
         "batch_id", F.lit(1).cast("long")
     ).write.mode("append").parquet(f"{idx}/kept")
-    _banded(bsigs, gate.bands, gate.rows_per_band).write.mode(
+    _banded(bsigs, gate.bands, gate.rows_per_band).withColumn(
+        "batch_id", F.lit(1).cast("long")
+    ).write.mode("append").parquet(f"{idx}/buckets")
+    bsigs.withColumn("batch_id", F.lit(1).cast("long")).write.mode(
         "append"
-    ).parquet(f"{idx}/buckets")
-    bsigs.write.mode("append").parquet(f"{idx}/signatures")
+    ).parquet(f"{idx}/signatures")
     # checkpoint replay re-delivers the batch in full
     gate.process_batch(second, batch_id=1)
     third = _corpus(spark).filter(F.col("doc_id") >= 300)
@@ -280,10 +284,12 @@ def test_compaction_preserves_verdicts_and_folds_leaks(spark, tmp_path):
         novel.localCheckpoint().withColumn(
             "batch_id", F.lit(1).cast("long")
         ).write.mode("append").parquet(f"{g.index_dir}/kept")
-        _banded(bsigs, g.bands, g.rows_per_band).write.mode(
+        _banded(bsigs, g.bands, g.rows_per_band).withColumn(
+            "batch_id", F.lit(1).cast("long")
+        ).write.mode("append").parquet(f"{g.index_dir}/buckets")
+        bsigs.withColumn("batch_id", F.lit(1).cast("long")).write.mode(
             "append"
-        ).parquet(f"{g.index_dir}/buckets")
-        bsigs.write.mode("append").parquet(f"{g.index_dir}/signatures")
+        ).parquet(f"{g.index_dir}/signatures")
         g.process_batch(second, batch_id=1)
     n_dup = a.index(spark).signatures.count()
     n_docs = a.index(spark).signatures.select("doc_id").distinct().count()
@@ -321,3 +327,99 @@ def test_compaction_preserves_verdicts_and_folds_leaks(spark, tmp_path):
     assert kept_after == {
         (r.doc_id, r.batch_id) for r in b.kept_docs(spark).collect()
     }
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_halfswap_recovered_by_reads_not_just_compact(spark, tmp_path):
+    """ADVICE r12: a crash between compact()'s two renames leaves the
+    store parked at ``__old`` — a restarted STREAM (not a compaction)
+    must repair it and run against the full index, never silently
+    against an empty one (where its appends would recreate the dir and
+    the next compact() would delete the parked full store)."""
+    gate = StreamingNearDupGate(str(tmp_path / "index"), threshold=THRESHOLD)
+    docs = _corpus(spark)
+    gate.process_batch(docs.filter(F.col("doc_id") < 300), batch_id=0)
+    n_sigs = gate.index(spark).signatures.count()
+    assert n_sigs > 0
+    # simulate the crash window: store parked, dir missing
+    os.rename(
+        f"{gate.index_dir}/signatures", f"{gate.index_dir}/signatures__old"
+    )
+    os.rename(f"{gate.index_dir}/buckets", f"{gate.index_dir}/buckets__old")
+    # a plain read repairs and sees the full index
+    assert gate.index(spark).signatures.count() == n_sigs
+    # and the next batch gates against it: re-crawled content all drops
+    recrawl = docs.filter(F.col("doc_id") < 75).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    gate.process_batch(recrawl, batch_id=1)
+    assert not any(
+        r.doc_id >= 2_000_000 for r in gate.kept_docs(spark).collect()
+    )
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_layout_mismatch_raises(spark, tmp_path):
+    """ADVICE r12: the gate persists its layout in ``params/`` and a
+    gate constructed with a DIFFERENT bucket_partitions over the same
+    store must refuse loudly — constructor-trusted, the partitioned
+    reader read ``_pfx`` as NULL over a flat store and silently dropped
+    every pre-existing index row from candidate discovery."""
+    idx = str(tmp_path / "index")
+    flat = StreamingNearDupGate(idx, threshold=THRESHOLD)
+    flat.process_batch(_corpus(spark).filter(F.col("doc_id") < 100), 0)
+    part = StreamingNearDupGate(idx, threshold=THRESHOLD, bucket_partitions=8)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        part.process_batch(
+            _corpus(spark).filter(F.col("doc_id") >= 100), 1
+        )
+    with pytest.raises(ValueError, match="layout mismatch"):
+        part.index(spark)
+    # hash-layout drift refuses too
+    other = StreamingNearDupGate(idx, threshold=THRESHOLD, num_hashes=32)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        other.index(spark)
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_replay_exclusion_is_batch_scoped_not_id_scoped(spark, tmp_path):
+    """ADVICE r12: the replay-leak exclusion keys on the WRITING
+    batch_id, not the doc_id.  Two consequences the old id-keyed
+    exclusion got wrong, both pinned here: (1) a doc_id legitimately
+    re-delivered in a LATER batch IS compared against its own earlier
+    index copy (dropped as a jaccard-1.0 near-dup, not double-kept);
+    (2) an index doc whose id collides with a current-batch id still
+    participates in candidacy for the OTHER batch docs — its true
+    near-dups are found."""
+    gate = StreamingNearDupGate(str(tmp_path / "index"), threshold=THRESHOLD)
+    base = _corpus(spark).filter(F.col("doc_id") < 50).localCheckpoint()
+    gate.process_batch(base, batch_id=0)
+    # batch 1: (a) doc_id 3 re-delivered verbatim; (b) doc_id 7 carries
+    # UNRELATED new content (id collision with an index row); (c) a
+    # fresh id whose content near-dups indexed doc 7's original text
+    redelivered = base.filter(F.col("doc_id") == 3)
+    collided = base.filter(F.col("doc_id") == 7).select(
+        "doc_id",
+        F.lit(
+            "completely unrelated replacement content with nothing in "
+            "common with anything seen before zebra quark nebula"
+        ).alias("text"),
+    )
+    neardup_of_7 = base.filter(F.col("doc_id") == 7).select(
+        F.lit(4_000_000).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    gate.process_batch(
+        redelivered.unionByName(collided).unionByName(neardup_of_7),
+        batch_id=1,
+    )
+    kept = {
+        (r.doc_id, r.batch_id) for r in gate.kept_docs(spark).collect()
+    }
+    # (1) the verbatim re-delivery of id 3 dropped against its own copy
+    assert (3, 1) not in kept and (3, 0) in kept
+    # (2) the collision did NOT mask doc 7's index copy: the fresh
+    # near-dup of its original content dropped
+    assert (4_000_000, 1) not in kept
+    # the collided id's NEW content is genuinely novel and survives
+    assert (7, 1) in kept
