@@ -13,12 +13,19 @@ day 0 (bootstrap)
 
 day 1 (the daily increment)
     new crawl batch → host gate under YESTERDAY'S host reputation →
-    URL frontier (canonicals never seen yesterday, then per-canonical
-    election) → extraction + min-content gate → near-dup probe against
-    the RELOADED day-0 index (`load_minhash_index` → `minhash_probe`,
-    exact-verify mode) → learned gate under the RELOADED day-0 model
-    (`load_model` → `nb_score`) → within-day content dedup → the
-    appended day-1 survivors.
+    URL frontier (md5-DIGEST anti-join against yesterday's canonicals,
+    then per-canonical election) → extraction + min-content gate →
+    near-dup probe against the RELOADED day-0 index
+    (`load_minhash_index` → `minhash_probe`, exact-verify mode) →
+    learned gate under the RELOADED day-0 model (`load_model` →
+    `nb_score`) → within-day content dedup → the day-1 survivors,
+    appended to the index through `append_to_minhash_index` (the
+    layout-honoring lifecycle API, r13).
+
+The N-DAY generalization lives in :func:`daily_refresh_loop` (r13):
+the same stages as a day LOOP over four persisted artifacts (host
+verdicts, model, keeper index, seen-URL digest store), soaked at the
+100x axis by ``tools/measure_daily_soak.py`` (SCALE.md §22).
 
 The oracle replays BOTH days in one WITH list: day-0 host stats, URL
 election, extraction, NB training and scoring, content dedup; then the
@@ -343,8 +350,12 @@ def _prepare_web_corpus_incremental(docs, work_dir=None, timings=None):
         < _SEED_PCT
     ).select("label", F.col("main_text").alias("text"))
     # persist + reload the model: day 1 scores under the ARTIFACT, the
-    # exact train-offline/score-online split a daily pipeline ships
-    cleanup_work_dir = work_dir is None
+    # exact train-offline/score-online split a daily pipeline ships.
+    # An auto-created work dir is cleaned up after the result
+    # materializes (ADVICE r12) — but only on the registry path
+    # (timings=None): the measurement tools own their dirs and their
+    # phase splits must not absorb an in-body materialization.
+    cleanup_work_dir = work_dir is None and timings is None
     work_dir = work_dir or tempfile.mkdtemp(prefix="incr_")
     model_dir = f"{work_dir}/model"
     save_model(nb_train(seed, n_buckets=N_BUCKETS), model_dir)
@@ -473,3 +484,299 @@ def _prepare_web_corpus_incremental(docs, work_dir=None, timings=None):
         out = out.localCheckpoint()
         shutil.rmtree(work_dir, ignore_errors=True)
     return out
+
+
+# --------------------------------------------------------------------------
+# The N-day soak (VERDICT r12 #3): the 2-day capstone generalized to a
+# day loop, so the daily-marginal claim is measured as a CURVE — day k
+# probes the artifacts day k-1 left behind, for every k.
+
+
+def _soak_day_crawls(base, k: int):
+    """Day ``k``'s crawl batch over the base corpus: every base doc
+    yields one crawl under an id shift of ``k·10⁷`` (≡ 0 mod the
+    host/URL/decade residues, so the per-day URL structure is
+    day-invariant while every crawl id — and thus every URL — is fresh).
+    Pools by base-id residue give each day all four work types a daily
+    increment sees:
+
+    * even ids — the SHARED pool (``src = doc_id % 100``): re-crawls of
+      content day 0 indexed; must drop at the near-dup PROBE on every
+      later day.
+    * ``% 8 == 1`` and ``% 8 == 7`` — today's FRESH pool
+      (``src = 100 + doc_id % 50 + 50k``): content that did not exist
+      before today; must pass the probe and face only the learned gate.
+    * ``% 8 == 3`` — YESTERDAY re-crawls (``src`` of day k−1's fresh
+      pool): fresh URL, yesterday's content — drops at the probe IFF
+      day k−1's keepers actually entered the index (the generalized
+      day-2 visibility pin).
+    * ``% 8 == 5`` — yesterday-URL re-crawls (URL computed from the
+      day-(k−1) crawl id): must drop at the URL FRONTIER against the
+      persisted seen-URL digest store, before extraction ever runs.
+    """
+    kk = F.lit(k)
+    shifted = F.col("doc_id") + F.lit(k * 10_000_000)
+    # yesterday-URL pool: reuse the URL that base doc ``id − 4`` (the
+    # ``% 8 == 1`` fresh-pool neighbor) actually presented on day k−1 —
+    # its digest is in the seen store, so the frontier must drop it
+    prev_shift = F.col("doc_id") - F.lit(4) + F.lit(
+        max(k - 1, 0) * 10_000_000
+    )
+    src = (
+        F.when(F.col("doc_id") % 2 == 0, F.col("doc_id") % 100)
+        .when(
+            F.col("doc_id") % 8 == 3,
+            F.lit(100) + F.col("doc_id") % 50 + 50 * F.lit(max(k - 1, 0)),
+        )
+        .otherwise(F.lit(100) + F.col("doc_id") % 50 + 50 * kk)
+        .cast("long")
+    )
+    url_id = F.when(
+        (F.col("doc_id") % 8 == 5) & (kk > 0), prev_shift
+    ).otherwise(shifted)
+    return (
+        base.select(
+            shifted.alias("crawl_id"),
+            url_id.alias("_url_id"),
+            src.alias("_src"),
+        )
+        .join(
+            base.select(F.col("doc_id").alias("_src"), "text"),
+            "_src",
+        )
+        .select(
+            F.col("crawl_id").alias("doc_id"),
+            "_url_id",
+            F.when(F.col("_src") % 3 == 0, F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("label"),
+            F.when(
+                F.col("_src") % 3 == 0,
+                F.concat(F.lit(BOILER + " "), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+
+
+def daily_refresh_loop(
+    docs,
+    n_days: int = 7,
+    work_dir: str | None = None,
+    compact_every: int = 0,
+    day_metrics: list | None = None,
+):
+    """Run the corpus-refresh pipeline as an N-DAY LOOP over persisted
+    artifacts — the soak the 2-day oracled capstone
+    (:func:`prepare_web_corpus_incremental`) is the correctness witness
+    for.  Day 0 bootstraps and persists FOUR artifacts (host verdicts,
+    classifier model, MinHash keeper index, seen-URL digest store);
+    every later day RELOADS them from parquet, runs
+
+        host gate → URL frontier (md5-digest anti-join against the
+        seen store) → extraction + min-content gate → near-dup probe
+        (ESTIMATE mode — no corpus text is ever re-read) → learned
+        gate → within-day content dedup
+
+    and appends its keepers through :func:`append_to_minhash_index` and
+    its canonical digests to the seen store — so day k's probe runs
+    against exactly what days 0..k−1 left on disk.  ``compact_every=C``
+    runs :func:`compact_minhash_index` after every C-th day (the
+    offline maintenance a real deployment schedules).
+
+    Scale shape per day: everything is batch-sized except the two
+    against-history joins, both of which touch compressed artifacts —
+    the frontier anti-join moves 16-byte digests and the probe's
+    candidate join reads the banded bucket store (tracks unique
+    content, not crawl volume).  ``day_metrics`` (a list, when given)
+    receives one dict per day: wall, phase drop counts, kept rows, and
+    artifact file counts — the SCALE.md §22 curve.
+
+    Returns the ``(day, doc_id, fingerprint, n_urls)`` union of every
+    day's keepers.  Fixture: :func:`_soak_day_crawls` (all four daily
+    work types present every day; per-day non-degeneracy is asserted by
+    the soak tool, the r12 lesson)."""
+    import time as _time
+
+    from cdc_data_lake_pyspark_spark.functions.html import main_text_sql
+    from cdc_data_lake_pyspark_spark.functions.urls import canonical_url_sql
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        _stage,
+        append_to_minhash_index,
+        compact_minhash_index,
+        exact_dedup,
+        load_minhash_index,
+        minhash_index,
+        minhash_probe,
+        save_minhash_index,
+    )
+    from cdc_data_lake_pyspark_spark.queries_phase9 import (
+        _HOST_DUP_PPM_MAX,
+        _PAGE_SQL,
+        _V3_HOST_SQL,
+        _V3_URL_SQL,
+        _WEB_MIN_CHARS,
+    )
+
+    spark = docs.sparkSession
+    work_dir = work_dir or tempfile.mkdtemp(prefix="soak_")
+    model_dir, index_dir = f"{work_dir}/model", f"{work_dir}/index"
+    hosts_dir, seen_dir = f"{work_dir}/hosts", f"{work_dir}/seen_urls"
+    base = _stage(
+        docs.select("doc_id", "text").filter(F.col("text").isNotNull())
+    )
+    url_expr = _V3_URL_SQL.replace("doc_id", "_url_id")
+    host_expr = _V3_HOST_SQL.replace("doc_id", "_url_id")
+    outs = []
+    for k in range(n_days):
+        t0 = _time.time()
+        m: dict = {"day": k}
+        crawls = _stage(_soak_day_crawls(base, k))
+        canon = _stage(
+            crawls.select(
+                "doc_id",
+                F.expr(canonical_url_sql(f"({url_expr})")).alias("_c"),
+                F.expr(host_expr).alias("_host"),
+            )
+        )
+        if k == 0:
+            # bootstrap: host reputation from day-0's own crawl, persisted
+            canon.groupBy("_host").agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.countDistinct("_c").alias("_u"),
+            ).filter(
+                F.round(
+                    F.lit(1e6)
+                    * (F.col("_n") - F.col("_u")).cast("double")
+                    / F.col("_n").cast("double")
+                ).cast("bigint")
+                <= _HOST_DUP_PPM_MAX
+            ).select("_host").write.mode("overwrite").parquet(hosts_dir)
+        good = spark.read.parquet(hosts_dir)
+        gated_hosts = canon.join(F.broadcast(good), "_host")
+        if k == 0:
+            frontier = gated_hosts
+            m["frontier_drops"] = 0
+        else:
+            # the persisted seen-URL digest store: 16-byte md5 anti-join
+            seen = spark.read.schema("_cd string").parquet(seen_dir)
+            frontier = (
+                gated_hosts.withColumn("_cd", F.md5("_c"))
+                .join(seen, "_cd", "left_anti")
+                .drop("_cd")
+            )
+            frontier = _stage(frontier)
+            m["frontier_drops"] = gated_hosts.count() - frontier.count()
+        url_keep = frontier.groupBy("_c").agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        survivors = crawls.join(
+            url_keep.select("doc_id"), "doc_id", "left_semi"
+        )
+        gated = _stage(
+            survivors.select(
+                "doc_id",
+                "label",
+                F.expr(main_text_sql(_PAGE_SQL, duck=False)).alias(
+                    "main_text"
+                ),
+            ).filter(F.length("main_text") >= _WEB_MIN_CHARS)
+        )
+        if k == 0:
+            seed = gated.filter(
+                F.pmod(
+                    portable_id_hash(F.col("doc_id").cast("string")),
+                    F.lit(10),
+                )
+                < _SEED_PCT
+            ).select("label", F.col("main_text").alias("text"))
+            save_model(nb_train(seed, n_buckets=N_BUCKETS), model_dir)
+            nd = gated
+            m["probe_drops"] = 0
+        else:
+            # ESTIMATE-mode probe from disk: candidate discovery against
+            # the stored buckets, Broder estimate from stored signatures —
+            # the corpus text is never re-read (re-crawls here are exact
+            # copies, estimate = 1.0)
+            index = load_minhash_index(spark, index_dir)
+            nd_pairs = minhash_probe(
+                gated.select("doc_id", F.col("main_text").alias("text")),
+                index,
+                threshold=0.8,
+            )
+            nd = _stage(
+                gated.join(
+                    nd_pairs.select(
+                        F.col("batch_id").alias("doc_id")
+                    ).distinct(),
+                    "doc_id",
+                    "left_anti",
+                )
+            )
+            m["probe_drops"] = gated.count() - nd.count()
+        model = load_model(spark, model_dir, n_buckets=N_BUCKETS)
+        scores = nb_score(
+            nd.select("doc_id", F.col("main_text").alias("text")),
+            model,
+            n_buckets=N_BUCKETS,
+        )
+        clean = _stage(
+            nd.join(
+                scores.filter(F.col("keep") == 1).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+        )
+        m["model_drops"] = nd.count() - clean.count()
+        keep = _stage(
+            exact_dedup(clean, text_col="main_text").select(
+                "fingerprint",
+                F.col("keeper_id").alias("doc_id"),
+                F.col("n_docs").alias("n_urls"),
+            )
+        )
+        keepers = clean.join(keep.select("doc_id"), "doc_id", "left_semi")
+        if k == 0:
+            save_minhash_index(
+                minhash_index(keepers, text_col="main_text"), index_dir
+            )
+            canon.select(F.md5("_c").alias("_cd")).distinct().write.mode(
+                "overwrite"
+            ).parquet(seen_dir)
+        else:
+            append_to_minhash_index(
+                index_dir,
+                keepers.select("doc_id", F.col("main_text").alias("text")),
+            )
+            canon.select(F.md5("_c").alias("_cd")).distinct().write.mode(
+                "append"
+            ).parquet(seen_dir)
+        if compact_every and k > 0 and k % compact_every == 0:
+            compact_minhash_index(spark, index_dir)
+        m["kept_rows"] = keep.count()
+        m["wall_sec"] = round(_time.time() - t0, 2)
+        if day_metrics is not None:
+            import os as _os
+
+            for sub in ("signatures", "buckets"):
+                m[f"{sub}_files"] = sum(
+                    1
+                    for _, _, fs in _os.walk(f"{index_dir}/{sub}")
+                    for f in fs
+                    if f.endswith(".parquet")
+                )
+            day_metrics.append(m)
+        outs.append(
+            keep.select(
+                F.lit(k).cast("int").alias("day"),
+                "doc_id",
+                "fingerprint",
+                "n_urls",
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

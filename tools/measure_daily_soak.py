@@ -1,0 +1,104 @@
+"""N-day soak of the daily corpus-refresh loop (VERDICT r12 #3): run
+``queries_phase11.daily_refresh_loop`` for DAYS days on the sf corpus
+replicated REP× and record, per day: wall, phase drop counts, kept
+rows, and index-artifact file counts — once without compaction and once
+compacting every other day.  The claim under measurement is the one a
+100 TB operator needs proven: the daily marginal cost stays FLAT as the
+persisted artifacts grow day over day, and compaction bounds the
+store's file count without changing a single verdict.
+
+Run: python tools/measure_daily_soak.py [sf_dir] [rep] [days]
+Writes SOAK_DAILY.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cdc_data_lake_pyspark_spark.queries_phase11 import (  # noqa: E402
+    daily_refresh_loop,
+)
+from cdc_data_lake_pyspark_spark.session import build_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    rep = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    days = int(sys.argv[3]) if len(sys.argv) > 3 else 7
+    spark = build_session(app_name="daily-soak")
+    docs_1x = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    if rep == 1:
+        docs = docs_1x
+    else:
+        # id-shifted replication (the measure_incremental.py axis):
+        # 1e7 ≡ 0 mod the fixture residues, so structure is
+        # size-invariant while daily crawl volume grows rep×.  The
+        # per-day shift inside the loop is also 1e7 — disambiguate the
+        # replicas with a 1e11 stride so ids never collide across
+        # (replica, day).
+        docs = docs_1x.crossJoin(
+            spark.range(rep).select(F.col("id").alias("_r"))
+        ).select(
+            (F.col("doc_id") + F.col("_r") * 100_000_000_000).alias(
+                "doc_id"
+            ),
+            "text",
+        )
+    runs = {}
+    for label, compact_every in (("plain", 0), ("compacting", 2)):
+        metrics: list = []
+        work = tempfile.mkdtemp(prefix=f"soak_{label}_")
+        t0 = time.time()
+        out = daily_refresh_loop(
+            docs,
+            n_days=days,
+            work_dir=work,
+            compact_every=compact_every,
+            day_metrics=metrics,
+        )
+        kept = {
+            (r["day"], r["fingerprint"])
+            for r in out.select("day", "fingerprint").collect()
+        }
+        wall = round(time.time() - t0, 2)
+        shutil.rmtree(work, ignore_errors=True)
+        for m in metrics:
+            print(json.dumps({"run": label, **m}), flush=True)
+        # per-day NON-degeneracy (the r12 lesson): every gate fires daily
+        for m in metrics[1:]:
+            for key in ("frontier_drops", "probe_drops", "model_drops"):
+                assert m[key] > 0, (label, m)
+            assert m["kept_rows"] > 0, (label, m)
+        runs[label] = {
+            "compact_every": compact_every,
+            "total_wall_sec": wall,
+            "days": metrics,
+            "kept": sorted(kept)[:0],  # kept set only compared below
+            "_kept_set": kept,
+        }
+    assert runs["plain"]["_kept_set"] == runs["compacting"]["_kept_set"], (
+        "compaction changed verdicts"
+    )
+    for r in runs.values():
+        r["kept_total"] = len(r.pop("_kept_set"))
+        r.pop("kept")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "SOAK_DAILY.json"), "w") as f:
+        json.dump({"sf_dir": sf_dir, "rep": rep, "n_days": days,
+                   "runs": runs}, f, indent=1)
+    print(json.dumps({"metric": "daily_soak", "days": days, "rep": rep}))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,13 +60,20 @@ def main() -> None:
                 ),
                 "text",
             )
+        import shutil
+        import tempfile
+
         marks: dict = {}
+        work = tempfile.mkdtemp(prefix="incr100x_")
         t0 = time.time()
-        out = _prepare_web_corpus_incremental(docs, timings=marks)
+        out = _prepare_web_corpus_incremental(
+            docs, work_dir=work, timings=marks
+        )
         t1 = time.time()
         d0 = out.filter(F.col("day") == 0).count()
         d1 = out.filter(F.col("day") == 1).count()
         t2 = time.time()
+        shutil.rmtree(work, ignore_errors=True)
         row = {
             "rep": rep,
             "day0_bootstrap_sec": round(marks["day0_done"] - t0, 2),
