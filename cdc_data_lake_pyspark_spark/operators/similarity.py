@@ -1223,8 +1223,10 @@ def ivf_dedup_batch(
     m_sub, n_codes, ds = books.shape
 
     id_type = corpus.schema[id_col].dataType.simpleString()
-    out_schema = f"batch_id {id_type}, index_id {id_type}, cosine double"
-    enc_cols = "index_id " + id_type + ", _cell int, _v array<double>, _codes array<int>"
+    enc_cols = (
+        f"index_id {id_type}, _cell int, _v array<double>, "
+        "_codes array<int>"
+    )
 
     def _encode_corpus(batches):
         for pdf in batches:
@@ -1273,12 +1275,29 @@ def ivf_dedup_batch(
     probing = batch.select(id_col, vec_col).mapInPandas(
         _probe_batch, f"batch_id {id_type}, _cell int, _v array<double>"
     )
+    return _score_probed_cells(probing, encoded, prefit, threshold, shortlist)
+
+
+def _score_probed_cells(
+    probing: DataFrame,
+    encoded: DataFrame,
+    prefit: tuple,
+    threshold: float,
+    shortlist: Optional[int],
+) -> DataFrame:
+    """Shared cell-at-a-time cogroup scorer for the incremental
+    embedding probe — defined ONCE so :func:`ivf_dedup_batch` (inline
+    corpus) and :func:`probe_ivf_corpus_index` (persisted encoded
+    store) emit bit-identical pairs for the same data.  ``probing`` is
+    ``(batch_id, _cell, _v)`` (one row per probed cell), ``encoded`` is
+    ``(index_id, _cell, _v, _codes)``."""
+    centers, books = prefit
+    m_sub, n_codes, ds = books.shape
 
     def _score_cell(key, bpdf, ipdf):
+        empty = pd.DataFrame({"batch_id": [], "index_id": [], "cosine": []})
         if not len(bpdf) or not len(ipdf):
-            return pd.DataFrame(
-                {"batch_id": [], "index_id": [], "cosine": []}
-            )
+            return empty
         B = np.vstack(bpdf["_v"].to_numpy())
         I = np.vstack(ipdf["_v"].to_numpy())
         b_ids = bpdf["batch_id"].to_numpy()
@@ -1286,6 +1305,7 @@ def ivf_dedup_batch(
         seq_sum = lambda M: np.cumsum(M, axis=1)[:, -1]
         b_norms = np.sqrt(seq_sum(B * B))
         i_norms = np.sqrt(seq_sum(I * I))
+        It = np.ascontiguousarray(I.T)
         if shortlist is not None and len(i_ids) > shortlist:
             # ADC pre-rank against the cell's PQ codes (the compressed
             # read): keep each batch vector's top-S candidates only
@@ -1296,26 +1316,34 @@ def ivf_dedup_batch(
             for j in range(m_sub):
                 lut_j = _lut_block(QR[:, j * ds : (j + 1) * ds], books[j])
                 D += lut_j[:, C[:, j]]
-            keep_idx = np.argsort(D, axis=1, kind="stable")[:, :shortlist]
             rows = np.repeat(np.arange(len(B)), shortlist)
-            cols = keep_idx.ravel()
+            cols = np.argsort(D, axis=1, kind="stable")[:, :shortlist].ravel()
+            approx = seq_sum(B[rows] * I[cols]) / (
+                b_norms[rows] * i_norms[cols]
+            )
+            mask = approx >= threshold - 1e-6
+            rows, cols = rows[mask], cols[mask]
         else:
-            # exact mode: every probed-cell candidate (oracle-replayable)
-            rows, cols = np.meshgrid(
-                np.arange(len(B)), np.arange(len(I)), indexing="ij"
-            )
-            rows, cols = rows.ravel(), cols.ravel()
-        # BLAS prefilter at threshold − 1e-6, strict-fold rescore of
-        # survivors only (the _exact_rescored_pairs discipline)
-        approx = (B @ np.ascontiguousarray(I.T)) / np.outer(
-            b_norms, i_norms
-        )
-        mask = approx[rows, cols] >= threshold - 1e-6
-        rows, cols = rows[mask], cols[mask]
+            # exact mode (oracle-replayable): BLAS prefilter at
+            # threshold − 1e-6 over batch-row TILES — the (tile × cell)
+            # score block stays bounded instead of materializing the
+            # full (batch-in-cell × cell) matrix at large cells
+            tile = max(1, int(50_000_000 / max(1, len(i_ids))))
+            parts = []
+            for lo in range(0, len(B), tile):
+                hi = lo + tile
+                approx = (B[lo:hi] @ It) / np.outer(
+                    b_norms[lo:hi], i_norms
+                )
+                r, c = np.nonzero(approx >= threshold - 1e-6)
+                parts.append((r + lo, c))
+            rows = np.concatenate([r for r, _ in parts])
+            cols = np.concatenate([c for _, c in parts])
         if not len(rows):
-            return pd.DataFrame(
-                {"batch_id": [], "index_id": [], "cosine": []}
-            )
+            return empty
+        # strict-fold rescore of surviving candidates only (the
+        # _exact_rescored_pairs discipline — emitted scores are
+        # bit-identical to the sequential-fold oracle)
         exact = seq_sum(B[rows] * I[cols]) / (b_norms[rows] * i_norms[cols])
         keep = exact >= threshold
         return pd.DataFrame(
@@ -1326,10 +1354,223 @@ def ivf_dedup_batch(
             }
         )
 
+    id_type = dict(probing.dtypes)["batch_id"]
+    out_schema = f"batch_id {id_type}, index_id {id_type}, cosine double"
     return (
         probing.groupBy("_cell")
         .cogroup(encoded.groupBy("_cell"))
         .applyInPandas(_score_cell, out_schema)
+    )
+
+
+#: encoded-corpus artifact schema contract (pinned by save/load/pytest)
+_CORPUS_INDEX_SCHEMA = {
+    "vec_id": "bigint",
+    "embedding": "array<double>",
+    "codes": "array<int>",
+    "cell": "int",
+}
+
+
+def save_ivf_corpus_index(
+    corpus: DataFrame,
+    prefit: tuple,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the ENCODED corpus — the vector-index artifact a daily
+    pipeline keeps between probes, completing the lifecycle symmetry
+    with the MinHash side (save/load/probe/append/compact): the prefit
+    (:func:`save_ivf_pq_prefit`) stores only the QUANTIZER, so a probe
+    through it still re-encodes every corpus vector per run — one full
+    corpus read per day, the cost this artifact exists to amortize.
+    Here the corpus is encoded ONCE (cell assignment + residual PQ
+    codes, one map-only pass) and written hive-partitioned BY CELL
+    under ``path/encoded`` — the IVF inverted-list layout as the
+    physical layout — alongside the prefit, so
+    :func:`probe_ivf_corpus_index` reads only its batch's probed cells
+    (a partition-pruned scan of ~``n_probe/nlist`` of the store, the
+    ``bucket_partitions`` discipline applied to vectors)."""
+    centers, books = prefit
+    m_sub, n_codes, ds = books.shape
+
+    def _encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cell = _sq_dists(V, centers).argmin(axis=1)
+            R = V - centers[cell]
+            codes = np.empty((len(V), m_sub), dtype=np.int32)
+            for j in range(m_sub):
+                codes[:, j] = _sq_dists(
+                    R[:, j * ds : (j + 1) * ds], books[j]
+                ).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "embedding": list(V),
+                    "codes": list(codes),
+                    "cell": cell.astype(np.int32),
+                }
+            )
+
+    corpus.select(id_col, vec_col).mapInPandas(
+        _encode,
+        "vec_id bigint, embedding array<double>, codes array<int>, "
+        "cell int",
+    ).write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/encoded"
+    )
+    save_ivf_pq_prefit(corpus.sparkSession, prefit, path)
+
+
+def load_ivf_corpus_index(spark, path: str):
+    """Reload the encoded-corpus artifact: ``(prefit, encoded_frame)``
+    with the schema contract validated at load (the
+    :func:`load_minhash_index` discipline) and a half-finished
+    compaction swap repaired first."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        _recover_halfswap,
+    )
+
+    for sub in ("encoded", "centers", "codebooks"):
+        _recover_halfswap(f"{path}/{sub}")
+    prefit = load_ivf_pq_prefit(spark, path)
+    encoded = spark.read.parquet(f"{path}/encoded")
+    got = dict(encoded.dtypes)
+    if got != _CORPUS_INDEX_SCHEMA:
+        raise ValueError(
+            f"ivf corpus index schema drifted: {got} != "
+            f"{_CORPUS_INDEX_SCHEMA}"
+        )
+    return prefit, encoded
+
+
+def append_to_ivf_corpus_index(
+    path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Daily index UPDATE for the vector artifact — the
+    :func:`append_to_minhash_index` counterpart: encode the new vectors
+    with the artifact's OWN persisted prefit (cell assignment and codes
+    stay mutually consistent forever — a re-fit would silently shear
+    the cell layout) and append them into the cell partitions.  Only
+    the new vectors are touched; the store is never read or
+    rewritten."""
+    spark = vectors.sparkSession
+    prefit, _ = load_ivf_corpus_index(spark, path)  # validates layout
+    centers, books = prefit
+    m_sub, n_codes, ds = books.shape
+
+    def _encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cell = _sq_dists(V, centers).argmin(axis=1)
+            R = V - centers[cell]
+            codes = np.empty((len(V), m_sub), dtype=np.int32)
+            for j in range(m_sub):
+                codes[:, j] = _sq_dists(
+                    R[:, j * ds : (j + 1) * ds], books[j]
+                ).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "embedding": list(V),
+                    "codes": list(codes),
+                    "cell": cell.astype(np.int32),
+                }
+            )
+
+    vectors.select(id_col, vec_col).mapInPandas(
+        _encode,
+        "vec_id bigint, embedding array<double>, codes array<int>, "
+        "cell int",
+    ).write.mode("append").partitionBy("cell").parquet(f"{path}/encoded")
+
+
+def compact_ivf_corpus_index(
+    spark, path: str, target_files: int = 4
+) -> None:
+    """Offline maintenance for the encoded-corpus artifact: fold the
+    per-day append files (per cell partition) behind the same
+    crash-recoverable swap the MinHash stores use."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        _swap_compact_store,
+    )
+
+    load_ivf_corpus_index(spark, path)  # validates before rewriting
+    _swap_compact_store(
+        spark,
+        f"{path}/encoded",
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>, codes ARRAY<INT>, "
+        "cell INT",
+        target_files,
+        "cell",
+    )
+
+
+def probe_ivf_corpus_index(
+    spark,
+    path: str,
+    batch: DataFrame,
+    threshold: float = 0.4,
+    n_probe: int = 4,
+    shortlist: Optional[int] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Daily probe against the PERSISTED encoded corpus: load the
+    prefit (driver-resident KBs), collect the batch's probed-cell set
+    (≤ nlist values), and push an ``isin`` PARTITION filter into the
+    encoded-store scan — the probe reads ~``n_probe/nlist`` of the
+    stored corpus instead of re-encoding all of it
+    (:func:`_pruned_index_buckets`'s pruning discipline on the vector
+    side; the filter reaching the scan is pinned in tests/test_pq.py).
+    Scoring semantics are EXACTLY :func:`ivf_dedup_batch`'s — same
+    probe assignment, same strict-fold cosine, same optional ADC
+    shortlist — so the same DuckDB oracle replays both paths."""
+    prefit, encoded = load_ivf_corpus_index(spark, path)
+    centers, books = prefit
+    m_sub, n_codes, ds = books.shape
+
+    def _probe_batch(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            B = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            probes = np.argsort(
+                _sq_dists(B, centers), axis=1, kind="stable"
+            )[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "batch_id": np.repeat(
+                        pdf[id_col].to_numpy(), n_probe
+                    ),
+                    "_cell": probes.ravel().astype(np.int32),
+                    "_v": list(np.repeat(B, n_probe, axis=0)),
+                }
+            )
+
+    probing = batch.select(id_col, vec_col).mapInPandas(
+        _probe_batch, "batch_id bigint, _cell int, _v array<double>"
+    ).localCheckpoint(eager=False)
+    cells = [
+        r[0] for r in probing.select("_cell").distinct().collect()
+    ]
+    pruned = encoded.filter(F.col("cell").isin(cells)).select(
+        F.col("vec_id").alias("index_id"),
+        F.col("embedding").alias("_v"),
+        F.col("codes").alias("_codes"),
+        F.col("cell").alias("_cell"),
+    )
+    return _score_probed_cells(
+        probing, pruned, prefit, threshold, shortlist
     )
 
 

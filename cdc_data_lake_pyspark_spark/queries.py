@@ -675,6 +675,13 @@ _DEMOTED: tuple[str, ...] = (
     # machinery WITH probing on top, and the new incremental entry
     # drives the persisted-prefit lifecycle the ADC codes live in;
     # driver-green r7-r12 (in-window every round since r7)
+    "dedup_semantic_clusters",
+    # semantic-dedup family (demoted mid-r13 for the NEW
+    # dedup_embedding_incremental_store window slot): its hyperplane
+    # bucketing + centroid election machinery stays in-window via
+    # dedup_embedding_cosine_lsh, and the two new incremental-embedding
+    # entries drive the vector-dedup family's scale path (persisted
+    # index + cell-pruned probe) harder; driver-green r8-r12
     "similarity_topk_bruteforce",
     # similarity family: similarity_ivf + similarity_ivf_pq stay
     # in-window (the brute-force op is also the recall oracle inside

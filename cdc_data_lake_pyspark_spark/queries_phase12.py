@@ -13,6 +13,14 @@ with the prefit artifact round-tripping parquet INSIDE the entry, so
 the persistence lifecycle itself sits under the correctness gate (the
 ``prepare_web_corpus_incremental`` discipline).
 
+Two entries share ONE oracle: ``dedup_embedding_incremental`` probes
+through the persisted QUANTIZER (re-encoding the corpus per run) and
+``dedup_embedding_incremental_store`` probes the persisted ENCODED
+CORPUS (cell-partitioned, partition-pruned scan — the full artifact a
+daily pipeline keeps, with append/compact maintenance mirroring the
+MinHash index lifecycle).  Both run the shared ``_score_probed_cells``
+cogroup, so their pairs are bit-identical.
+
 The oracle replays the whole probe in DuckDB with the deterministic
 coarse quantizer pinned as literals (the ``similarity_ivf`` /
 ``similarity_ivf_pq`` pattern): cell assignment and probe selection are
@@ -158,3 +166,49 @@ def dedup_embedding_incremental(spark, sf_dir):
         threshold=_EMB_ND_THRESHOLD,
         n_probe=_N_PROBE,
     )
+
+
+@query("dedup_embedding_incremental_store", oracle=_emb_incremental_oracle)
+def dedup_embedding_incremental_store(spark, sf_dir):
+    """The same incremental embedding dedup probed against the
+    PERSISTED ENCODED CORPUS
+    (operators/similarity.py::save_ivf_corpus_index /
+    probe_ivf_corpus_index) — the artifact a daily pipeline actually
+    keeps: `dedup_embedding_incremental` reloads only the quantizer and
+    re-encodes the corpus per probe (one full corpus read per day);
+    here the corpus is encoded ONCE, written hive-partitioned BY CELL
+    (the IVF inverted-list layout as the physical layout), and the
+    daily probe pushes its probed-cell set into the scan as a
+    PARTITION filter — reading ~n_probe/nlist of the store, the
+    `bucket_partitions` discipline applied to vectors.  Scoring is the
+    shared `_score_probed_cells` cogroup, so this entry and the inline
+    entry emit bit-identical pairs and share one DuckDB oracle; the
+    save → load → probe → append → compact lifecycle is pinned in
+    tests/test_pq.py."""
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        fit_ivf_pq,
+        probe_ivf_corpus_index,
+        save_ivf_corpus_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    work = tempfile.mkdtemp(prefix="emb_store_")
+    try:
+        save_ivf_corpus_index(
+            corpus,
+            fit_ivf_pq(corpus, n_clusters=_N_CLUSTERS, m_sub=8, k=16, seed=42),
+            work,
+        )
+        # the probe reads the store lazily — materialize before cleanup
+        out = probe_ivf_corpus_index(
+            spark,
+            work,
+            batch,
+            threshold=_EMB_ND_THRESHOLD,
+            n_probe=_N_PROBE,
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -141,17 +141,18 @@ def test_web_corpus_incremental_output_is_fully_staged(
     heavy stage (crawl self-join, canonicalization, both extractions,
     the probe, both scorings, both dedups) runs EXACTLY ONCE while the
     body builds and persists the artifacts, so what the returned frame
-    re-executes per action is just a union of two staged keeper frames
-    — LogicalRDD leaves, no joins, no aggregation, and the extraction
-    template absent.  (The broadcast/semi-join shape of the scoring
-    and probe machinery is pinned where the plans are visible:
-    test_classifier.py's broadcast pin and the v4 pin above; staged
-    frames hide their subtrees by design.)"""
+    re-executes per action is only staged LogicalRDD leaves — since r13
+    ONE eagerly-checkpointed leaf (the registry path materializes the
+    two-day union before deleting its temp artifacts, ADVICE r12) —
+    with no joins, no aggregation, and the extraction template absent.
+    (The broadcast/semi-join shape of the scoring and probe machinery
+    is pinned where the plans are visible: test_classifier.py's
+    broadcast pin and the v4 pin above; staged frames hide their
+    subtrees by design.)"""
     df = registry["prepare_web_corpus_incremental"](spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     lines = [l for l in plan.splitlines() if l.strip()]
-    assert sum("LogicalRDD" in l for l in lines) == 2, plan
-    assert any("Union" in l for l in lines)
+    assert 1 <= sum("LogicalRDD" in l for l in lines) <= 2, plan
     for heavy in ("Join", "Aggregate", "</title>", "Generate"):
         assert heavy not in plan, f"{heavy} re-executes per action"
     phys = _plan(df)

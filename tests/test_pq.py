@@ -425,3 +425,83 @@ def test_ivf_dedup_batch_modes_recall_and_precision(emb):
     # a tighter ADC shortlist stays a SUBSET with identical cosines
     tight = pairs(prefit, shortlist=5)
     assert tight <= exact_mode
+
+
+def test_ivf_corpus_index_lifecycle(emb, tmp_path):
+    """The persisted ENCODED-CORPUS vector index (r13): save → load →
+    probe must emit bit-identical pairs to the inline ivf_dedup_batch
+    on the same data; the probe's cell set must reach the encoded scan
+    as a PARTITION filter; append makes new vectors probe-visible
+    (encoded under the artifact's own prefit); compaction folds
+    duplicate rows behind the crash-recoverable swap without changing
+    a pair; a drifted store refuses to load."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        append_to_ivf_corpus_index,
+        compact_ivf_corpus_index,
+        fit_ivf_pq,
+        ivf_dedup_batch,
+        load_ivf_corpus_index,
+        probe_ivf_corpus_index,
+        save_ivf_corpus_index,
+    )
+
+    spark = emb.sparkSession
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    day0 = corpus.filter(F.col("vec_id") % 2 == 1)
+    day1 = corpus.filter(F.col("vec_id") % 2 == 0)
+    prefit = fit_ivf_pq(corpus, n_clusters=16, m_sub=8, k=16, seed=42)
+    path = str(tmp_path / "vidx")
+    save_ivf_corpus_index(day0, prefit, path)
+
+    def pairs(df):
+        return {
+            (r.batch_id, r.index_id, round(r.cosine, 12))
+            for r in df.collect()
+        }
+
+    # store probe ≡ inline probe, bit-identical
+    want0 = pairs(ivf_dedup_batch(day0, batch, prefit, threshold=0.4))
+    got0_df = probe_ivf_corpus_index(spark, path, batch, threshold=0.4)
+    assert pairs(got0_df) == want0 and want0
+    # the probed-cell set reached the encoded scan as a partition filter
+    plan = (
+        got0_df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "cell" in plan and "PartitionFilters" in plan
+    # append day-1 vectors: probe-visible, still ≡ inline on the union
+    append_to_ivf_corpus_index(path, day1)
+    want = pairs(ivf_dedup_batch(corpus, batch, prefit, threshold=0.4))
+    assert pairs(
+        probe_ivf_corpus_index(spark, path, batch, threshold=0.4)
+    ) == want
+    assert want > want0  # the appended half contributes pairs
+    # a replayed append leaks exact duplicates; compaction folds them
+    append_to_ivf_corpus_index(path, day1)
+    _, enc = load_ivf_corpus_index(spark, path)
+    n_rows = enc.count()
+    n_vecs = enc.select("vec_id").distinct().count()
+    assert n_rows > n_vecs
+    compact_ivf_corpus_index(spark, path)
+    _, enc2 = load_ivf_corpus_index(spark, path)
+    assert enc2.count() == n_vecs
+    assert pairs(
+        probe_ivf_corpus_index(spark, path, batch, threshold=0.4)
+    ) == want
+    # half-finished swap recovers on load
+    os.rename(f"{path}/encoded", f"{path}/encoded__old")
+    assert pairs(
+        probe_ivf_corpus_index(spark, path, batch, threshold=0.4)
+    ) == want
+    # drift refusal
+    spark.range(3).select(
+        F.col("id").alias("vec_id"), F.lit("oops").alias("embedding")
+    ).write.mode("overwrite").parquet(f"{path}/encoded")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="schema drifted"):
+        load_ivf_corpus_index(spark, path)

@@ -30,7 +30,9 @@ REQUIRED_VISIBLE = [
     "dedup_latest_per_key",
     "dedup_minhash_cv_clusters",
     "dedup_embedding_cosine_lsh",
-    "dedup_semantic_clusters",
+    # dedup_semantic_clusters demoted mid-r13 for the NEW
+    # dedup_embedding_incremental_store slot (hyperplane machinery
+    # stays in-window via dedup_embedding_cosine_lsh)
     "dedup_exact_normalized",
     "dedup_substring_windows",
     # similarity / PQ family (r6-changed code re-signed per ADVICE r6;
@@ -40,8 +42,11 @@ REQUIRED_VISIBLE = [
     "similarity_ivf",
     "similarity_ivf_pq",
     # NEW r13: incremental embedding dedup against the persisted
-    # IVF-PQ prefit (new ops sit in-window per policy)
+    # IVF-PQ prefit, and the persisted ENCODED-CORPUS store variant
+    # (cell-partitioned, partition-pruned probe) — new ops sit
+    # in-window per policy
     "dedup_embedding_incremental",
+    "dedup_embedding_incremental_store",
     # dedup exact-verify family (plain + prefix both in-window for r9 —
     # both rewritten this round and they share the IDENTICAL oracle)
     "dedup_jaccard_prefix",
