@@ -1544,7 +1544,14 @@ def append_to_minhash_index(
     map-side-combined signature aggregate + one digest groupBy for the
     keeper election); the existing store is never read or rewritten —
     pair with :func:`compact_minhash_index` to fold the accumulated
-    small files offline."""
+    small files offline.
+
+    The keeper election is WITHIN the appended batch; content already
+    in the index is the caller's concern by composition — the daily
+    pipeline probes first (:func:`minhash_probe` drops near-dups of
+    indexed content) and appends only the survivors' keepers, so no
+    already-indexed content can reach the append (the
+    ``daily_refresh_loop`` / capstone order of operations)."""
     spark = docs.sparkSession
     index = load_minhash_index(spark, index_dir)
     new = docs.select(

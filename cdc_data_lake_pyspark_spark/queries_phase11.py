@@ -571,17 +571,20 @@ def daily_refresh_loop(
     """Run the corpus-refresh pipeline as an N-DAY LOOP over persisted
     artifacts — the soak the 2-day oracled capstone
     (:func:`prepare_web_corpus_incremental`) is the correctness witness
-    for.  Day 0 bootstraps and persists FOUR artifacts (host verdicts,
-    classifier model, MinHash keeper index, seen-URL digest store);
-    every later day RELOADS them from parquet, runs
+    for.  Day 0 bootstraps and persists FOUR artifacts (cumulative
+    per-host reputation statistics, classifier model, MinHash keeper
+    index, seen-URL digest store); every later day RELOADS them from
+    parquet, runs
 
         host gate → URL frontier (md5-digest anti-join against the
         seen store) → extraction + min-content gate → near-dup probe
         (ESTIMATE mode — no corpus text is ever re-read) → learned
         gate → within-day content dedup
 
-    and appends its keepers through :func:`append_to_minhash_index` and
-    its canonical digests to the seen store — so day k's probe runs
+    and appends its keepers through :func:`append_to_minhash_index`,
+    its canonical digests to the seen store, and its per-host
+    sufficient statistics to the reputation store (day k+1 gates under
+    the aggregate over days 0..k) — so day k's probe and gates run
     against exactly what days 0..k−1 left on disk.  ``compact_every=C``
     runs :func:`compact_minhash_index` after every C-th day (the
     offline maintenance a real deployment schedules).
@@ -641,20 +644,41 @@ def daily_refresh_loop(
                 F.expr(host_expr).alias("_host"),
             )
         )
+        # host reputation is CUMULATIVE: each day appends its per-host
+        # (crawls, distinct-canonicals) sufficient statistics to the
+        # persisted store (tiny — one row per host per day), and day k
+        # gates under the aggregate over days 0..k−1 — "yesterday's
+        # reputation" means all history, not a frozen day-0 snapshot.
+        # The statistic is WITHIN-day URL duplication (Σn − Σu), the
+        # spammy-structure signal: cross-day re-crawls of a canonical
+        # are legitimate and intentionally do not count against a host.
+        # No day's canonicals are ever re-read — only the folded stats.
+        day_stats = canon.groupBy("_host").agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct("_c").alias("_u"),
+        )
         if k == 0:
-            # bootstrap: host reputation from day-0's own crawl, persisted
-            canon.groupBy("_host").agg(
-                F.count(F.lit(1)).alias("_n"),
-                F.countDistinct("_c").alias("_u"),
-            ).filter(
+            # bootstrap: day 0 gates under its own crawl's stats
+            day_stats.write.mode("overwrite").parquet(hosts_dir)
+        good = (
+            spark.read.parquet(hosts_dir)
+            .groupBy("_host")
+            .agg(F.sum("_n").alias("_n"), F.sum("_u").alias("_u"))
+            .filter(
                 F.round(
                     F.lit(1e6)
                     * (F.col("_n") - F.col("_u")).cast("double")
                     / F.col("_n").cast("double")
                 ).cast("bigint")
                 <= _HOST_DUP_PPM_MAX
-            ).select("_host").write.mode("overwrite").parquet(hosts_dir)
-        good = spark.read.parquet(hosts_dir)
+            )
+            .select("_host")
+            # pin the verdicts BEFORE today's stats append below — the
+            # lazy scan would otherwise pick up day k's own files
+            .localCheckpoint()
+        )
+        if k > 0:
+            day_stats.write.mode("append").parquet(hosts_dir)
         gated_hosts = canon.join(F.broadcast(good), "_host")
         if k == 0:
             frontier = gated_hosts
