@@ -682,6 +682,12 @@ _DEMOTED: tuple[str, ...] = (
     # dedup_embedding_cosine_lsh, and the two new incremental-embedding
     # entries drive the vector-dedup family's scale path (persisted
     # index + cell-pruned probe) harder; driver-green r8-r12
+    "daily_gapfill_locf",
+    # time-bucketed keyed-agg family (demoted mid-r13 for the NEW
+    # vector_gate_batch window slot): event_transition_matrix keeps
+    # keyed ordered sequences in-window and daily_revenue_ma7 the day
+    # spine; the LOCF kernel stays oracle-checked in the tail;
+    # driver-green r8, r10-r12
     "similarity_topk_bruteforce",
     # similarity family: similarity_ivf + similarity_ivf_pq stay
     # in-window (the brute-force op is also the recall oracle inside

@@ -168,6 +168,131 @@ def dedup_embedding_incremental(spark, sf_dir):
     )
 
 
+def _vector_gate_oracle() -> str:
+    """Replay the streaming vector gate's BATCH REDUCTION: a batch
+    vector survives iff no indexed corpus vector in its probed cells
+    AND no smaller-id batch vector whose ASSIGNED cell is probed sits
+    at/above threshold cosine — the ``(batch, id)``-order seen-earlier
+    rule, cross-index and within-batch parts both replayed."""
+    import duckdb
+    import numpy as np
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import fit_kmeans
+    from cdc_data_lake_pyspark_spark.queries_phase2 import (
+        _double_array_sql,
+        _oracle_sf_dir,
+    )
+
+    sf_dir = _oracle_sf_dir()
+    pdf = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id % 3 <> 0 ORDER BY vec_id LIMIT 200000"
+    ).df()
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    centers = fit_kmeans(X, _N_CLUSTERS, seed=42)
+    cent_values = ",\n    ".join(
+        f"({i}, {_double_array_sql(c)})" for i, c in enumerate(centers)
+    )
+    cos = (
+        "list_dot_product(eb.v, ei.v)"
+        " / (sqrt(list_dot_product(eb.v, eb.v))"
+        " * sqrt(list_dot_product(ei.v, ei.v)))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cent(i, c) AS (
+      VALUES {cent_values}
+    ), vd AS (
+      SELECT e.vec_id, cent.i,
+             list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cent.c)
+               + list_dot_product(cent.c, cent.c) AS d
+      FROM e CROSS JOIN cent
+    ), cells AS (
+      SELECT vec_id, i AS cell FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, i ASC) AS rn
+        FROM vd WHERE vec_id % 3 <> 0
+      ) WHERE rn = 1
+    ), bcells AS (
+      SELECT vec_id, i AS cell FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, i ASC) AS rn
+        FROM vd WHERE vec_id % 3 = 0
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS batch_id, i AS cell FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, i ASC) AS rn
+        FROM vd WHERE vec_id % 3 = 0
+      ) WHERE rn <= {_N_PROBE}
+    ), dropped AS (
+      SELECT DISTINCT p.batch_id AS vec_id
+      FROM probes p JOIN cells cl ON cl.cell = p.cell
+      JOIN e eb ON eb.vec_id = p.batch_id
+      JOIN e ei ON ei.vec_id = cl.vec_id
+      WHERE {cos} >= {_EMB_ND_THRESHOLD}
+      UNION
+      SELECT DISTINCT p.batch_id AS vec_id
+      FROM probes p JOIN bcells bc
+        ON bc.cell = p.cell AND bc.vec_id < p.batch_id
+      JOIN e eb ON eb.vec_id = p.batch_id
+      JOIN e ei ON ei.vec_id = bc.vec_id
+      WHERE {cos} >= {_EMB_ND_THRESHOLD}
+    )
+    SELECT vec_id FROM e
+    WHERE vec_id % 3 = 0 AND vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
+@query("vector_gate_batch", oracle=_vector_gate_oracle)
+def vector_gate_batch(spark, sf_dir):
+    """The streaming vector gate's BATCH REDUCTION under the value
+    gate (streaming/vector_gate.py::StreamingVectorDedupGate
+    .batch_reduce — the novelty_gate_batch discipline applied to the
+    vector gate): corpus = yesterday's indexed embeddings (persisted
+    via ``save_ivf_corpus_index``, store reloaded before the
+    reduction), batch = today's vectors; a batch vector survives iff
+    no indexed vector in its probed cells and no smaller-id batch
+    sibling with a probed assigned cell sits at/above threshold
+    cosine.  The oracle replays BOTH candidate sources with the
+    quantizer pinned as literals; the streaming path's equality with
+    this reduction (slicing invariance, replay, crash windows) is
+    pinned in tests/test_streaming_vector.py."""
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        fit_ivf_pq,
+        load_ivf_corpus_index,
+        save_ivf_corpus_index,
+    )
+    from cdc_data_lake_pyspark_spark.streaming.vector_gate import (
+        StreamingVectorDedupGate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 3 != 0)
+    batch = emb.filter(F.col("vec_id") % 3 == 0)
+    work = tempfile.mkdtemp(prefix="vgate_")
+    try:
+        save_ivf_corpus_index(
+            corpus,
+            fit_ivf_pq(corpus, n_clusters=_N_CLUSTERS, m_sub=8, k=16, seed=42),
+            work,
+        )
+        gate = StreamingVectorDedupGate(
+            work, threshold=_EMB_ND_THRESHOLD, n_probe=_N_PROBE
+        )
+        _, encoded = load_ivf_corpus_index(spark, work)
+        novel, _ = gate.batch_reduce(batch, encoded)
+        out = novel.localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 @query("dedup_embedding_incremental_store", oracle=_emb_incremental_oracle)
 def dedup_embedding_incremental_store(spark, sf_dir):
     """The same incremental embedding dedup probed against the

@@ -47,6 +47,11 @@ REQUIRED_VISIBLE = [
     # in-window per policy
     "dedup_embedding_incremental",
     "dedup_embedding_incremental_store",
+    # NEW r13: the streaming vector gate's batch reduction under the
+    # value gate (the novelty_gate_batch discipline; slot from
+    # daily_gapfill_locf, whose family siblings daily_revenue_ma7 +
+    # event_transition_matrix stay in-window)
+    "vector_gate_batch",
     # dedup exact-verify family (plain + prefix both in-window for r9 —
     # both rewritten this round and they share the IDENTICAL oracle)
     "dedup_jaccard_prefix",
@@ -83,7 +88,8 @@ REQUIRED_VISIBLE = [
     # mid-r11: pit_join_views rotated back in runs the same as-of
     # union-and-window composition)
     "pit_join_views",
-    "daily_gapfill_locf",
+    # daily_gapfill_locf demoted mid-r13 for the NEW vector_gate_batch
+    # slot (daily_revenue_ma7 keeps the day spine in-window)
     # linkage / quality / skew diagnostics (outlier_mad_events demoted
     # r10; chisq_lang_source rotates back in alongside key_skew_report)
     "entity_resolution_customers",
