@@ -1391,7 +1391,16 @@ def save_ivf_corpus_index(
     physical layout — alongside the prefit, so
     :func:`probe_ivf_corpus_index` reads only its batch's probed cells
     (a partition-pruned scan of ~``n_probe/nlist`` of the store, the
-    ``bucket_partitions`` discipline applied to vectors)."""
+    ``bucket_partitions`` discipline applied to vectors).
+
+    The store carries the FULL-PRECISION vectors alongside the codes
+    because the dedup contract is an exact-cosine verdict — the
+    probed-cell read is already the pruned fraction, and ``shortlist``
+    bounds how many of those vectors are exactly folded.  A deployment
+    that cannot afford vector bytes in the index would store codes
+    only and gather shortlisted candidates' vectors from the base
+    table by id (the :func:`ivf_pq_top_k` re-rank shape) — same
+    verdicts, one extra point-lookup join."""
     centers, books = prefit
     m_sub, n_codes, ds = books.shape
 

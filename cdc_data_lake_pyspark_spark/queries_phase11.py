@@ -685,6 +685,12 @@ def daily_refresh_loop(
             m["frontier_drops"] = 0
         else:
             # the persisted seen-URL digest store: 16-byte md5 anti-join
+            # (repair a half-finished compaction swap before reading)
+            from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+                _recover_halfswap,
+            )
+
+            _recover_halfswap(seen_dir)
             seen = spark.read.schema("_cd string").parquet(seen_dir)
             frontier = (
                 gated_hosts.withColumn("_cd", F.md5("_c"))
@@ -779,6 +785,17 @@ def daily_refresh_loop(
             ).parquet(seen_dir)
         if compact_every and k > 0 and k % compact_every == 0:
             compact_minhash_index(spark, index_dir)
+            # the seen-URL digest store accumulates one file set per
+            # day too; digests are idempotent (seen twice = seen), so
+            # the distinct-folding swap rewrite is verdict-preserving.
+            # (The host-stats store is NOT distinct-compactable — two
+            # days with identical (host, n, u) rows must both count in
+            # the cumulative fold — and stays one tiny row-set per day.)
+            from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+                _swap_compact_store,
+            )
+
+            _swap_compact_store(spark, seen_dir, "_cd STRING", 4)
         m["kept_rows"] = keep.count()
         m["wall_sec"] = round(_time.time() - t0, 2)
         if day_metrics is not None:
