@@ -1294,22 +1294,39 @@ def load_minhash_index(spark: SparkSession, path: str) -> MinHashIndex:
         )
     p = params_rows[0].asDict()
     bucket_partitions = p.get("bucket_partitions") or 0
-    sigs = spark.read.parquet(f"{path}/signatures")
-    buckets = spark.read.parquet(f"{path}/buckets")
+    # mergeSchema: a store maintained by the STREAMING near-dup gate
+    # carries a writer batch_id column in its appended files (the
+    # replay-leak exclusion key); batch readers tolerate and DROP it —
+    # plain inference samples one file and would make the column's
+    # presence nondeterministic on a mixed seeded+streamed store
+    sigs = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/signatures"
+    )
+    buckets = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/buckets"
+    )
     want_buckets = dict(_INDEX_BUCKET_SCHEMA)
     if bucket_partitions > 0:
         # the partition column rides along so minhash_probe can push an
         # isin partition filter into the scan
         want_buckets["_pfx"] = "int"
+    checked = []
     for frame, want, what in (
         (sigs, _INDEX_SIG_SCHEMA, "signatures"),
         (buckets, want_buckets, "buckets"),
     ):
         got = dict(frame.dtypes)
+        if got.pop("batch_id", "bigint") != "bigint":
+            raise ValueError(
+                f"minhash index {what} schema drifted: batch_id is "
+                "not bigint"
+            )
         if got != want:
             raise ValueError(
                 f"minhash index {what} schema drifted: {got} != {want}"
             )
+        checked.append(frame.drop("batch_id"))
+    sigs, buckets = checked
     return MinHashIndex(
         sigs,
         buckets,
@@ -1596,7 +1613,14 @@ def compact_minhash_index(
     signature rows only duplicate estimate rows that fold downstream
     (pinned in tests/test_index_persistence.py).  Run between probe
     jobs — the artifact is single-writer by the daily-pipeline
-    contract."""
+    contract.
+
+    On a store the STREAMING gate has appended to, this rewrite
+    NORMALIZES to the batch-artifact layout: writer batch_ids are
+    dropped (the fixed read schema never materializes them), which is
+    correct for a retired stream's artifact but would erase a LIVE
+    gate's replay-leak exclusion key — a live gate compacts through
+    its own ``compact()``, which preserves batch_id."""
     index = load_minhash_index(spark, index_dir)  # validates layout
     sig_schema = "doc_id BIGINT, sig ARRAY<BIGINT>"
     bucket_schema = "doc_id BIGINT, band INT, bucket BIGINT"

@@ -1219,42 +1219,87 @@ def ivf_dedup_batch(
     centers + codebooks (kilobytes).  At a skewed cell the group is one
     numpy matmul over (batch-in-cell × cell) — the same bound as the
     IVF serving scan."""
-    centers, books = prefit
-    m_sub, n_codes, ds = books.shape
-
-    id_type = corpus.schema[id_col].dataType.simpleString()
-    enc_cols = (
-        f"index_id {id_type}, _cell int, _v array<double>, "
-        "_codes array<int>"
+    encoded = _ivf_encode_frame(
+        corpus, prefit, id_col, vec_col,
+        with_codes=shortlist is not None,
+    ).select(
+        F.col("vec_id").alias("index_id"),
+        F.col("embedding").alias("_v"),
+        F.col("codes").alias("_codes"),
+        F.col("cell").alias("_cell"),
     )
+    probing = _ivf_probe_frame(batch, prefit, n_probe, id_col, vec_col)
+    return _score_probed_cells(probing, encoded, prefit, threshold, shortlist)
 
-    def _encode_corpus(batches):
+
+def _ivf_encode_frame(
+    vectors: DataFrame,
+    prefit: tuple,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_codes: bool = True,
+) -> DataFrame:
+    """THE IVF encode kernel — cell assignment + residual PQ codes as
+    one map-only pass, defined ONCE for every producer of the encoded
+    layout (:func:`save_ivf_corpus_index`,
+    :func:`append_to_ivf_corpus_index`, the streaming vector gate, and
+    :func:`ivf_dedup_batch`'s inline side): the stores these writers
+    share stay mutually consistent because there is exactly one
+    arithmetic to drift.  ``with_codes=False`` (the exact-rescore probe,
+    which never reads codes) emits empty code arrays instead of paying
+    the residual argmins and shuffling dead bytes.  Output columns:
+    ``(vec_id, embedding, codes, cell)``; the id type follows the input
+    frame."""
+    centers, books = prefit
+    m_sub, _, ds = books.shape
+    id_type = vectors.schema[id_col].dataType.simpleString()
+
+    def _enc(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             cell = _sq_dists(V, centers).argmin(axis=1)
-            codes = np.empty((len(V), m_sub), dtype=np.int32)
-            if shortlist is not None:
+            if with_codes:
                 R = V - centers[cell]
+                codes = np.empty((len(V), m_sub), dtype=np.int32)
                 for j in range(m_sub):
                     codes[:, j] = _sq_dists(
                         R[:, j * ds : (j + 1) * ds], books[j]
                     ).argmin(axis=1)
+            else:
+                codes = np.zeros((len(V), 0), dtype=np.int32)
             yield pd.DataFrame(
                 {
-                    "index_id": pdf[id_col].to_numpy(),
-                    "_cell": cell.astype(np.int32),
-                    "_v": list(V),
-                    "_codes": list(codes),
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "embedding": list(V),
+                    "codes": list(codes),
+                    "cell": cell.astype(np.int32),
                 }
             )
 
-    encoded = corpus.select(id_col, vec_col).mapInPandas(
-        _encode_corpus, enc_cols
+    return vectors.select(id_col, vec_col).mapInPandas(
+        _enc,
+        f"vec_id {id_type}, embedding array<double>, codes array<int>, "
+        "cell int",
     )
 
-    def _probe_batch(batches):
+
+def _ivf_probe_frame(
+    batch: DataFrame,
+    prefit: tuple,
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """THE probe-explosion kernel — each batch vector's ``n_probe``
+    nearest cells as ``(batch_id, _cell, _v)`` rows, defined once for
+    the inline and store-backed probes (and the streaming gate).  The
+    id type follows the input frame."""
+    centers, _ = prefit
+    id_type = batch.schema[id_col].dataType.simpleString()
+
+    def _pr(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1272,10 +1317,9 @@ def ivf_dedup_batch(
                 }
             )
 
-    probing = batch.select(id_col, vec_col).mapInPandas(
-        _probe_batch, f"batch_id {id_type}, _cell int, _v array<double>"
+    return batch.select(id_col, vec_col).mapInPandas(
+        _pr, f"batch_id {id_type}, _cell int, _v array<double>"
     )
-    return _score_probed_cells(probing, encoded, prefit, threshold, shortlist)
 
 
 def _score_probed_cells(
@@ -1305,10 +1349,11 @@ def _score_probed_cells(
         seq_sum = lambda M: np.cumsum(M, axis=1)[:, -1]
         b_norms = np.sqrt(seq_sum(B * B))
         i_norms = np.sqrt(seq_sum(I * I))
-        It = np.ascontiguousarray(I.T)
         if shortlist is not None and len(i_ids) > shortlist:
             # ADC pre-rank against the cell's PQ codes (the compressed
-            # read): keep each batch vector's top-S candidates only
+            # read): keep each batch vector's top-S candidates only,
+            # then ONE strict-fold pass scores and thresholds them —
+            # the fold IS the exact value, so no second rescore
             cell = int(key[0])
             C = np.vstack(ipdf["_codes"].to_numpy())
             QR = B - centers[cell]
@@ -1318,27 +1363,33 @@ def _score_probed_cells(
                 D += lut_j[:, C[:, j]]
             rows = np.repeat(np.arange(len(B)), shortlist)
             cols = np.argsort(D, axis=1, kind="stable")[:, :shortlist].ravel()
-            approx = seq_sum(B[rows] * I[cols]) / (
+            exact = seq_sum(B[rows] * I[cols]) / (
                 b_norms[rows] * i_norms[cols]
             )
-            mask = approx >= threshold - 1e-6
-            rows, cols = rows[mask], cols[mask]
-        else:
-            # exact mode (oracle-replayable): BLAS prefilter at
-            # threshold − 1e-6 over batch-row TILES — the (tile × cell)
-            # score block stays bounded instead of materializing the
-            # full (batch-in-cell × cell) matrix at large cells
-            tile = max(1, int(50_000_000 / max(1, len(i_ids))))
-            parts = []
-            for lo in range(0, len(B), tile):
-                hi = lo + tile
-                approx = (B[lo:hi] @ It) / np.outer(
-                    b_norms[lo:hi], i_norms
-                )
-                r, c = np.nonzero(approx >= threshold - 1e-6)
-                parts.append((r + lo, c))
-            rows = np.concatenate([r for r, _ in parts])
-            cols = np.concatenate([c for _, c in parts])
+            keep = exact >= threshold
+            return pd.DataFrame(
+                {
+                    "batch_id": b_ids[rows[keep]],
+                    "index_id": i_ids[cols[keep]],
+                    "cosine": exact[keep],
+                }
+            )
+        # exact mode (oracle-replayable): BLAS prefilter at
+        # threshold − 1e-6 over batch-row TILES — the (tile × cell)
+        # score block stays bounded instead of materializing the
+        # full (batch-in-cell × cell) matrix at large cells
+        It = np.ascontiguousarray(I.T)
+        tile = max(1, int(50_000_000 / max(1, len(i_ids))))
+        parts = []
+        for lo in range(0, len(B), tile):
+            hi = lo + tile
+            approx = (B[lo:hi] @ It) / np.outer(
+                b_norms[lo:hi], i_norms
+            )
+            r, c = np.nonzero(approx >= threshold - 1e-6)
+            parts.append((r + lo, c))
+        rows = np.concatenate([r for r, _ in parts])
+        cols = np.concatenate([c for _, c in parts])
         if not len(rows):
             return empty
         # strict-fold rescore of surviving candidates only (the
@@ -1401,37 +1452,9 @@ def save_ivf_corpus_index(
     only and gather shortlisted candidates' vectors from the base
     table by id (the :func:`ivf_pq_top_k` re-rank shape) — same
     verdicts, one extra point-lookup join."""
-    centers, books = prefit
-    m_sub, n_codes, ds = books.shape
-
-    def _encode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cell = _sq_dists(V, centers).argmin(axis=1)
-            R = V - centers[cell]
-            codes = np.empty((len(V), m_sub), dtype=np.int32)
-            for j in range(m_sub):
-                codes[:, j] = _sq_dists(
-                    R[:, j * ds : (j + 1) * ds], books[j]
-                ).argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "embedding": list(V),
-                    "codes": list(codes),
-                    "cell": cell.astype(np.int32),
-                }
-            )
-
-    corpus.select(id_col, vec_col).mapInPandas(
-        _encode,
-        "vec_id bigint, embedding array<double>, codes array<int>, "
-        "cell int",
-    ).write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/encoded"
-    )
+    _ivf_encode_frame(corpus, prefit, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/encoded")
     save_ivf_pq_prefit(corpus.sparkSession, prefit, path)
 
 
@@ -1439,7 +1462,13 @@ def load_ivf_corpus_index(spark, path: str):
     """Reload the encoded-corpus artifact: ``(prefit, encoded_frame)``
     with the schema contract validated at load (the
     :func:`load_minhash_index` discipline) and a half-finished
-    compaction swap repaired first."""
+    compaction swap repaired first.  A store maintained by the
+    STREAMING vector gate carries a writer ``batch_id`` column in its
+    appended files (the replay-leak exclusion key); batch readers
+    tolerate and DROP it — an explicit ``mergeSchema`` read, because
+    plain schema inference samples one file and would make the
+    column's presence (and thus validation) nondeterministic on a
+    mixed seeded+streamed store."""
     from cdc_data_lake_pyspark_spark.operators.dedup_text import (
         _recover_halfswap,
     )
@@ -1447,8 +1476,15 @@ def load_ivf_corpus_index(spark, path: str):
     for sub in ("encoded", "centers", "codebooks"):
         _recover_halfswap(f"{path}/{sub}")
     prefit = load_ivf_pq_prefit(spark, path)
-    encoded = spark.read.parquet(f"{path}/encoded")
+    encoded = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/encoded"
+    )
     got = dict(encoded.dtypes)
+    if got.pop("batch_id", "bigint") != "bigint":
+        raise ValueError(
+            "ivf corpus index schema drifted: batch_id is not bigint"
+        )
+    encoded = encoded.drop("batch_id")
     if got != _CORPUS_INDEX_SCHEMA:
         raise ValueError(
             f"ivf corpus index schema drifted: {got} != "
@@ -1472,35 +1508,9 @@ def append_to_ivf_corpus_index(
     rewritten."""
     spark = vectors.sparkSession
     prefit, _ = load_ivf_corpus_index(spark, path)  # validates layout
-    centers, books = prefit
-    m_sub, n_codes, ds = books.shape
-
-    def _encode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cell = _sq_dists(V, centers).argmin(axis=1)
-            R = V - centers[cell]
-            codes = np.empty((len(V), m_sub), dtype=np.int32)
-            for j in range(m_sub):
-                codes[:, j] = _sq_dists(
-                    R[:, j * ds : (j + 1) * ds], books[j]
-                ).argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf[id_col].to_numpy(),
-                    "embedding": list(V),
-                    "codes": list(codes),
-                    "cell": cell.astype(np.int32),
-                }
-            )
-
-    vectors.select(id_col, vec_col).mapInPandas(
-        _encode,
-        "vec_id bigint, embedding array<double>, codes array<int>, "
-        "cell int",
-    ).write.mode("append").partitionBy("cell").parquet(f"{path}/encoded")
+    _ivf_encode_frame(vectors, prefit, id_col, vec_col).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{path}/encoded")
 
 
 def compact_ivf_corpus_index(
@@ -1545,29 +1555,8 @@ def probe_ivf_corpus_index(
     probe assignment, same strict-fold cosine, same optional ADC
     shortlist — so the same DuckDB oracle replays both paths."""
     prefit, encoded = load_ivf_corpus_index(spark, path)
-    centers, books = prefit
-    m_sub, n_codes, ds = books.shape
-
-    def _probe_batch(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            B = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            probes = np.argsort(
-                _sq_dists(B, centers), axis=1, kind="stable"
-            )[:, :n_probe]
-            yield pd.DataFrame(
-                {
-                    "batch_id": np.repeat(
-                        pdf[id_col].to_numpy(), n_probe
-                    ),
-                    "_cell": probes.ravel().astype(np.int32),
-                    "_v": list(np.repeat(B, n_probe, axis=0)),
-                }
-            )
-
-    probing = batch.select(id_col, vec_col).mapInPandas(
-        _probe_batch, "batch_id bigint, _cell int, _v array<double>"
+    probing = _ivf_probe_frame(
+        batch, prefit, n_probe, id_col, vec_col
     ).localCheckpoint(eager=False)
     cells = [
         r[0] for r in probing.select("_cell").distinct().collect()

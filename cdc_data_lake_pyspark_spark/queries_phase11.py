@@ -624,6 +624,7 @@ def daily_refresh_loop(
     )
 
     spark = docs.sparkSession
+    cleanup_work_dir = work_dir is None
     work_dir = work_dir or tempfile.mkdtemp(prefix="soak_")
     model_dir, index_dir = f"{work_dir}/model", f"{work_dir}/index"
     hosts_dir, seen_dir = f"{work_dir}/hosts", f"{work_dir}/seen_urls"
@@ -698,7 +699,10 @@ def daily_refresh_loop(
                 .drop("_cd")
             )
             frontier = _stage(frontier)
-            m["frontier_drops"] = gated_hosts.count() - frontier.count()
+            if day_metrics is not None:
+                m["frontier_drops"] = (
+                    gated_hosts.count() - frontier.count()
+                )
         url_keep = frontier.groupBy("_c").agg(
             F.min("doc_id").alias("doc_id")
         )
@@ -745,7 +749,8 @@ def daily_refresh_loop(
                     "left_anti",
                 )
             )
-            m["probe_drops"] = gated.count() - nd.count()
+            if day_metrics is not None:
+                m["probe_drops"] = gated.count() - nd.count()
         model = load_model(spark, model_dir, n_buckets=N_BUCKETS)
         scores = nb_score(
             nd.select("doc_id", F.col("main_text").alias("text")),
@@ -759,7 +764,8 @@ def daily_refresh_loop(
                 "left_semi",
             )
         )
-        m["model_drops"] = nd.count() - clean.count()
+        if day_metrics is not None:
+            m["model_drops"] = nd.count() - clean.count()
         keep = _stage(
             exact_dedup(clean, text_col="main_text").select(
                 "fingerprint",
@@ -796,9 +802,9 @@ def daily_refresh_loop(
             )
 
             _swap_compact_store(spark, seen_dir, "_cd STRING", 4)
-        m["kept_rows"] = keep.count()
-        m["wall_sec"] = round(_time.time() - t0, 2)
         if day_metrics is not None:
+            m["kept_rows"] = keep.count()
+            m["wall_sec"] = round(_time.time() - t0, 2)
             import os as _os
 
             for sub in ("signatures", "buckets"):
@@ -820,4 +826,13 @@ def daily_refresh_loop(
     result = outs[0]
     for o in outs[1:]:
         result = result.unionByName(o)
+    if cleanup_work_dir:
+        # an auto-created work dir is the loop's to clean up (the
+        # ADVICE r12 discipline the 2-day entry follows): materialize
+        # the result — its staged keeper frames transitively read the
+        # persisted artifacts — then delete the artifact tree
+        import shutil
+
+        result = result.localCheckpoint()
+        shutil.rmtree(work_dir, ignore_errors=True)
     return result

@@ -190,6 +190,14 @@ class StreamingNearDupGate:
         d = f"{self.index_dir}/params"
         _recover_halfswap(d)
         if not os.path.isdir(d):
+            if self._has_data_stores():
+                raise ValueError(
+                    f"near-dup gate store at {self.index_dir} has data "
+                    "but no params/ — it predates the persisted layout "
+                    "(or was not written by this gate).  If the "
+                    "constructor layout matches how it was written, "
+                    "migrate once with gate.adopt_store(spark)."
+                )
             return  # store not initialized yet — first batch writes it
         rows = spark.read.parquet(d).collect()
         if len(rows) != 1:
@@ -212,6 +220,43 @@ class StreamingNearDupGate:
                 f" = {stored}, gate constructed with {self._params()}"
             )
         self._params_validated = True
+
+    def _has_data_stores(self) -> bool:
+        import os
+
+        return any(
+            os.path.isdir(f"{self.index_dir}/{s}")
+            for s in ("signatures", "buckets")
+        )
+
+    def _write_params(self, spark: SparkSession) -> None:
+        """Persist the gate layout ATOMICALLY: the row set is fully
+        written at ``params__new`` and renamed into place — a crash
+        mid-write leaves ``params/`` absent (next batch rewrites), never
+        a half-committed directory that bricks every later read."""
+        import os
+        import shutil
+
+        d = f"{self.index_dir}/params"
+        new = f"{d}__new"
+        shutil.rmtree(new, ignore_errors=True)
+        spark.createDataFrame(
+            [self._params()], PARAMS_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(new)
+        os.rename(new, d)
+
+    def adopt_store(self, spark: SparkSession) -> None:
+        """One-time migration for a PRE-params store (data directories
+        exist, ``params/`` absent): the OPERATOR asserts the
+        constructor layout matches how the store was written, and this
+        persists it.  process_batch refuses to guess — blessing a
+        wrong constructor layout over existing data is exactly the
+        silent-candidate-loss failure the params check exists to
+        prevent (a ``bucket_partitions`` mismatch reads ``_pfx`` as
+        NULL and drops every pre-existing index row from candidacy)."""
+        self._write_params(spark)
+        self._params_validated = False  # re-validate from disk
+        self._check_params(spark)
 
     def _bucket_schema(self) -> T.StructType:
         if self.bucket_partitions > 0:
@@ -370,16 +415,24 @@ class StreamingNearDupGate:
         if not done.filter(F.col("batch_id") == batch_id).isEmpty():
             return
         # persist the layout before the first data append so every later
-        # construction over this store is validated (ADVICE r12); written
-        # once — idempotent under replay (overwrite of identical row)
+        # construction over this store is validated (ADVICE r12).  Only
+        # a FRESH store (no data directories yet) takes the constructor
+        # layout — params-less data is a pre-params (or foreign) store
+        # whose true layout is unknown, and blessing the constructor's
+        # guess would be the exact silent failure the check prevents;
+        # the operator migrates explicitly via adopt_store().
         import os
 
         if not os.path.isdir(f"{self.index_dir}/params"):
-            spark.createDataFrame(
-                [self._params()], PARAMS_SCHEMA
-            ).coalesce(1).write.mode("overwrite").parquet(
-                f"{self.index_dir}/params"
-            )
+            if self._has_data_stores():
+                raise ValueError(
+                    f"near-dup gate store at {self.index_dir} has data "
+                    "but no params/ — it predates the persisted layout "
+                    "(or was not written by this gate).  If the "
+                    "constructor layout matches how it was written, "
+                    "migrate once with gate.adopt_store(spark)."
+                )
+            self._write_params(spark)
         # the replay-leak exclusion: index rows WRITTEN BY this batch_id
         # (a dead attempt's leaked appends) are excluded from candidacy,
         # so the re-run reproduces the original verdicts.  In normal

@@ -423,3 +423,73 @@ def test_replay_exclusion_is_batch_scoped_not_id_scoped(spark, tmp_path):
     assert (4_000_000, 1) not in kept
     # the collided id's NEW content is genuinely novel and survives
     assert (7, 1) in kept
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_preparams_store_refused_and_adoptable(spark, tmp_path):
+    """A store with data but no params/ (pre-r13, or foreign) must be
+    REFUSED — blessing the constructor's layout over unknown data is
+    the silent-candidate-loss failure the params check prevents — and
+    adopt_store() is the explicit one-time migration."""
+    idx = str(tmp_path / "index")
+    gate = StreamingNearDupGate(idx, threshold=THRESHOLD)
+    docs = _corpus(spark).filter(F.col("doc_id") < 100)
+    gate.process_batch(docs, batch_id=0)
+    import shutil
+
+    shutil.rmtree(f"{idx}/params")  # simulate a pre-params store
+    fresh = StreamingNearDupGate(idx, threshold=THRESHOLD)
+    with pytest.raises(ValueError, match="adopt_store"):
+        fresh.index(spark)
+    with pytest.raises(ValueError, match="adopt_store"):
+        fresh.process_batch(
+            _corpus(spark).filter(F.col("doc_id") >= 100), 1
+        )
+    fresh.adopt_store(spark)
+    # migrated: the full index is visible and gating resumes
+    recrawl = docs.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    fresh.process_batch(recrawl, batch_id=1)
+    assert not any(
+        r.doc_id >= 3_000_000
+        for r in fresh.kept_docs(spark).collect()
+    )
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_batch_loader_reads_gate_maintained_store(spark, tmp_path):
+    """The BATCH lifecycle loader must read a store the STREAMING gate
+    has appended to (writer batch_id columns tolerated and dropped),
+    so a daily batch probe can run against a gate-maintained index."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        load_minhash_index,
+    )
+
+    idx = str(tmp_path / "index")
+    docs = _corpus(spark)
+    # seed via the batch artifact, then stream more batches over it
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        minhash_index as build_index,
+        save_minhash_index,
+    )
+
+    save_minhash_index(
+        build_index(docs.filter(F.col("doc_id") < 150)), idx
+    )
+    gate = StreamingNearDupGate(idx, threshold=THRESHOLD)
+    gate.process_batch(
+        docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 300)),
+        batch_id=0,
+    )
+    loaded = load_minhash_index(spark, idx)
+    assert "batch_id" not in loaded.signatures.columns
+    # content from BOTH eras is probe-visible through the batch API
+    probe = docs.filter(
+        (F.col("doc_id") < 10)
+        | ((F.col("doc_id") >= 150) & (F.col("doc_id") < 160))
+    ).select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+    hits = minhash_probe(probe, loaded, threshold=0.99).collect()
+    hit_idx = {r.index_id for r in hits}
+    assert any(i < 150 for i in hit_idx)  # seeded era
+    assert any(150 <= i < 300 for i in hit_idx)  # streamed era

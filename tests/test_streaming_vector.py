@@ -236,3 +236,41 @@ def test_vector_gate_compaction_preserves_verdicts(
     n_rows = spark.read.parquet(f"{a_dir}/encoded").count()
     a.process_batch(second, batch_id=1)
     assert spark.read.parquet(f"{a_dir}/encoded").count() == n_rows
+
+
+def test_batch_loader_reads_gate_maintained_vector_store(
+    spark, corpus, prefit, tmp_path
+):
+    """load_ivf_corpus_index must read a store the streaming gate has
+    appended to (writer batch_id tolerated and dropped, mergeSchema so
+    the mixed seeded+streamed layout validates deterministically), and
+    the batch probe must see BOTH eras."""
+    from pyspark.sql import functions as F
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        load_ivf_corpus_index,
+        probe_ivf_corpus_index,
+    )
+
+    idx = str(tmp_path / "index")
+    day0 = corpus.filter(F.col("vec_id") < 200)
+    save_ivf_corpus_index(day0, prefit, idx)
+    gate = StreamingVectorDedupGate(idx, threshold=THRESHOLD, n_probe=4)
+    gate.process_batch(
+        corpus.filter(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 400)
+        ),
+        batch_id=0,
+    )
+    _, encoded = load_ivf_corpus_index(spark, idx)
+    assert "batch_id" not in encoded.columns
+    probe = corpus.filter(
+        (F.col("vec_id") < 20)
+        | ((F.col("vec_id") >= 200) & (F.col("vec_id") < 220))
+    ).select((F.col("vec_id") + 7_000_000).alias("vec_id"), "embedding")
+    hits = probe_ivf_corpus_index(
+        spark, idx, probe, threshold=0.999, n_probe=4
+    ).collect()
+    hit_idx = {r.index_id for r in hits}
+    assert any(i < 200 for i in hit_idx)  # seeded era
+    assert any(200 <= i < 400 for i in hit_idx)  # streamed era
