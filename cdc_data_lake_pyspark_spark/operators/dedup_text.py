@@ -1496,20 +1496,55 @@ def _recover_halfswap(d: str) -> None:
         os.rename(old, d)
 
 
+def _refuse_live_gate_store(spark: SparkSession, d: str, api: str) -> None:
+    """Guard a batch-artifact rewrite against a LIVE streaming-gate
+    store (ADVICE r13, medium): the batch compactors read with a fixed
+    schema that drops the gates' writer ``batch_id`` column — the
+    replay-leak exclusion key.  Running one on a live gate store would
+    erase the key, and a later crash-replay would then drop every
+    re-delivered doc as an estimate-1.0 self-duplicate.  Cheap check:
+    a ``mergeSchema`` read surfaces the column if ANY file carries it;
+    one non-null value means a streaming writer owns this store."""
+    import os
+
+    if not os.path.isdir(d):
+        return
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    if "batch_id" not in df.columns:
+        return
+    if not df.filter(F.col("batch_id").isNotNull()).isEmpty():
+        raise ValueError(
+            f"{d} carries non-null writer batch_id rows — it is "
+            "maintained by a streaming gate, and this batch rewrite "
+            f"would erase the replay-leak exclusion key.  Use the "
+            f"gate's own compact() instead of {api}."
+        )
+
+
 def _swap_compact_store(
     spark: SparkSession,
     d: str,
     schema,
     target_files: int,
     partition_col: Optional[str] = None,
+    fold=None,
 ) -> None:
     """Rewrite one parquet append-store as ``target_files`` files with
-    exact duplicate rows folded, via a crash-RECOVERABLE swap: the
-    compacted store is fully written at ``<d>__new`` first, the old one
-    parked at ``<d>__old`` until the new one is renamed into place, and
-    a half-finished swap from a previous crash is repaired before
+    duplicate rows folded, via a crash-RECOVERABLE swap: the compacted
+    store is fully written at ``<d>__new`` first, the old one parked at
+    ``<d>__old`` until the new one is renamed into place, and a
+    half-finished swap from a previous crash is repaired before
     anything else — a crash at ANY point leaves a readable store for
-    the next reader (:func:`_recover_halfswap`)."""
+    the next reader (:func:`_recover_halfswap`).
+
+    ``fold`` is the rewrite's reduction (DataFrame → DataFrame); the
+    default folds EXACT duplicate rows (``distinct`` — correct for
+    idempotent stores: signatures, buckets, digests, kept sets).  A
+    store whose rows are per-period SUFFICIENT STATISTICS (duplicate
+    rows must all count) passes an aggregating fold instead — the
+    VERDICT r13 #4 host-stats refold sums days 0..k into one snapshot
+    row per key, which is read-equivalent under the store's own
+    downstream aggregate, never under distinct."""
     import os
     import shutil
 
@@ -1519,8 +1554,9 @@ def _swap_compact_store(
     old, new = f"{d}__old", f"{d}__new"
     shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(new, ignore_errors=True)
-    df = (
-        spark.read.schema(schema).parquet(d).distinct().coalesce(target_files)
+    df = spark.read.schema(schema).parquet(d)
+    df = (fold(df) if fold is not None else df.distinct()).coalesce(
+        target_files
     )
     writer = df.write.mode("overwrite")
     if partition_col is not None:
@@ -1583,6 +1619,15 @@ def append_to_minhash_index(
     sigs = _stage(
         minhash_signatures(new, num_hashes=index.num_hashes, k=index.k)
     )
+    # signatures are written FIRST (VERDICT r13 #2): a signature without
+    # bucket rows is inert — it can never become a candidate, so a crash
+    # between the two appends leaves a store whose probes are identical
+    # to the pre-append store, and the retry heals it (duplicate rows
+    # fold).  The reverse order left orphan BUCKET rows whose candidate
+    # pairs silently dropped in _estimate_filter's signature join —
+    # probes in the crash window MISSED near-dups of the half-appended
+    # docs (pinned in tests/test_index_persistence.py).
+    sigs.write.mode("append").parquet(f"{index_dir}/signatures")
     banded = _banded(sigs, index.bands, index.rows_per_band)
     if index.bucket_partitions > 0:
         banded.withColumn(
@@ -1595,7 +1640,6 @@ def append_to_minhash_index(
         )
     else:
         banded.write.mode("append").parquet(f"{index_dir}/buckets")
-    sigs.write.mode("append").parquet(f"{index_dir}/signatures")
 
 
 def compact_minhash_index(
@@ -1615,13 +1659,18 @@ def compact_minhash_index(
     jobs — the artifact is single-writer by the daily-pipeline
     contract.
 
-    On a store the STREAMING gate has appended to, this rewrite
-    NORMALIZES to the batch-artifact layout: writer batch_ids are
-    dropped (the fixed read schema never materializes them), which is
-    correct for a retired stream's artifact but would erase a LIVE
-    gate's replay-leak exclusion key — a live gate compacts through
-    its own ``compact()``, which preserves batch_id."""
+    On a store the STREAMING gate has appended to, this rewrite would
+    NORMALIZE to the batch-artifact layout: writer batch_ids dropped
+    (the fixed read schema never materializes them) — which would erase
+    a LIVE gate's replay-leak exclusion key, so any store carrying
+    non-null batch_id rows is REFUSED at runtime
+    (:func:`_refuse_live_gate_store`, ADVICE r13) and directed to the
+    gate's own ``compact()``, which preserves batch_id."""
     index = load_minhash_index(spark, index_dir)  # validates layout
+    for sub in ("signatures", "buckets"):
+        _refuse_live_gate_store(
+            spark, f"{index_dir}/{sub}", "compact_minhash_index"
+        )
     sig_schema = "doc_id BIGINT, sig ARRAY<BIGINT>"
     bucket_schema = "doc_id BIGINT, band INT, bucket BIGINT"
     partition_col = None

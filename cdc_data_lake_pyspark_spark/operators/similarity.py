@@ -1405,8 +1405,14 @@ def _score_probed_cells(
             }
         )
 
-    id_type = dict(probing.dtypes)["batch_id"]
-    out_schema = f"batch_id {id_type}, index_id {id_type}, cosine double"
+    # each id column types after ITS OWN side (ADVICE r13: typing
+    # index_id from the probing side forced the persisted store's
+    # contract-pinned bigint ids through the caller batch's id type —
+    # an int-batch probe of a 64-bit store would arrow-cast-error or
+    # overflow)
+    b_type = dict(probing.dtypes)["batch_id"]
+    i_type = dict(encoded.dtypes)["index_id"]
+    out_schema = f"batch_id {b_type}, index_id {i_type}, cosine double"
     return (
         probing.groupBy("_cell")
         .cogroup(encoded.groupBy("_cell"))
@@ -1518,12 +1524,20 @@ def compact_ivf_corpus_index(
 ) -> None:
     """Offline maintenance for the encoded-corpus artifact: fold the
     per-day append files (per cell partition) behind the same
-    crash-recoverable swap the MinHash stores use."""
+    crash-recoverable swap the MinHash stores use.  A store the
+    STREAMING vector gate maintains (non-null writer ``batch_id`` rows)
+    is REFUSED — this rewrite's fixed schema would erase the gate's
+    replay-leak exclusion key (ADVICE r13); use the gate's own
+    ``compact()``."""
     from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        _refuse_live_gate_store,
         _swap_compact_store,
     )
 
     load_ivf_corpus_index(spark, path)  # validates before rewriting
+    _refuse_live_gate_store(
+        spark, f"{path}/encoded", "compact_ivf_corpus_index"
+    )
     _swap_compact_store(
         spark,
         f"{path}/encoded",

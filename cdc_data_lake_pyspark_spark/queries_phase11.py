@@ -561,6 +561,34 @@ def _soak_day_crawls(base, k: int):
     )
 
 
+def refold_host_stats(spark, hosts_dir: str, target_files: int = 1) -> None:
+    """Sum-REFOLD compaction for the cumulative host-reputation store
+    (VERDICT r13 #4): the daily loop appends one per-host sufficient-
+    statistics row-set per day, so the store's file count grows
+    linearly in days — and it is NOT distinct-compactable (two days
+    with identical ``(_host, _n, _u)`` rows must BOTH count in the
+    cumulative fold).  This rewrites days 0..k as ONE snapshot row per
+    host — ``(host, Σn, Σu)`` — behind the same crash-recoverable swap
+    as every other store rewrite.  Read-equivalence is by associativity
+    of the downstream aggregate: the gate always reads the store
+    through ``groupBy(_host).agg(sum, sum)``, and summing a pre-summed
+    snapshot is the same fold (verdict identity pinned in
+    tests/test_phase11.py)."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        _swap_compact_store,
+    )
+
+    _swap_compact_store(
+        spark,
+        hosts_dir,
+        "_host STRING, _n BIGINT, _u BIGINT",
+        target_files,
+        fold=lambda df: df.groupBy("_host").agg(
+            F.sum("_n").alias("_n"), F.sum("_u").alias("_u")
+        ),
+    )
+
+
 def daily_refresh_loop(
     docs,
     n_days: int = 7,
@@ -600,7 +628,19 @@ def daily_refresh_loop(
     Returns the ``(day, doc_id, fingerprint, n_urls)`` union of every
     day's keepers.  Fixture: :func:`_soak_day_crawls` (all four daily
     work types present every day; per-day non-degeneracy is asserted by
-    the soak tool, the r12 lesson)."""
+    the soak tool, the r12 lesson).
+
+    RESTART CONTRACT (ADVICE r13): this loop is the soak/measurement
+    harness, and it assumes restart-from-scratch — it has no per-day
+    manifest, so re-running day k after a crash that landed day k's
+    ``append_to_minhash_index`` would probe against the day's own
+    just-appended keeper signatures and drop them all as estimate-1.0
+    self-duplicates.  The day-granularity exactly-once discipline
+    (manifest written last + batch-scoped leak exclusion) is the
+    STREAMING gates' job — ``StreamingNearDupGate`` /
+    ``StreamingVectorDedupGate`` are the deployment shape for a
+    pipeline that must survive mid-day crashes; this loop measures the
+    daily marginal cost curve over a clean run."""
     import time as _time
 
     from cdc_data_lake_pyspark_spark.functions.html import main_text_sql
@@ -794,23 +834,30 @@ def daily_refresh_loop(
             # the seen-URL digest store accumulates one file set per
             # day too; digests are idempotent (seen twice = seen), so
             # the distinct-folding swap rewrite is verdict-preserving.
-            # (The host-stats store is NOT distinct-compactable — two
-            # days with identical (host, n, u) rows must both count in
-            # the cumulative fold — and stays one tiny row-set per day.)
             from cdc_data_lake_pyspark_spark.operators.dedup_text import (
                 _swap_compact_store,
             )
 
             _swap_compact_store(spark, seen_dir, "_cd STRING", 4)
+            # the host-stats store is NOT distinct-compactable (two
+            # days with identical (host, n, u) rows must both count) —
+            # its maintenance is the sum-REFOLD: days 0..k become one
+            # snapshot row per host, read-equivalent under the gate's
+            # cumulative aggregate (VERDICT r13 #4)
+            refold_host_stats(spark, hosts_dir)
         if day_metrics is not None:
             m["kept_rows"] = keep.count()
             m["wall_sec"] = round(_time.time() - t0, 2)
             import os as _os
 
-            for sub in ("signatures", "buckets"):
+            for sub, root in (
+                ("signatures", f"{index_dir}/signatures"),
+                ("buckets", f"{index_dir}/buckets"),
+                ("hosts", hosts_dir),
+            ):
                 m[f"{sub}_files"] = sum(
                     1
-                    for _, _, fs in _os.walk(f"{index_dir}/{sub}")
+                    for _, _, fs in _os.walk(root)
                     for f in fs
                     if f.endswith(".parquet")
                 )

@@ -48,8 +48,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -60,8 +58,9 @@ from cdc_data_lake_pyspark_spark.operators.dedup_text import (
     _swap_compact_store,
 )
 from cdc_data_lake_pyspark_spark.operators.similarity import (
+    _ivf_encode_frame,
+    _ivf_probe_frame,
     _score_probed_cells,
-    _sq_dists,
     load_ivf_pq_prefit,
 )
 
@@ -161,65 +160,26 @@ class StreamingVectorDedupGate:
 
     # -- per-batch encode ----------------------------------------------------
     def _encode(self, batch: DataFrame, prefit: tuple) -> DataFrame:
-        centers, books = prefit
-        m_sub, n_codes, ds = books.shape
-        vec_col = self.vec_col
-
-        def _enc(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                V = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-                cell = _sq_dists(V, centers).argmin(axis=1)
-                R = V - centers[cell]
-                codes = np.empty((len(V), m_sub), dtype=np.int32)
-                for j in range(m_sub):
-                    codes[:, j] = _sq_dists(
-                        R[:, j * ds : (j + 1) * ds], books[j]
-                    ).argmin(axis=1)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf[self.id_col].to_numpy(),
-                        "embedding": list(V),
-                        "codes": list(codes),
-                        "cell": cell.astype(np.int32),
-                    }
-                )
-
-        return batch.select(self.id_col, self.vec_col).mapInPandas(
-            _enc,
-            "vec_id bigint, embedding array<double>, codes array<int>, "
-            "cell int",
+        """The batch through THE shared encode kernel
+        (:func:`_ivf_encode_frame` — one arithmetic for every producer
+        of the encoded layout; ADVICE r13 retired this method's inline
+        twin of it).  The gate's id contract is bigint, so the id is
+        cast BEFORE the kernel (the kernel types its output id after
+        the input frame)."""
+        return _ivf_encode_frame(
+            batch.select(
+                F.col(self.id_col).cast("long").alias("vec_id"),
+                F.col(self.vec_col).alias("embedding"),
+            ),
+            prefit,
         )
 
     def _probing(self, encoded: DataFrame, prefit: tuple) -> DataFrame:
         """The batch's ``(batch_id, _cell, _v)`` probe rows — n_probe
-        cell-keyed rows per vector, derived from the already-encoded
-        batch so the vectors are decoded once."""
-        centers, _ = prefit
-        n_probe = self.n_probe
-
-        def _pr(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                B = np.vstack(pdf["embedding"].to_numpy())
-                probes = np.argsort(
-                    _sq_dists(B, centers), axis=1, kind="stable"
-                )[:, :n_probe]
-                yield pd.DataFrame(
-                    {
-                        "batch_id": np.repeat(
-                            pdf["vec_id"].to_numpy(), n_probe
-                        ),
-                        "_cell": probes.ravel().astype(np.int32),
-                        "_v": list(np.repeat(B, n_probe, axis=0)),
-                    }
-                )
-
-        return encoded.mapInPandas(
-            _pr, "batch_id bigint, _cell int, _v array<double>"
-        )
+        cell-keyed rows per vector, via THE shared probe-explosion
+        kernel (:func:`_ivf_probe_frame`), derived from the
+        already-encoded batch so the vectors are decoded once."""
+        return _ivf_probe_frame(encoded, prefit, self.n_probe)
 
     # -- the pure reduction -------------------------------------------------
     def batch_reduce(

@@ -313,3 +313,90 @@ def test_compact_minhash_index_folds_and_preserves_probes(
     # half-finished swap (old parked, store missing): load repairs it
     os.rename(f"{path}/signatures", f"{path}/signatures__old")
     assert _probe_pairs(batch, load_minhash_index(spark, path)) == want
+
+
+def test_append_crash_between_writes_is_inert(spark, sf_dir, tmp_path):
+    """VERDICT r13 #2: ``append_to_minhash_index`` writes signatures
+    FIRST.  A crash between the two appends (simulated by failing the
+    banding step) must leave a store whose probes are IDENTICAL to the
+    pre-append store — a signature without bucket rows is inert, never
+    a candidate — and the retry heals it to full visibility.  The old
+    bucket-first order left orphan bucket rows whose candidate pairs
+    silently dropped in the estimate join, so probes in the crash
+    window MISSED near-dups of the half-appended docs."""
+    import cdc_data_lake_pyspark_spark.operators.dedup_text as dt
+
+    corpus, batch = _corpus(spark, sf_dir)
+    day0 = corpus.filter(F.col("doc_id") % 2 == 1)
+    day1 = corpus.filter(F.col("doc_id") % 2 == 0)
+    path = str(tmp_path / "idx")
+    save_minhash_index(minhash_index(day0), path)
+    want_before = _probe_pairs(batch, load_minhash_index(spark, path))
+    sig_files_before = _n_parquet_files(f"{path}/signatures")
+    bucket_files_before = _n_parquet_files(f"{path}/buckets")
+
+    real_banded = dt._banded
+
+    def _boom(*a, **kw):
+        raise RuntimeError("simulated crash between the two appends")
+
+    dt._banded = _boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            dt.append_to_minhash_index(path, day1)
+    finally:
+        dt._banded = real_banded
+    # the crash window: signatures landed, buckets did not
+    assert _n_parquet_files(f"{path}/signatures") > sig_files_before
+    assert _n_parquet_files(f"{path}/buckets") == bucket_files_before
+    # ... and the half-appended store probes IDENTICALLY to pre-append:
+    # no pair silently lost, no spurious pair
+    assert _probe_pairs(batch, load_minhash_index(spark, path)) \
+        == want_before
+    # the retry heals to full visibility (duplicate signature rows fold
+    # downstream)
+    dt.append_to_minhash_index(path, day1)
+    want_full = _probe_pairs(batch, minhash_index(corpus))
+    assert _probe_pairs(batch, load_minhash_index(spark, path)) == want_full
+
+
+def test_compact_refuses_live_gate_minhash_store(spark, sf_dir, tmp_path):
+    """ADVICE r13 (medium): the batch compactor's fixed read schema
+    drops the streaming gate's writer ``batch_id`` column — the
+    replay-leak exclusion key — so a store carrying non-null batch_id
+    rows must be REFUSED, not silently normalized."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        compact_minhash_index,
+    )
+
+    corpus, _ = _corpus(spark, sf_dir)
+    path = str(tmp_path / "idx")
+    save_minhash_index(minhash_index(corpus), path)
+    compact_minhash_index(spark, path)  # batch-only store: fine
+    # a streaming writer appends rows carrying their batch_id
+    idx = load_minhash_index(spark, path)
+    idx.signatures.limit(2).withColumn(
+        "batch_id", F.lit(7).cast("long")
+    ).write.mode("append").parquet(f"{path}/signatures")
+    with pytest.raises(ValueError, match="streaming gate"):
+        compact_minhash_index(spark, path)
+
+
+def test_compact_refuses_live_gate_ivf_store(spark, sf_dir, tmp_path):
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        compact_ivf_corpus_index,
+        fit_ivf_pq,
+        save_ivf_corpus_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "vidx")
+    save_ivf_corpus_index(
+        emb, fit_ivf_pq(emb, n_clusters=8, m_sub=8, k=16, seed=42), path
+    )
+    compact_ivf_corpus_index(spark, path)  # batch-only store: fine
+    spark.read.parquet(f"{path}/encoded").limit(2).withColumn(
+        "batch_id", F.lit(3).cast("long")
+    ).write.mode("append").partitionBy("cell").parquet(f"{path}/encoded")
+    with pytest.raises(ValueError, match="streaming gate"):
+        compact_ivf_corpus_index(spark, path)

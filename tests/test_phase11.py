@@ -121,3 +121,51 @@ def test_daily_refresh_loop_soak_invariants(spark, tmp_path):
     }
     assert twin[-1]["signatures_files"] < metrics[-1]["signatures_files"] \
         or twin[-1]["buckets_files"] < metrics[-1]["buckets_files"]
+    # host-stats sum-refold (VERDICT r13 #4): the compacting twin's
+    # reputation store is bounded (days folded to one snapshot row-set)
+    # while producing the identical keepers asserted above
+    assert twin[-1]["hosts_files"] < metrics[-1]["hosts_files"]
+
+
+def test_refold_host_stats_is_read_equivalent(spark, tmp_path):
+    """VERDICT r13 #4: the host-stats store is per-day sufficient
+    statistics — NOT distinct-compactable (two days with identical
+    rows must both count).  The sum-refold rewrites days 0..k as one
+    snapshot row per host; the gate's cumulative aggregate over the
+    store must be IDENTICAL before and after, including for a host
+    whose two days carried byte-identical rows."""
+    from cdc_data_lake_pyspark_spark.queries_phase11 import (
+        refold_host_stats,
+    )
+
+    hosts_dir = str(tmp_path / "hosts")
+    day0 = spark.createDataFrame(
+        [("a.com", 10, 8), ("b.com", 4, 4)],
+        "_host string, _n bigint, _u bigint",
+    )
+    # day 1 repeats a.com's EXACT row — distinct would silently halve it
+    day1 = spark.createDataFrame(
+        [("a.com", 10, 8), ("c.com", 6, 5)],
+        "_host string, _n bigint, _u bigint",
+    )
+    day0.write.mode("overwrite").parquet(hosts_dir)
+    day1.write.mode("append").parquet(hosts_dir)
+
+    def _agg():
+        return {
+            (r._host, r.n, r.u)
+            for r in spark.read.parquet(hosts_dir)
+            .groupBy("_host")
+            .agg(F.sum("_n").alias("n"), F.sum("_u").alias("u"))
+            .collect()
+        }
+
+    want = _agg()
+    assert ("a.com", 20, 16) in want  # the duplicate-row day counted
+    refold_host_stats(spark, hosts_dir)
+    assert _agg() == want
+    # folded: one row per host
+    assert spark.read.parquet(hosts_dir).count() == 3
+    # idempotent under repeated maintenance
+    refold_host_stats(spark, hosts_dir)
+    assert _agg() == want
