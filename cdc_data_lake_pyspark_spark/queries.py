@@ -585,6 +585,17 @@ def top_customers_per_segment(spark, sf_dir):
 # sibling covering its operator family; the policy is documented in
 # COVERAGE.md (§ gate window).
 _DEMOTED: tuple[str, ...] = (
+    # --- rotated OUT in r14: the NEW multimodal capstone
+    # --- (prepare_multimodal_incremental) takes a window slot per
+    # --- policy; the one below frees it.
+    "dedup_incremental_minhash",
+    # incremental text-probe family: the NEW prepare_multimodal_incremental
+    # drives the same persisted-index lifecycle (save → load →
+    # verify-mode probe → append) as one of its two probe families, and
+    # prepare_web_corpus_incremental keeps the probe inside the full web
+    # composition in-window; estimate-mode probing stays oracle-checked
+    # in the tail and soak-tested (daily_refresh_loop, GATE_SOAK);
+    # driver-green r10-r13 (in-window every round since r10)
     # --- rotated OUT in r12: the two NEW r12 entries (classifier_eval,
     # --- prepare_web_corpus_incremental) plus prepare_web_corpus_v4
     # --- (displaced to pos 50 by r12's classifier_eval; its NB stages
@@ -944,3 +955,4 @@ def _load_phase2() -> None:
     import cdc_data_lake_pyspark_spark.queries_phase10  # noqa: F401
     import cdc_data_lake_pyspark_spark.queries_phase11  # noqa: F401
     import cdc_data_lake_pyspark_spark.queries_phase12  # noqa: F401
+    import cdc_data_lake_pyspark_spark.queries_phase13  # noqa: F401

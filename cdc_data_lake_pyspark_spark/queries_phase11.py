@@ -513,6 +513,18 @@ def _soak_day_crawls(base, k: int):
     * ``% 8 == 5`` — yesterday-URL re-crawls (URL computed from the
       day-(k−1) crawl id): must drop at the URL FRONTIER against the
       persisted seen-URL digest store, before extraction ever runs.
+
+    The frame also carries ``_vec`` — the id of the crawl's embedding
+    in the driver ``embeddings`` table, keyed by CONTENT SOURCE
+    (re-embedding identical content reproduces its vector).  One
+    vector-specific pool rides on top for the MULTIMODAL loop
+    (``daily_refresh_loop(embeddings=...)``): ``% 16 == 7`` items are
+    PARAPHRASES — today's fresh TEXT but YESTERDAY'S fresh-pool
+    embedding — so they pass the text probe and must drop at the
+    VECTOR probe iff yesterday's keepers actually entered the encoded
+    store (the vector twin of the ``% 8 == 3`` visibility pin).  The
+    text-only loop ignores the column, so the r12/r13 text-soak
+    fixture is unchanged.
     """
     kk = F.lit(k)
     shifted = F.col("doc_id") + F.lit(k * 10_000_000)
@@ -534,11 +546,16 @@ def _soak_day_crawls(base, k: int):
     url_id = F.when(
         (F.col("doc_id") % 8 == 5) & (kk > 0), prev_shift
     ).otherwise(shifted)
+    vec = F.when(
+        (F.col("doc_id") % 16 == 7) & (kk > 0),
+        F.lit(100) + F.col("doc_id") % 50 + 50 * F.lit(max(k - 1, 0)),
+    ).otherwise(src).cast("long")
     return (
         base.select(
             shifted.alias("crawl_id"),
             url_id.alias("_url_id"),
             src.alias("_src"),
+            vec.alias("_vec"),
         )
         .join(
             base.select(F.col("doc_id").alias("_src"), "text"),
@@ -547,6 +564,7 @@ def _soak_day_crawls(base, k: int):
         .select(
             F.col("crawl_id").alias("doc_id"),
             "_url_id",
+            "_vec",
             F.when(F.col("_src") % 3 == 0, F.lit(0))
             .otherwise(F.lit(1))
             .cast("int")
@@ -595,19 +613,23 @@ def daily_refresh_loop(
     work_dir: str | None = None,
     compact_every: int = 0,
     day_metrics: list | None = None,
+    embeddings=None,
+    vec_threshold: float = 0.35,
+    vec_n_probe: int = 4,
 ):
     """Run the corpus-refresh pipeline as an N-DAY LOOP over persisted
-    artifacts — the soak the 2-day oracled capstone
-    (:func:`prepare_web_corpus_incremental`) is the correctness witness
-    for.  Day 0 bootstraps and persists FOUR artifacts (cumulative
-    per-host reputation statistics, classifier model, MinHash keeper
-    index, seen-URL digest store); every later day RELOADS them from
-    parquet, runs
+    artifacts — the soak the 2-day oracled capstones
+    (:func:`prepare_web_corpus_incremental`, and with ``embeddings``
+    the multimodal ``prepare_multimodal_incremental``) are the
+    correctness witnesses for.  Day 0 bootstraps and persists FOUR
+    artifacts (cumulative per-host reputation statistics, classifier
+    model, MinHash keeper index, seen-URL digest store); every later
+    day RELOADS them from parquet, runs
 
         host gate → URL frontier (md5-digest anti-join against the
         seen store) → extraction + min-content gate → near-dup probe
-        (ESTIMATE mode — no corpus text is ever re-read) → learned
-        gate → within-day content dedup
+        (ESTIMATE mode — no corpus text is ever re-read) → [vector
+        probe] → learned gate → within-day content dedup
 
     and appends its keepers through :func:`append_to_minhash_index`,
     its canonical digests to the seen store, and its per-host
@@ -616,6 +638,22 @@ def daily_refresh_loop(
     against exactly what days 0..k−1 left on disk.  ``compact_every=C``
     runs :func:`compact_minhash_index` after every C-th day (the
     offline maintenance a real deployment schedules).
+
+    ``embeddings`` (a ``(vec_id, embedding)`` frame, VERDICT r13 #1)
+    turns the loop MULTIMODAL: a FIFTH persisted artifact — the
+    encoded-corpus IVF store
+    (:func:`~cdc_data_lake_pyspark_spark.operators.similarity.save_ivf_corpus_index`)
+    — is bootstrapped from the day-0 keepers' embeddings (each crawl's
+    embedding keyed by content source via the fixture's ``_vec``
+    column), and every later day's text-probe survivors are ALSO
+    vector-probed against it
+    (:func:`~cdc_data_lake_pyspark_spark.operators.similarity.probe_ivf_corpus_index`
+    — partition-pruned to the batch's probed cells) before the learned
+    gate; keepers append through ``append_to_ivf_corpus_index`` and
+    ``compact_every`` also folds the encoded store.  This is the one
+    composition a 100 TB training-data refresh actually runs: each
+    day's crawl deduped by text AND by its re-embedded vectors against
+    both persisted stores.
 
     Scale shape per day: everything is batch-sized except the two
     against-history joins, both of which touch compressed artifacts —
@@ -668,6 +706,33 @@ def daily_refresh_loop(
     work_dir = work_dir or tempfile.mkdtemp(prefix="soak_")
     model_dir, index_dir = f"{work_dir}/model", f"{work_dir}/index"
     hosts_dir, seen_dir = f"{work_dir}/hosts", f"{work_dir}/seen_urls"
+    vec_dir = f"{work_dir}/vectors"
+    if embeddings is not None:
+        from cdc_data_lake_pyspark_spark.operators.similarity import (
+            append_to_ivf_corpus_index,
+            compact_ivf_corpus_index,
+            fit_ivf_pq,
+            probe_ivf_corpus_index,
+            save_ivf_corpus_index,
+        )
+
+        emb = embeddings.select("vec_id", "embedding")
+
+        def _vec_batch(ids_frame, crawls):
+            """(vec_id = crawl doc_id, embedding) for a set of crawl
+            ids — the crawl's content-keyed embedding via ``_vec``."""
+            return (
+                ids_frame.select("doc_id")
+                .join(crawls.select("doc_id", "_vec"), "doc_id")
+                .join(
+                    emb.select(
+                        F.col("vec_id").alias("_vec"), "embedding"
+                    ),
+                    "_vec",
+                )
+                .select(F.col("doc_id").alias("vec_id"), "embedding")
+            )
+
     base = _stage(
         docs.select("doc_id", "text").filter(F.col("text").isNotNull())
     )
@@ -791,6 +856,32 @@ def daily_refresh_loop(
             )
             if day_metrics is not None:
                 m["probe_drops"] = gated.count() - nd.count()
+        if embeddings is not None:
+            if k == 0:
+                m["vec_drops"] = 0
+            else:
+                # the VECTOR family: text-probe survivors' embeddings
+                # against the persisted encoded store — partition-pruned
+                # to the batch's probed cells, exact-cosine verdicts
+                vec_pairs = probe_ivf_corpus_index(
+                    spark,
+                    vec_dir,
+                    _vec_batch(nd, crawls),
+                    threshold=vec_threshold,
+                    n_probe=vec_n_probe,
+                )
+                nd2 = _stage(
+                    nd.join(
+                        vec_pairs.select(
+                            F.col("batch_id").alias("doc_id")
+                        ).distinct(),
+                        "doc_id",
+                        "left_anti",
+                    )
+                )
+                if day_metrics is not None:
+                    m["vec_drops"] = nd.count() - nd2.count()
+                nd = nd2
         model = load_model(spark, model_dir, n_buckets=N_BUCKETS)
         scores = nb_score(
             nd.select("doc_id", F.col("main_text").alias("text")),
@@ -821,6 +912,18 @@ def daily_refresh_loop(
             canon.select(F.md5("_c").alias("_cd")).distinct().write.mode(
                 "overwrite"
             ).parquet(seen_dir)
+            if embeddings is not None:
+                # the FIFTH artifact: encoded-corpus IVF store of the
+                # day-0 keepers' embeddings; quantizer fit once on the
+                # embedding table (cell layout is then immutable — the
+                # append path re-encodes with the artifact's own prefit)
+                save_ivf_corpus_index(
+                    _vec_batch(keepers, crawls),
+                    fit_ivf_pq(
+                        emb, n_clusters=16, m_sub=8, k=16, seed=42
+                    ),
+                    vec_dir,
+                )
         else:
             append_to_minhash_index(
                 index_dir,
@@ -829,6 +932,10 @@ def daily_refresh_loop(
             canon.select(F.md5("_c").alias("_cd")).distinct().write.mode(
                 "append"
             ).parquet(seen_dir)
+            if embeddings is not None:
+                append_to_ivf_corpus_index(
+                    vec_dir, _vec_batch(keepers, crawls)
+                )
         if compact_every and k > 0 and k % compact_every == 0:
             compact_minhash_index(spark, index_dir)
             # the seen-URL digest store accumulates one file set per
@@ -845,16 +952,21 @@ def daily_refresh_loop(
             # snapshot row per host, read-equivalent under the gate's
             # cumulative aggregate (VERDICT r13 #4)
             refold_host_stats(spark, hosts_dir)
+            if embeddings is not None:
+                compact_ivf_corpus_index(spark, vec_dir)
         if day_metrics is not None:
             m["kept_rows"] = keep.count()
             m["wall_sec"] = round(_time.time() - t0, 2)
             import os as _os
 
-            for sub, root in (
+            stores = [
                 ("signatures", f"{index_dir}/signatures"),
                 ("buckets", f"{index_dir}/buckets"),
                 ("hosts", hosts_dir),
-            ):
+            ]
+            if embeddings is not None:
+                stores.append(("vectors", f"{vec_dir}/encoded"))
+            for sub, root in stores:
                 m[f"{sub}_files"] = sum(
                     1
                     for _, _, fs in _os.walk(root)

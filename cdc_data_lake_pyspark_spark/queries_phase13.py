@@ -1,0 +1,380 @@
+"""Phase-13 inventory (round 14): the COMBINED MULTIMODAL incremental
+capstone (VERDICT r13 missing #3) — one two-day refresh that dedups each
+day's documents by TEXT against the persisted MinHash keeper index AND
+by their EMBEDDINGS against the persisted encoded-corpus IVF store, the
+one integration shape a real training-data refresh actually runs that
+r12/r13 built the two halves of but never composed:
+
+day 0 (bootstrap)
+    crawl batch → within-day exact content dedup → the day-0 keepers;
+    PERSIST both index families — the MinHash near-dup index of the
+    keeper texts (``save_minhash_index``) and the encoded-corpus IVF
+    store of the keeper embeddings (``save_ivf_corpus_index``, coarse
+    quantizer fit once on the bootstrap crawl's embeddings).
+
+day 1 (the increment)
+    new crawl batch → near-dup TEXT probe against the RELOADED day-0
+    index (``minhash_probe``, exact-verify mode — drops re-crawled
+    content) → near-dup VECTOR probe of the survivors' embeddings
+    against the RELOADED encoded store (``probe_ivf_corpus_index``,
+    partition-pruned cell scan, exact cosine — drops re-embedded
+    near-duplicate content whose text is fresh) → within-day exact
+    dedup → the day-1 keepers, appended to BOTH stores through the
+    lifecycle APIs (``append_to_minhash_index`` /
+    ``append_to_ivf_corpus_index``).
+
+Both artifact families round-trip parquet INSIDE the entry, so the
+composed lifecycle itself sits under the correctness gate (the
+``prepare_web_corpus_incremental`` discipline).  The N-day
+generalization is ``daily_refresh_loop(embeddings=...)``
+(queries_phase11) — same composition as a day loop over persisted
+artifacts, soaked by ``tools/measure_daily_soak.py --multimodal``.
+
+Fixture: the phase-11 source map verbatim (``_DAY0_SQL`` /
+``_SRC_SQL`` — even crawl ids share a cross-day content pool that must
+drop at the TEXT probe; odd ids draw from per-day exclusive pools) over
+the documents ∩ embeddings id range, with each crawl carrying its OWN
+embedding (``vec_id = doc_id``): a day-1 re-crawl re-presents day-0
+text (text-probe drop), while a day-1 FRESH document carries a fresh
+embedding that may still sit near an indexed one — the vector probe's
+work.  Per-stage non-degeneracy at every SF is pinned in
+tests/test_phase13.py (the r11 lesson: a parity-green capstone can
+still be stage-degenerate).
+
+The oracle replays both days in one WITH list: day-0 exact dedup; the
+day-1 text stage as EXACT cross-day 3-shingle Jaccard against the
+day-0 keepers (probe verify mode: banding recall ≈ 1, verification
+precision 1 — the ``dedup_incremental_minhash`` argument); the vector
+stage with the deterministic coarse quantizer pinned as DOUBLE[]
+literals (cell assignment and probe selection are ``row_number``
+replays of the stable argmin/argsort; every emitted cosine is the
+strict sequential fold both engines share — the phase-12 pattern); and
+the day-1 dedup.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.queries import _t, query
+
+#: cross-day text near-dup threshold (exact Jaccard over 3-shingles)
+_MM_TEXT_THRESHOLD = 0.8
+
+#: cross-day vector near-dup threshold (exact cosine).  0.35 rather
+#: than phase-12's 0.4: the vector stage here probes only the day-0
+#: KEEPER embeddings (one per content group, ~75 vectors at sf0.01) —
+#: a quarter of the full split phase-12 probes — and 0.35 keeps the
+#: stage's drop set non-degenerate at every SF (measured 14/10/42
+#: drops at sf0.001/0.01/0.1; pinned in tests/test_phase13.py)
+_MM_VEC_THRESHOLD = 0.35
+
+_MM_N_CLUSTERS = 16
+_MM_N_PROBE = 4
+
+
+def _multimodal_oracle() -> str:
+    """Replay both probe families: re-run the deterministic coarse fit
+    on the same id-ordered day-0 embedding sample the entry uses, pin
+    the centroids as DOUBLE[] literals, then replay the text stage as
+    exact 3-shingle Jaccard and the vector stage as stable
+    argmin/argsort cell replays + exact-cosine rescore."""
+    import duckdb
+    import numpy as np
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import fit_kmeans
+    from cdc_data_lake_pyspark_spark.queries_phase2 import (
+        _double_array_sql,
+        _oracle_sf_dir,
+    )
+    from cdc_data_lake_pyspark_spark.queries_phase11 import (
+        _DAY0_SQL,
+        _SRC_SQL,
+    )
+
+    sf_dir = _oracle_sf_dir()
+    pdf = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id % 7 < 4 ORDER BY vec_id LIMIT 200000"
+    ).df()
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    centers = fit_kmeans(X, _MM_N_CLUSTERS, seed=42)
+    cent_values = ",\n    ".join(
+        f"({i}, {_double_array_sql(c)})" for i, c in enumerate(centers)
+    )
+    shingles = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(len(string_split(lower(text),"
+        "' ')) - 2, 0)), "
+        "i -> array_to_string(string_split(lower(text),' ')[i:i+2],"
+        " ' ')))"
+    )
+    return f"""
+    WITH crawls AS (
+      SELECT c.doc_id, c.day, s.text
+      FROM (SELECT d.doc_id, {_DAY0_SQL} AS day, {_SRC_SQL} AS src
+            FROM documents d
+            JOIN embeddings em ON em.vec_id = d.doc_id) c
+      JOIN documents s ON s.doc_id = c.src
+      WHERE s.text IS NOT NULL
+    ), keep0 AS (
+      SELECT md5(lower(trim(text))) AS fingerprint,
+             CAST(min(doc_id) AS BIGINT) AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM crawls WHERE day = 0 GROUP BY 1
+    ), sh1 AS (
+      SELECT doc_id, unnest(sh) AS s, len(sh) AS n
+      FROM (SELECT doc_id, {shingles} AS sh FROM crawls WHERE day = 1)
+    ), sh0 AS (
+      SELECT doc_id, unnest(sh) AS s, len(sh) AS n
+      FROM (SELECT c.doc_id, {shingles} AS sh
+            FROM crawls c JOIN keep0 k ON k.doc_id = c.doc_id)
+    ), nd_dropped AS (
+      SELECT DISTINCT batch_id AS doc_id FROM (
+        SELECT b.doc_id AS batch_id,
+               count(*) AS common,
+               any_value(b.n) AS nb, any_value(i.n) AS ni
+        FROM sh1 b JOIN sh0 i ON b.s = i.s
+        GROUP BY b.doc_id, i.doc_id)
+      WHERE CAST(common AS DOUBLE) / CAST(nb + ni - common AS DOUBLE)
+            >= {_MM_TEXT_THRESHOLD}
+    ), surv AS (
+      SELECT doc_id, text FROM crawls
+      WHERE day = 1
+        AND doc_id NOT IN (SELECT doc_id FROM nd_dropped)
+    ), e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cent(i, c) AS (
+      VALUES {cent_values}
+    ), vd AS (
+      SELECT e.vec_id, cent.i,
+             list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cent.c)
+               + list_dot_product(cent.c, cent.c) AS d
+      FROM e CROSS JOIN cent
+    ), cells AS (
+      SELECT vec_id, i AS cell FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, i ASC) AS rn
+        FROM vd WHERE vec_id IN (SELECT doc_id FROM keep0)
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS batch_id, i AS cell FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, i ASC) AS rn
+        FROM vd WHERE vec_id IN (SELECT doc_id FROM surv)
+      ) WHERE rn <= {_MM_N_PROBE}
+    ), vec_dropped AS (
+      SELECT DISTINCT p.batch_id AS doc_id
+      FROM probes p JOIN cells cl ON cl.cell = p.cell
+      JOIN e eb ON eb.vec_id = p.batch_id
+      JOIN e ei ON ei.vec_id = cl.vec_id
+      WHERE list_dot_product(eb.v, ei.v)
+            / (sqrt(list_dot_product(eb.v, eb.v))
+             * sqrt(list_dot_product(ei.v, ei.v)))
+            >= {_MM_VEC_THRESHOLD}
+    ), keep1 AS (
+      SELECT md5(lower(trim(text))) AS fingerprint,
+             CAST(min(doc_id) AS BIGINT) AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM surv
+      WHERE doc_id NOT IN (SELECT doc_id FROM vec_dropped)
+      GROUP BY 1
+    )
+    SELECT CAST(0 AS INT) AS day, doc_id, fingerprint, n_copies FROM keep0
+    UNION ALL
+    SELECT CAST(1 AS INT) AS day, doc_id, fingerprint, n_copies FROM keep1
+    """
+
+
+def _mm_items(docs, emb):
+    """The crawl fixture: the phase-11 source map over the docs ∩
+    embeddings id range, each crawl carrying its own embedding
+    (``vec_id = doc_id``).  Staged — it feeds both days' stages (the
+    phase-11 multi-consumer discipline).  Shared with
+    tests/test_phase13.py so the streaming-agreement twin runs the
+    exact fixture the oracled entry runs."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import _stage
+    from cdc_data_lake_pyspark_spark.queries_phase11 import (
+        _DAY0_SQL,
+        _SRC_SQL,
+    )
+
+    return _stage(
+        docs.select("doc_id")
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+        )
+        .select(
+            "doc_id",
+            F.expr(_DAY0_SQL).alias("day"),
+            F.expr(_SRC_SQL).alias("_src"),
+        )
+        .join(
+            docs.select(F.col("doc_id").alias("_src"), "text").filter(
+                F.col("text").isNotNull()
+            ),
+            "_src",
+        )
+        .select("doc_id", "day", "text")
+    )
+
+
+@query("prepare_multimodal_incremental", oracle=_multimodal_oracle)
+def prepare_multimodal_incremental(spark, sf_dir):
+    """The combined multimodal incremental capstone — see the module
+    docstring for the two-day story.  Returns ``(day, doc_id,
+    fingerprint, n_copies)``: the day-0 bootstrap keepers plus the
+    day-1 survivors of BOTH probe families, with both day-0 artifacts
+    (MinHash keeper index, encoded-corpus IVF store) round-tripping
+    parquet inside the entry.
+
+    Plan shape at 100 TB (the point of the composite): day N+1 never
+    touches day N's text OR vectors again — the text probe shingles
+    the batch only and joins the stored banded buckets; the vector
+    probe encodes the batch only and partition-prunes the encoded
+    store to its probed cells (~n_probe/nlist of it); the two appends
+    touch only the day's keepers.  Both against-history joins read
+    compressed artifacts whose size tracks UNIQUE content, not crawl
+    volume."""
+    return _prepare_multimodal_incremental(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
+def _prepare_multimodal_incremental(
+    docs, emb, work_dir=None, stage_counts=None
+):
+    """Body over arbitrary documents/embeddings frames — shared with
+    tests (which pass a ``work_dir`` and probe the post-run artifacts)
+    and the measurement tools.  ``stage_counts`` (a dict, when given)
+    receives per-stage day-1 cardinalities — the non-degeneracy
+    witness tests/test_phase13.py asserts at every SF."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        _stage,
+        append_to_minhash_index,
+        exact_dedup,
+        load_minhash_index,
+        minhash_index,
+        minhash_probe,
+        save_minhash_index,
+    )
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        append_to_ivf_corpus_index,
+        fit_ivf_pq,
+        probe_ivf_corpus_index,
+        save_ivf_corpus_index,
+    )
+
+    spark = docs.sparkSession
+    items = _mm_items(docs, emb)
+    d0 = items.filter(F.col("day") == 0)
+    d1 = items.filter(F.col("day") == 1)
+
+    # ---- day 0: bootstrap both artifact families -------------------------
+    cleanup_work_dir = work_dir is None and stage_counts is None
+    work_dir = work_dir or tempfile.mkdtemp(prefix="mm_incr_")
+    index_dir, vec_dir = f"{work_dir}/index", f"{work_dir}/vectors"
+    keep0 = _stage(
+        exact_dedup(d0).select(
+            "fingerprint",
+            F.col("keeper_id").alias("doc_id"),
+            F.col("n_docs").alias("n_copies"),
+        )
+    )
+    keepers0 = _stage(
+        d0.join(keep0.select("doc_id"), "doc_id", "left_semi")
+    )
+    save_minhash_index(minhash_index(keepers0), index_dir)
+    index0 = load_minhash_index(spark, index_dir)
+    # the coarse quantizer is fit ONCE on the bootstrap crawl's
+    # embedding distribution (the day-0 split, id-ordered — the sample
+    # the oracle builder replays); the store indexes the KEEPERS only,
+    # so store size tracks unique content, not crawl volume
+    prefit = fit_ivf_pq(
+        emb.filter(F.col("vec_id") % 7 < 4),
+        n_clusters=_MM_N_CLUSTERS,
+        m_sub=8,
+        k=16,
+        seed=42,
+    )
+    keeper_vecs0 = keepers0.select(
+        F.col("doc_id").alias("vec_id")
+    ).join(emb, "vec_id")
+    save_ivf_corpus_index(keeper_vecs0, prefit, vec_dir)
+
+    # ---- day 1: text probe → vector probe → dedup → append both ----------
+    nd_pairs = minhash_probe(
+        d1.select("doc_id", "text"),
+        index0,
+        threshold=_MM_TEXT_THRESHOLD,
+        verify_docs=d1.select("doc_id", "text").unionByName(
+            keepers0.select("doc_id", "text")
+        ),
+    )
+    surv = _stage(
+        d1.join(
+            nd_pairs.select(F.col("batch_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    vec_pairs = probe_ivf_corpus_index(
+        spark,
+        vec_dir,
+        surv.select(F.col("doc_id").alias("vec_id")).join(emb, "vec_id"),
+        threshold=_MM_VEC_THRESHOLD,
+        n_probe=_MM_N_PROBE,
+    )
+    nd1 = _stage(
+        surv.join(
+            vec_pairs.select(F.col("batch_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    keep1 = _stage(
+        exact_dedup(nd1).select(
+            "fingerprint",
+            F.col("keeper_id").alias("doc_id"),
+            F.col("n_docs").alias("n_copies"),
+        )
+    )
+    if stage_counts is not None:
+        stage_counts["day0_items"] = d0.count()
+        stage_counts["day1_items"] = d1.count()
+        stage_counts["day0_keepers"] = keep0.count()
+        stage_counts["text_drops"] = d1.count() - surv.count()
+        stage_counts["vec_drops"] = surv.count() - nd1.count()
+        stage_counts["day1_keepers"] = keep1.count()
+    # index UPDATE on BOTH families: tomorrow's probes must see today's
+    # accepted content (day-2 visibility pinned in tests/test_phase13.py)
+    keepers1 = nd1.join(keep1.select("doc_id"), "doc_id", "left_semi")
+    append_to_minhash_index(index_dir, keepers1.select("doc_id", "text"))
+    append_to_ivf_corpus_index(
+        vec_dir,
+        keepers1.select(F.col("doc_id").alias("vec_id")).join(emb, "vec_id"),
+    )
+    out = keep0.select(
+        F.lit(0).cast("int").alias("day"), "doc_id", "fingerprint", "n_copies"
+    ).unionByName(
+        keep1.select(
+            F.lit(1).cast("int").alias("day"),
+            "doc_id",
+            "fingerprint",
+            "n_copies",
+        )
+    )
+    if cleanup_work_dir:
+        # the registry entry owns its temp artifacts (ADVICE r12):
+        # materialize the result — it transitively reads both persisted
+        # stores — then delete the work dir before handing the frame out
+        import shutil
+
+        out = out.localCheckpoint()
+        shutil.rmtree(work_dir, ignore_errors=True)
+    return out

@@ -169,3 +169,42 @@ def test_refold_host_stats_is_read_equivalent(spark, tmp_path):
     # idempotent under repeated maintenance
     refold_host_stats(spark, hosts_dir)
     assert _agg() == want
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_multimodal_refresh_loop_soak_invariants(spark, tmp_path):
+    """The MULTIMODAL N-day loop (VERDICT r13 #1,
+    daily_refresh_loop(embeddings=...)): over a 3-day run, BOTH probe
+    families fire every later day (text probe AND vector probe — the
+    %16==7 paraphrase pool guarantees vector-specific work: fresh text,
+    yesterday's embedding), the compacting twin produces IDENTICAL
+    keepers, and compaction bounds the encoded store's file count."""
+    from cdc_data_lake_pyspark_spark.queries_phase11 import (
+        daily_refresh_loop,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    metrics: list = []
+    out = daily_refresh_loop(
+        docs, n_days=3, work_dir=str(tmp_path / "plain"),
+        day_metrics=metrics, embeddings=emb,
+    ).collect()
+    assert {r.day for r in out} == {0, 1, 2}
+    for m in metrics[1:]:
+        assert m["probe_drops"] > 0, m
+        assert m["vec_drops"] > 0, m  # the vector family really fired
+        assert m["kept_rows"] > 0, m
+    twin: list = []
+    out2 = daily_refresh_loop(
+        docs, n_days=3, work_dir=str(tmp_path / "compact"),
+        compact_every=1, day_metrics=twin, embeddings=emb,
+    ).collect()
+    assert {(r.day, r.fingerprint) for r in out2} == {
+        (r.day, r.fingerprint) for r in out
+    }
+    assert twin[-1]["vectors_files"] < metrics[-1]["vectors_files"]

@@ -4,16 +4,14 @@ rotation policy holds (queries.py `_DEMOTED` rationale): new/changed
 operators sit inside the window, and previously demoted entries rotate
 back in so the driver re-verifies them round over round.
 
-Round-13 window: the NEW dedup_embedding_incremental (incremental
-embedding dedup against the persisted IVF-PQ prefit) is in-window per
-the new-ops rule, taking the slot of similarity_pq_adc (demoted with
-rationale: similarity_ivf_pq replays the identical ADC integer
-machinery WITH probing on top, driver-green r7-r12);
-prepare_web_corpus_incremental and dedup_incremental_minhash stay
-in-window because r13 changed their machinery again (digest frontier
-anti-join, append-API index update, half-swap-recovering load).  The
-r12 window rationale history lives in git; demotion rationales in
-queries._DEMOTED."""
+Round-14 window: the NEW prepare_multimodal_incremental (both
+persisted index families probed and appended in one two-day
+composition) is in-window per the new-ops rule, taking the slot of
+dedup_incremental_minhash (demoted with rationale: the capstone drives
+the same persisted-index probe lifecycle, and
+prepare_web_corpus_incremental keeps it inside the web composite;
+driver-green r10-r13).  The r12/r13 window rationale history lives in
+git; demotion rationales in queries._DEMOTED."""
 
 from cdc_data_lake_pyspark_spark import queries as q
 
@@ -123,11 +121,17 @@ REQUIRED_VISIBLE = [
     # dedup_minhash_cv_clusters + dedup_jaccard_prefix keep the
     # cluster/keeper machinery in-window)
     "contamination_report",
-    # incremental near-dup probe — r11-changed (index params + persist)
-    "dedup_incremental_minhash",
+    # (dedup_incremental_minhash demoted mid-r14 for the NEW multimodal
+    # capstone slot: the capstone drives the same persisted-index probe
+    # lifecycle as one of its two families, and
+    # prepare_web_corpus_incremental keeps it inside the web composite)
     # NEW r12: classifier evaluation + the incremental refresh capstone
     "classifier_eval",
     "prepare_web_corpus_incremental",
+    # NEW r14: the combined multimodal incremental capstone — both
+    # persisted index families (MinHash text + encoded-corpus IVF)
+    # probed and appended in one composition
+    "prepare_multimodal_incremental",
     # r12 rotate-backs (tail-oracled every round since r6/r7)
     "lm_cross_entropy",
     "daily_revenue_ma7",
@@ -137,19 +141,17 @@ REQUIRED_VISIBLE = [
 # Operators added or materially changed this round: the rotation policy
 # requires them INSIDE the gated window (ADVICE r4).
 CHANGED_THIS_ROUND = [
-    # r12-changed: LR moved to binary presence features (the r11
-    # degeneracy fix) and NB gained the priors guard + spine-derived
-    # scoring width — every classifier-family entry re-verifies
-    "quality_classifier_weights",
-    "quality_classifier_gate",
-    "prepare_web_corpus_v4",
-    "lr_classifier_weights",
-    "lr_classifier_gate",
-    # NEW r12: the evaluation surface and the refresh capstone
-    "classifier_eval",
+    # NEW r14: the combined multimodal capstone
+    "prepare_multimodal_incremental",
+    # r14-changed machinery: append_to_minhash_index write order
+    # (signatures first) + the live-gate-store compaction guard run
+    # inside these entries' lifecycles
     "prepare_web_corpus_incremental",
-    # r12-changed: minhash_probe gained bucket-partition pruning
-    "dedup_incremental_minhash",
+    # r14-changed: _score_probed_cells output typing + the vector
+    # gate's consolidation onto the shared encode/probe kernels
+    "dedup_embedding_incremental",
+    "dedup_embedding_incremental_store",
+    "vector_gate_batch",
 ]
 
 

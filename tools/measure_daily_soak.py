@@ -7,8 +7,15 @@ compacting every other day.  The claim under measurement is the one a
 persisted artifacts grow day over day, and compaction bounds the
 store's file count without changing a single verdict.
 
-Run: python tools/measure_daily_soak.py [sf_dir] [rep] [days]
-Writes SOAK_DAILY.json at the repo root.
+With ``--multimodal`` (VERDICT r13 #1) the loop also carries the
+VECTOR family — the encoded-corpus IVF store bootstrapped day 0,
+probed by every later day's text-probe survivors, appended and
+compacted alongside the text artifacts — and the per-day assertions
+require BOTH probe families non-degenerate.  Writes
+MULTIMODAL_SOAK.json instead.
+
+Run: python tools/measure_daily_soak.py [sf_dir] [rep] [days] [--multimodal]
+Writes SOAK_DAILY.json (or MULTIMODAL_SOAK.json) at the repo root.
 """
 
 from __future__ import annotations
@@ -31,12 +38,24 @@ from cdc_data_lake_pyspark_spark.session import build_session  # noqa: E402
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    rep = int(sys.argv[2]) if len(sys.argv) > 2 else 100
-    days = int(sys.argv[3]) if len(sys.argv) > 3 else 7
+    args = [a for a in sys.argv[1:] if a != "--multimodal"]
+    multimodal = "--multimodal" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    rep = int(args[1]) if len(args) > 1 else 100
+    days = int(args[2]) if len(args) > 2 else 7
     spark = build_session(app_name="daily-soak")
     docs_1x = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
+    )
+    # the embedding table is NOT replicated: the fixture's _vec mapping
+    # is content-source-keyed (ids < 500 at every SF), so replicas of
+    # the same content correctly share one embedding
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        if multimodal
+        else None
     )
     if rep == 1:
         docs = docs_1x
@@ -66,6 +85,7 @@ def main() -> None:
             work_dir=work,
             compact_every=compact_every,
             day_metrics=metrics,
+            embeddings=emb,
         )
         kept = {
             (r["day"], r["fingerprint"])
@@ -76,8 +96,11 @@ def main() -> None:
         for m in metrics:
             print(json.dumps({"run": label, **m}), flush=True)
         # per-day NON-degeneracy (the r12 lesson): every gate fires daily
+        gates = ["frontier_drops", "probe_drops", "model_drops"]
+        if multimodal:
+            gates.append("vec_drops")  # BOTH probe families, every day
         for m in metrics[1:]:
-            for key in ("frontier_drops", "probe_drops", "model_drops"):
+            for key in gates:
                 assert m[key] > 0, (label, m)
             assert m["kept_rows"] > 0, (label, m)
         runs[label] = {
@@ -94,10 +117,12 @@ def main() -> None:
         r["kept_total"] = len(r.pop("_kept_set"))
         r.pop("kept")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "SOAK_DAILY.json"), "w") as f:
+    out_name = "MULTIMODAL_SOAK.json" if multimodal else "SOAK_DAILY.json"
+    with open(os.path.join(repo, out_name), "w") as f:
         json.dump({"sf_dir": sf_dir, "rep": rep, "n_days": days,
-                   "runs": runs}, f, indent=1)
-    print(json.dumps({"metric": "daily_soak", "days": days, "rep": rep}))
+                   "multimodal": multimodal, "runs": runs}, f, indent=1)
+    print(json.dumps({"metric": "daily_soak", "days": days, "rep": rep,
+                      "multimodal": multimodal}))
 
 
 if __name__ == "__main__":
