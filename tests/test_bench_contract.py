@@ -85,12 +85,37 @@ def test_core_median_fields_present_in_artifact():
     assert set(d["core_query_medians"]) <= set(bench.MEDIAN_TRACKED)
 
 
-def test_median_tracked_covers_core_plus_v3():
-    """VERDICT r10 #5: the full-pipeline web capstone rides the 3-pass
-    median machinery (per-query medians for bench_compare), while the
-    CORE pass-sum contract stays the frozen 10-query set."""
+def test_median_tracked_covers_core_capstones_and_expensive():
+    """VERDICT r10 #5 + r13 #3: the full-pipeline web capstones AND the
+    expensive non-headline entries ride the multi-pass median machinery
+    (per-query medians for bench_compare), while the CORE pass-sum
+    contract stays the frozen 10-query set."""
     assert bench.MEDIAN_TRACKED == bench.CORE + [
         "prepare_web_corpus_v3", "prepare_web_corpus_v4"
-    ]
+    ] + bench.EXPENSIVE_TRACKED
     assert "prepare_web_corpus_v3" in bench.HEADLINE
     assert "prepare_web_corpus_v4" in bench.HEADLINE
+    # every tracked-expensive entry must exist in the registry, and the
+    # r14 multimodal capstone must be among them
+    reg = q.queries()
+    assert all(n in reg for n in bench.EXPENSIVE_TRACKED)
+    assert "prepare_multimodal_incremental" in bench.EXPENSIVE_TRACKED
+
+
+def test_sentinel_contract():
+    """VERDICT r13 #3: the contention sentinel's knobs exist and the
+    artifact (once produced by the new harness) carries the flag."""
+    import os
+
+    import pytest as _pytest
+
+    assert bench.SENTINEL_EVERY >= 1
+    assert bench.SENTINEL_FLAG_RATIO > 1.0
+    path = os.path.join(os.path.dirname(bench.__file__), "BENCH_local.json")
+    if not os.path.exists(path):
+        _pytest.skip("no local bench artifact yet")
+    d = json.load(open(path))
+    if "sentinel_sec" not in d:
+        _pytest.skip("artifact predates the r14 sentinel contract")
+    assert d["sentinel_base_sec"] == min(d["sentinel_sec"][:3])
+    assert isinstance(d["contention_flagged"], bool)
