@@ -43,39 +43,45 @@ def main() -> None:
     sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     rep = int(args[1]) if len(args) > 1 else 100
     days = int(args[2]) if len(args) > 2 else 7
-    spark = build_session(app_name="daily-soak")
-    docs_1x = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
-    )
-    # the embedding table is NOT replicated: the fixture's _vec mapping
-    # is content-source-keyed (ids < 500 at every SF), so replicas of
-    # the same content correctly share one embedding
-    emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-            "vec_id", "embedding"
-        )
-        if multimodal
-        else None
-    )
-    if rep == 1:
-        docs = docs_1x
-    else:
-        # id-shifted replication (the measure_incremental.py axis):
-        # 1e7 ≡ 0 mod the fixture residues, so structure is
-        # size-invariant while daily crawl volume grows rep×.  The
-        # per-day shift inside the loop is also 1e7 — disambiguate the
-        # replicas with a 1e11 stride so ids never collide across
-        # (replica, day).
-        docs = docs_1x.crossJoin(
-            spark.range(rep).select(F.col("id").alias("_r"))
-        ).select(
-            (F.col("doc_id") + F.col("_r") * 100_000_000_000).alias(
-                "doc_id"
-            ),
-            "text",
-        )
     runs = {}
     for label, compact_every in (("plain", 0), ("compacting", 2)):
+        # FRESH session per run (r14 measurement hygiene): a 7-day loop
+        # accumulates ~1.5k stages of listener/UI/checkpoint-block
+        # state, and the run that goes SECOND in a shared session pays
+        # it as a spurious upward wall trend — the contention-vs-
+        # regression confusion the bench sentinel exists to catch,
+        # removed at the source so the two runs' walls are comparable.
+        spark = build_session(app_name=f"daily-soak-{label}")
+        docs_1x = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        # the embedding table is NOT replicated: the fixture's _vec
+        # mapping is content-source-keyed (ids < 500 at every SF), so
+        # replicas of the same content correctly share one embedding
+        emb = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+                "vec_id", "embedding"
+            )
+            if multimodal
+            else None
+        )
+        if rep == 1:
+            docs = docs_1x
+        else:
+            # id-shifted replication (the measure_incremental.py axis):
+            # 1e7 ≡ 0 mod the fixture residues, so structure is
+            # size-invariant while daily crawl volume grows rep×.  The
+            # per-day shift inside the loop is also 1e7 — disambiguate
+            # the replicas with a 1e11 stride so ids never collide
+            # across (replica, day).
+            docs = docs_1x.crossJoin(
+                spark.range(rep).select(F.col("id").alias("_r"))
+            ).select(
+                (F.col("doc_id") + F.col("_r") * 100_000_000_000).alias(
+                    "doc_id"
+                ),
+                "text",
+            )
         metrics: list = []
         work = tempfile.mkdtemp(prefix=f"soak_{label}_")
         t0 = time.time()
@@ -93,6 +99,7 @@ def main() -> None:
         }
         wall = round(time.time() - t0, 2)
         shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
         for m in metrics:
             print(json.dumps({"run": label, **m}), flush=True)
         # per-day NON-degeneracy (the r12 lesson): every gate fires daily
