@@ -139,7 +139,7 @@ KNOWN_BENIGN_WARNINGS = {
         "execution is unaffected"
     ),
     "already exists on this machine; not re-adding it": (
-        "BlockManager notice from LAZY localCheckpoint staging (_stage): "
+        "BlockManager notice from localCheckpoint staging (_stage): "
         "when two branches of one job race to compute the same staged "
         "partition, the loser's put is dropped — bounded by the staged "
         "frame's partition count, and the duplicate compute is exactly "

@@ -204,10 +204,10 @@ def nb_score(
     """
     if not staged:
         # the model frame is consumed three times (spine count + weight
-        # join + bias add); stage it with a LAZY local checkpoint so the
+        # join + bias add); stage it with an eager local checkpoint so the
         # training aggregation runs once — it is n_buckets + 1 rows, so
         # the stored blocks are bytes (the multi-consumer staging rule)
-        model = model.localCheckpoint(eager=False)
+        model = model.localCheckpoint(eager=True)
     spine_n = model.filter(F.col("bucket") >= 0).count()
     if n_buckets is None:
         n_buckets = spine_n
@@ -271,7 +271,7 @@ def save_model(model: DataFrame, path: str) -> None:
     (ADVICE r11): the bucket function is part of the model, so the
     artifact records it instead of trusting a separately-configured
     constant at load time."""
-    model = model.localCheckpoint(eager=False)  # counted + written below
+    model = model.localCheckpoint(eager=True)  # counted + written below
     n_buckets = model.filter(F.col("bucket") >= 0).count()
     model.coalesce(1).write.mode("overwrite").parquet(f"{path}/weights")
     spark = model.sparkSession
@@ -401,9 +401,9 @@ def lr_train(
             "_d", "_y", _bucket(F.col("_tok"), n_buckets).alias("bucket")
         )
         .distinct()
-        .localCheckpoint(eager=False)  # consumed 2x per step
+        .localCheckpoint(eager=True)  # consumed 2x per step
     )
-    labeled = xs.select("_d", "_y").distinct().localCheckpoint(eager=False)
+    labeled = xs.select("_d", "_y").distinct().localCheckpoint(eager=True)
     n = labeled.count()
     if n == 0:
         raise ValueError("lr_train needs a non-empty labeled set")
@@ -449,7 +449,7 @@ def lr_train(
                     + F.coalesce(delta, F.lit(0).cast("long"))
                 ).alias("w_micro"),
             )
-            .localCheckpoint(eager=False)  # consumed by next step + output
+            .localCheckpoint(eager=True)  # consumed by next step + output
         )
         bias_frame = (
             margins.agg(F.sum("_err").alias("_gb"))
@@ -462,7 +462,7 @@ def lr_train(
                     ).cast("long")
                 ).alias("_bias")
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return weights.unionByName(
         bias_frame.select(

@@ -59,7 +59,7 @@ def connected_components(
     with diameters up to ~2^25.  Raises if the bound is hit without
     convergence (never silently returns partial clusters).
     """
-    edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=False)
+    edges = _symmetric_edges(pairs, a_col, b_col).localCheckpoint(eager=True)
     # Initial labels already carry the FIRST propagation: label(v) =
     # min(v, min(neighbors)) falls out of one aggregate over the edge
     # list (the distinct-node init plus round 1's propagate collapsed
@@ -69,7 +69,7 @@ def connected_components(
     labels = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.least(F.min("src"), F.min("dst")).alias("label"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     for _ in range(max_iterations):

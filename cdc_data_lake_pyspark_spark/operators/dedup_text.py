@@ -90,16 +90,33 @@ def _exploded_hashes(
 
 
 def _stage(ex: DataFrame) -> DataFrame:
-    """Stage the exploded-shingle working set with a LAZY local checkpoint:
-    it materializes once on first use, every downstream consumer (counts,
-    join sides, verification) reads the stored blocks instead of
-    re-running the interpreted shingle pipeline, and the blocks are
-    released when the DataFrame is garbage-collected (no explicit
-    unpersist).  Tradeoff (same as any checkpoint): executor loss forfeits
-    the blocks and fails the job instead of recomputing — acceptable for
-    batch dedup jobs, which simply rerun.
+    """Stage a multi-consumer working set with an EAGER local checkpoint:
+    it materializes once HERE, every downstream consumer (counts, join
+    sides, verification) reads the stored blocks instead of re-running
+    the pipeline behind it, and the blocks are released when the
+    DataFrame is garbage-collected (no explicit unpersist).  Tradeoff
+    (same as any checkpoint): executor loss forfeits the blocks and
+    fails the job instead of recomputing — acceptable for batch dedup
+    jobs, which simply rerun.
+
+    EAGER, not lazy (r14): with ``eager=False`` the checkpoint runs at
+    the END of whichever job first consumes the frame — and when that
+    consumer is an AQE broadcast-exchange thread, its job-end
+    ``doCheckpoint`` (which takes the GLOBAL ``RDDCheckpointData``
+    lock, then the RDD's monitor) can deadlock against the DAG
+    scheduler's ``getCacheLocs`` (which takes the RDD's monitor via
+    ``RDD.partitions``, then wants the global lock) on a concurrently
+    scheduled job over the same staged RDD.  Observed live in an r14
+    bench run: the JVM wedged at load 0.05 with ``broadcast-exchange``
+    holding the global lock and ``dag-scheduler-event-loop`` holding
+    the RDD monitor, each waiting on the other — a hang-forever, which
+    at 100 TB is strictly worse than the serialization eager costs.
+    Eager closes the window: the checkpoint completes under one
+    synchronous job before any consumer (or its broadcast threads) can
+    race it; the same policy applies at every staging site in the
+    package (no ``eager=False`` remains).
     """
-    return ex.localCheckpoint(eager=False)
+    return ex.localCheckpoint(eager=True)
 
 
 def _shingle_counts(ex: DataFrame) -> DataFrame:
@@ -403,7 +420,7 @@ def minhash_near_duplicates(
     corpora, bounded verify traffic on hot-family ones); pass ``None``
     for the unconditional all-pairs semantics.
 
-    The exploded shingle set is STAGED (lazy local checkpoint) and shared
+    The exploded shingle set is STAGED (eager local checkpoint) and shared
     by the signature aggregation and the verification joins — one
     evaluation of the shingle pipeline for the whole operator."""
     if star_bucket_cap == "auto":

@@ -169,7 +169,7 @@ def label_encode_multi(
     )
     idx = vocab.select(
         "_col", "_val", (F.row_number().over(w) - 1).cast("int").alias("_idx")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     out = df
     for c in value_cols:
         side = F.broadcast(

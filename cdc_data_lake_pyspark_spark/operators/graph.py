@@ -20,7 +20,7 @@ deterministic and bounded by #edges ulps per iteration.
 
 Scale: each iteration is ONE shuffle (the groupBy on dst) plus one join
 of the current rank vector against the static edge list.  The edge list
-is staged once behind a lazy local checkpoint and reused by every
+is staged once behind an eager local checkpoint and reused by every
 iteration; the rank vector is localCheckpoint'd per iteration so the
 lineage (and the scheduler's DAG) stays O(1) instead of O(iterations).
 On a real cluster you would additionally pre-partition edges by ``src``
@@ -63,13 +63,13 @@ def pagerank(
     """
     e = (
         edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionAll(e.select(F.col("_dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # single-row node count, cross-joined so N is available without a
     # driver-side collect (keeps the whole plan lazy / replayable)
@@ -85,7 +85,7 @@ def pagerank(
     e_deg = (
         e.join(deg, e._src == deg.node)
         .select("_src", "_dst", "_deg")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
@@ -116,7 +116,7 @@ def pagerank(
                 ).alias("rank_micro"),
                 "_n",
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return ranks.select(
         "node",
@@ -202,7 +202,7 @@ def bfs_distances(
     node) reduced by ``min(dist)`` — a different but provably equivalent
     encoding of the same BFS minimum (:func:`bfs_oracle_sql`).
 
-    Scale: the edge list stages once behind a lazy local checkpoint and
+    Scale: the edge list stages once behind an eager local checkpoint and
     is reused every hop; settled/frontier vectors are node-sized (tiny
     next to edges) and localCheckpoint'd per hop so lineage stays O(1)
     in hop count.  On a real cluster, pre-bucket edges by ``src`` to
@@ -210,7 +210,7 @@ def bfs_distances(
     """
     e = (
         edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # Seeds: an explicit column (seed_col) rather than a silent positional
     # pick, restricted to the graph's node inventory so a caller passing
@@ -227,7 +227,7 @@ def bfs_distances(
         .distinct()
         .join(nodes, "node", "left_semi")
         .select("node", F.lit(0).cast("int").alias("dist"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     frontier = settled
     for hop in range(1, max_hops + 1):
@@ -239,9 +239,9 @@ def bfs_distances(
         fresh = (
             reached.join(settled.select("node"), "node", "left_anti")
             .select("node", F.lit(hop).cast("int").alias("dist"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        settled = settled.unionAll(fresh).localCheckpoint(eager=False)
+        settled = settled.unionAll(fresh).localCheckpoint(eager=True)
         frontier = fresh
     return settled
 

@@ -104,7 +104,7 @@ def bloom_prefiltered_join(
     else:
         cells = _fast_cells(build_keys, depth, m_bits)
         pos = _fast_positions(F.col(key).cast("string"), depth, m_bits)
-    cells = cells.localCheckpoint(eager=False)
+    cells = cells.localCheckpoint(eager=True)
     probe_pos = probe.withColumn("_pos", pos)
     # membership = AND over hash rows, as a chain of BROADCAST left-semi
     # joins (one O(1) hash-table lookup per row per hash row — never a

@@ -425,7 +425,7 @@ def bm25_top_k(
 
     Plan shape: TWO corpus passes total — document lengths come from a
     map-only ``size(tokens(...))`` projection (no explode), staged once
-    behind a lazy local checkpoint so the corpus-stats aggregate and the
+    behind an eager local checkpoint so the corpus-stats aggregate and the
     score join both read the per-doc rows instead of rescanning; the
     (doc, term) counts come from one explode pass whose query-term
     filter prunes to |Q| terms immediately.  df/idf is a |Q|-row
@@ -435,7 +435,7 @@ def bm25_top_k(
     q = [t.lower() for t in query_terms]
     doc_len = docs.select(
         F.col(id_col), F.size(tokens(F.col(text_col))).alias("_dl")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     stats = doc_len.agg(
         F.count(F.lit(1)).alias("_N"), F.avg("_dl").alias("_avgdl")
     )

@@ -83,7 +83,7 @@ def frequent_pairs(
     items); cap those upstream or salt the basket key — the operator's
     join shape is unchanged.
 
-    The distinct+prune working set is staged behind a lazy local
+    The distinct+prune working set is staged behind an eager local
     checkpoint: it feeds THREE consumers (the singleton count and both
     self-join sides), and without staging each one would rescan and
     re-distinct the full fact table.
@@ -97,7 +97,7 @@ def frequent_pairs(
         .filter(F.col("_s") >= min_support)
         .select(item_col)
     )
-    pruned = items.join(frequent, item_col).localCheckpoint(eager=False)
+    pruned = items.join(frequent, item_col).localCheckpoint(eager=True)
     a = pruned.select(
         F.col(basket_col).alias("_b"), F.col(item_col).alias("item_a")
     )
@@ -136,11 +136,11 @@ def triangle_enumerate(
 
     The edge set feeds FIVE consumers (two degree projections, the
     orientation join, both wedge sides via the directed set, the closing
-    side) and the directed set three, so both stage behind lazy local
+    side) and the directed set three, so both stage behind eager local
     checkpoints — without them Spark would replicate the upstream edge
     derivation (e.g. the whole frequent-pairs pipeline) per consumer.
     """
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.localCheckpoint(eager=True)
     deg = (
         edges.select(F.col(u_col).alias("_x"))
         .unionAll(edges.select(F.col(v_col).alias("_x")))
@@ -158,7 +158,7 @@ def triangle_enumerate(
     directed = e.select(
         F.when(fwd, F.col("_u")).otherwise(F.col("_v")).alias("src"),
         F.when(fwd, F.col("_v")).otherwise(F.col("_u")).alias("dst"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     w1 = directed.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     w2 = directed.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     wedges = w1.join(w2, "b")

@@ -56,7 +56,7 @@ def dq_report(
         names.append(dup_name)
     row = df.agg(
         F.count(F.lit(1)).cast("long").alias("_total"), *aggs
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     out = row.unpivot(["_total"], names, "check", "violations").select(
         "check", "violations", F.col("_total").alias("total")
     )

@@ -1571,7 +1571,7 @@ def probe_ivf_corpus_index(
     prefit, encoded = load_ivf_corpus_index(spark, path)
     probing = _ivf_probe_frame(
         batch, prefit, n_probe, id_col, vec_col
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     cells = [
         r[0] for r in probing.select("_cell").distinct().collect()
     ]
@@ -1638,7 +1638,7 @@ def semantic_dedup(
         F.col(id_col),
         F.col(vec_col),
         _assign(F.col(vec_col)).alias("cell"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
     id_type = vectors.schema[id_col].dataType.simpleString()
     packed = (

@@ -98,11 +98,11 @@ def sparse_cosine_pairs(
     Σ df² bounded by ``max_df``) → one pair aggregate for the exact
     BIGINT dot → norm attach + one scalar division.  The weight frame
     feeds three consumers (norms + both join sides), so it stages
-    behind a lazy local checkpoint.
+    behind an eager local checkpoint.
     """
     w = tfidf_weights(
         docs, id_col=id_col, text_col=text_col, max_df=max_df
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     norms = w.groupBy("doc").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     a = w.select(
         F.col("token"), F.col("doc").alias("doc_a"), F.col("w").alias("_wa")

@@ -825,7 +825,7 @@ def _prepare_training_corpus(spark, sf_dir, near_dup_pairs, docs=None):
     # the gated slice feeds THREE consumers (keeper election, the base
     # join, and through base the shingle pipelines) — stage it once so
     # the quality/language expression trees evaluate one time, not per
-    # consumer (lazy local checkpoint: nothing materializes unless used)
+    # consumer (eager local checkpoint, the dedup_text staging pattern)
     kept = docs.select(
         "doc_id",
         "lang",
@@ -834,7 +834,7 @@ def _prepare_training_corpus(spark, sf_dir, near_dup_pairs, docs=None):
         scores["en"].alias("s_en"),
     ).filter(
         (F.col("quality") >= 0.7) & (F.col("s_en") > 0)
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     keepers = exact_dedup(kept).select("keeper_id")
     base = kept.join(
         F.broadcast(keepers), kept["doc_id"] == keepers["keeper_id"]

@@ -419,7 +419,7 @@ def prepare_training_corpus_v2(spark, sf_dir, approx: bool = True):
         )
     # gated feeds both the keeper aggregation and the keeper join, and
     # base feeds both the mix-rate aggregation and the mix filter — stage
-    # each once (lazy local checkpoint, the dedup_text staging pattern)
+    # each once (eager local checkpoint, the dedup_text staging pattern)
     # so the LM + decile subtree is computed exactly once, not once per
     # consumer.
     gated = (
@@ -428,7 +428,7 @@ def prepare_training_corpus_v2(spark, sf_dir, approx: bool = True):
             "doc_id",
         )
         .select("doc_id", "lang", "text")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     keepers = exact_dedup(gated).select("keeper_id")
     base = (
@@ -436,7 +436,7 @@ def prepare_training_corpus_v2(spark, sf_dir, approx: bool = True):
             F.broadcast(keepers), gated["doc_id"] == keepers["keeper_id"]
         )
         .select("doc_id", "lang")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     mixed = temperature_mix(base, alpha=0.3, strata_col="lang").select(
         "doc_id", "lang"

@@ -485,7 +485,7 @@ def chisq_lang_source(spark, sf_dir):
     cells = (
         docs.groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("o"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )  # stage the cell matrix: marginals derive from CELLS, never a rescan
     r = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
     c = cells.groupBy("source").agg(F.sum("o").alias("ct"))
@@ -719,7 +719,7 @@ def series_correlation_events(spark, sf_dir):
                 " div 100"
             ).alias("xd")
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     a = daily.select(
         F.col("event_type").alias("type_a"), "day", F.col("xd").alias("xa")
@@ -813,7 +813,7 @@ def cusum_change_point(spark, sf_dir):
         .over(w)
         .cast("long")
         .alias("cusum_scaled"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     peak = c.agg(F.max(F.abs(F.col("cusum_scaled"))).alias("_peak"))
     first_peak_day = (
         c.crossJoin(F.broadcast(peak))
@@ -891,7 +891,7 @@ def trend_by_segment(spark, sf_dir):
                 " AS BIGINT) div 100"
             ).alias("yd")
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     days = daily.select("day").distinct()
     wd = Window.orderBy("day")
@@ -1016,10 +1016,10 @@ def kmv_join_estimate(spark, sf_dir):
     ka = kmv_sketch(orders, "o_custkey", k=_KMV_K).localCheckpoint(
         eager=False
     )
-    kb = kmv_sketch(cust, "c_custkey", k=_KMV_K).localCheckpoint(eager=False)
+    kb = kmv_sketch(cust, "c_custkey", k=_KMV_K).localCheckpoint(eager=True)
     ku = (
         ka.unionAll(kb).distinct().orderBy("hv").limit(_KMV_K)
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     both = (
         ku.join(ka.withColumnRenamed("hv", "ha"), ku.hv == F.col("ha"))
         .join(kb.withColumnRenamed("hv", "hb"), ku.hv == F.col("hb"))

@@ -374,7 +374,7 @@ class StreamingNearDupGate:
         ).filter(F.col("text").isNotNull())
         bsigs = minhash_signatures(
             batch, num_hashes=self.num_hashes, k=self.k
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         bban = _banded(bsigs, self.bands, self.rows_per_band)
         cross = _estimate_filter(
             _estimate_candidates(bban, _pruned_index_buckets(bban, index)),

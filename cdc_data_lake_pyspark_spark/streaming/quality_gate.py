@@ -66,7 +66,7 @@ class StreamingQualityGate:
         # catches up) — and derive/validate the feature width from the
         # model's own spine so the gate can never score with a
         # mismatched bucket function
-        self.model = model.localCheckpoint(eager=False)
+        self.model = model.localCheckpoint(eager=True)
         spine_n = self.model.filter(F.col("bucket") >= 0).count()
         if n_buckets is not None and n_buckets != spine_n:
             raise ValueError(
@@ -99,7 +99,7 @@ class StreamingQualityGate:
             "_batch_id", F.lit(batch_id).cast("long")
         )
         # both routes read one staged scoring pass
-        scored = scored.localCheckpoint(eager=False)
+        scored = scored.localCheckpoint(eager=True)
         scored.filter(F.col("keep") == 1).drop("keep").write.mode(
             "append"
         ).parquet(f"{self.out_dir}/kept")

@@ -12,7 +12,7 @@ Per micro-batch: rows matching ANY violation condition are appended to
 the quarantine parquet (with the check name and batch id stamped for
 triage/replay), and only clean rows reach the wrapped target.  The
 split is one pass — the violation predicate is a single OR column, and
-the quarantine write reuses the same staged batch (lazy local
+the quarantine write reuses the same staged batch (eager local
 checkpoint) the clean path reads.
 
 Scale: validation is a map-only predicate; the quarantine store grows
@@ -48,7 +48,7 @@ def with_quarantine(
         raise ValueError("checks must be non-empty")
 
     def _gate(batch_df: DataFrame, batch_id: int = -1) -> None:
-        staged = batch_df.localCheckpoint(eager=False)
+        staged = batch_df.localCheckpoint(eager=True)
         labels = F.array_compact(
             F.array(
                 *[

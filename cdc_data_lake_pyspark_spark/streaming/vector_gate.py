@@ -192,8 +192,8 @@ class StreamingVectorDedupGate:
         shared :func:`_score_probed_cells` scorer."""
         spark = batch_df.sparkSession
         prefit = self.prefit(spark)
-        benc = self._encode(batch_df, prefit).localCheckpoint(eager=False)
-        probing = self._probing(benc, prefit).localCheckpoint(eager=False)
+        benc = self._encode(batch_df, prefit).localCheckpoint(eager=True)
+        probing = self._probing(benc, prefit).localCheckpoint(eager=True)
         # the probed-cell partition prune (collect ≤ nlist ints)
         cells = [
             r[0] for r in probing.select("_cell").distinct().collect()
