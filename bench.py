@@ -212,12 +212,27 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def sentinel_sample(spark) -> float:
-    """One timed draw of the fixed sentinel query: a 2M-row range
-    aggregate, whole-stage-codegen'd, no shuffle input — its wall time
-    tracks machine contention, not engine behavior."""
+def sentinel_sample(spark=None) -> float:
+    """One timed draw of the fixed contention sentinel: a pure-CPU
+    numpy matmul on the driver.  Deliberately NOT a Spark job (the
+    first design was `spark.range(2M).sum()` — but a trivial job's
+    wall is dominated by scheduler/listener overhead, which GROWS with
+    session age across a 400-job bench run, so the sentinel drifted
+    ~2.5x on a perfectly idle machine and the flag was meaningless).
+    Single-threaded on purpose (a BLAS matmul fans out over all cores
+    and its wall jitters ±70 % from thread scheduling alone): a
+    memory-bandwidth-bound sum is ±6 % run-to-run on an idle machine,
+    and inflates when the box is oversubscribed — which is exactly the
+    condition the flag exists to report.  The first draw pays
+    allocation/page-fault warmup; the median-of-three baseline absorbs
+    it."""
+    import numpy as np
+
     t0 = time.time()
-    materialize(spark.range(2_000_000).selectExpr("sum(id * 3) AS s"))
+    x = np.arange(30_000_000, dtype=np.float64)
+    acc = 0.0
+    for _ in range(3):
+        acc += float(x.sum())
     return round(time.time() - t0, 4)
 
 
@@ -300,10 +315,16 @@ def main() -> None:
     # per-query samples keyed by PASS index, so a query that fails one
     # pass cannot misalign another pass's draws (r10 review #1)
     core_samples: dict[str, dict] = {n: {} for n in MEDIAN_TRACKED}
-    # the contention sentinel's baseline: min of three draws up front
-    # (post-warm-up, pre-sweep) — the least-loaded the machine gets
+    # the contention sentinel's baseline: MEDIAN of three draws up
+    # front (post-warm-up, pre-sweep).  Median, not min: at the
+    # sentinel's ~150 ms scale ordinary scheduler jitter is ±50 %, so a
+    # lucky-low min made the 2x flag trip on a healthy run (observed
+    # ratio 2.0015 on an idle machine) — against the median baseline,
+    # real contention still reads 4-5x while jitter reads < 2x.
+    import statistics as _stats
+
     sentinel = [sentinel_sample(spark) for _ in range(3)]
-    sentinel_base = min(sentinel)
+    sentinel_base = _stats.median(sentinel)
     attempts_since_sentinel = 0
     state = {"sf": sf, "queries": timings, "errors": errors, "done": False}
     for pass_no in range(3):

@@ -117,5 +117,7 @@ def test_sentinel_contract():
     d = json.load(open(path))
     if "sentinel_sec" not in d:
         _pytest.skip("artifact predates the r14 sentinel contract")
-    assert d["sentinel_base_sec"] == min(d["sentinel_sec"][:3])
+    import statistics
+
+    assert d["sentinel_base_sec"] == statistics.median(d["sentinel_sec"][:3])
     assert isinstance(d["contention_flagged"], bool)
