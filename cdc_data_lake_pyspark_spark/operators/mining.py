@@ -89,7 +89,7 @@ def frequent_pairs(
     re-distinct the full fact table.
     """
     items = baskets.select(basket_col, item_col).distinct().localCheckpoint(
-        eager=False
+        eager=True
     )
     frequent = (
         items.groupBy(item_col)

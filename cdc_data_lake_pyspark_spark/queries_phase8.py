@@ -1014,7 +1014,7 @@ def kmv_join_estimate(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     ka = kmv_sketch(orders, "o_custkey", k=_KMV_K).localCheckpoint(
-        eager=False
+        eager=True
     )
     kb = kmv_sketch(cust, "c_custkey", k=_KMV_K).localCheckpoint(eager=True)
     ku = (
