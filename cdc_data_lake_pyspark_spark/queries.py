@@ -585,6 +585,30 @@ def top_customers_per_segment(spark, sf_dir):
 # sibling covering its operator family; the policy is documented in
 # COVERAGE.md (§ gate window).
 _DEMOTED: tuple[str, ...] = (
+    # --- rotated OUT in r15: the NEW multimodal_gate_batch takes a
+    # --- window slot per policy, and kmv_join_estimate +
+    # --- frequent_part_pairs rotate back IN for driver re-verification
+    # --- (their staging checkpoints flipped lazy→eager this round —
+    # --- ADVICE r14).  The three below free the slots.
+    "vector_gate_batch",
+    # streaming-vector-gate batch-reduction family: the NEW
+    # multimodal_gate_batch runs the identical
+    # StreamingVectorDedupGate.batch_reduce (shared _score_probed_cells
+    # kernels, cross-index + within-batch sources) as its second stage
+    # against a persisted encoded store, and dedup_embedding_incremental
+    # + dedup_embedding_incremental_store keep the IVF probe family
+    # in-window; slicing/crash/replay pinned in
+    # tests/test_streaming_vector.py; driver-green r13, r14
+    "daily_revenue_ma7",
+    # time-bucketed day-spine family: rotated back in r12 for
+    # re-verification, driver-green r12-r14; event_transition_matrix
+    # keeps keyed ordered aggregation in-window and the day-spine kernel
+    # stays oracle-checked in the tail (daily_gapfill_locf,
+    # ewma_daily_revenue, cumulative_unique_users)
+    "shipping_priority",
+    # TPC-H join+agg family: revenue_cube stays in-window on the same
+    # join + aggregate shape (through the Expand plan); rotated back in
+    # r12 for re-verification, driver-green r12-r14
     # --- rotated OUT in r14: the NEW multimodal capstone
     # --- (prepare_multimodal_incremental) takes a window slot per
     # --- policy; the one below frees it.
@@ -823,9 +847,8 @@ _DEMOTED: tuple[str, ...] = (
     "bloom_join_lineitem_urgent",
     # Bloom family: bloom_novel_docs (rotated in) replays the same
     # bloom_sketch/bloom_probe cells; driver-green r5
-    "kmv_join_estimate",
-    # integer-state sketch family: price_quantile_sketch (rotated in); KMV
-    # error/merge bounds pinned in tests/test_sketch.py; driver-green r5
+    # (kmv_join_estimate rotated back IN r15: its ka staging checkpoint
+    # flipped lazy→eager — changed ops sit in-window per policy)
     "multimodal_audio_frames",
     # WAV family: multimodal_audio_decode (rotated in) drives the same
     # real codec; golden bytes in tests/test_codecs.py; driver-green r5
@@ -841,9 +864,8 @@ _DEMOTED: tuple[str, ...] = (
     "cusum_change_point",
     # sufficient-statistics series family: series_correlation_events stays
     # in-window; CUSUM argmax pinned in pytest; driver-green r5
-    "frequent_part_pairs",
-    # co-occurrence self-join family: triangle_part_cliques stays in-
-    # window; support floors pinned in pytest; driver-green r5
+    # (frequent_part_pairs rotated back IN r15: its distinct+prune
+    # staging checkpoint flipped lazy→eager — changed ops sit in-window)
     "feature_hash_docs",
     # one-aggregate feature-encoding family: label_encode_docs stays
     # in-window; hashing-trick bucket bounds + determinism pinned in
@@ -956,3 +978,4 @@ def _load_phase2() -> None:
     import cdc_data_lake_pyspark_spark.queries_phase11  # noqa: F401
     import cdc_data_lake_pyspark_spark.queries_phase12  # noqa: F401
     import cdc_data_lake_pyspark_spark.queries_phase13  # noqa: F401
+    import cdc_data_lake_pyspark_spark.queries_phase14  # noqa: F401

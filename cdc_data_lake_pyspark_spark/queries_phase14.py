@@ -1,0 +1,256 @@
+"""Phase-14 inventory (round 15): the CHAINED MULTIMODAL GATE's batch
+reduction (VERDICT r14 missing #3 / next-round #1) — the
+``vector_gate_batch`` discipline applied to the chain as a unit: the
+packaged :class:`~cdc_data_lake_pyspark_spark.streaming.multimodal_gate.StreamingMultimodalGate`
+text-gates one day-1 micro-batch against the persisted day-0 MinHash
+keeper index, vector-gates the TEXT SURVIVORS against the persisted
+day-0 encoded-corpus IVF store, and emits the finally-novel ids —
+cross-index AND within-batch pair sources at BOTH stages, exactly what
+``process_batch`` would append to the vector store's kept set.  The
+streaming path's equality with this reduction (slicing invariance,
+cross-store crash seam, replay no-op) is pinned in
+``tests/test_streaming_multimodal.py``.
+
+Fixture: ``_mm_items`` verbatim (queries_phase13 — even crawl ids share
+a cross-day content pool that must drop at the TEXT stage; odd ids draw
+per-day pools; every crawl carries its own embedding), stores seeded by
+the same day-0 bootstrap the capstone runs, so capstone, hand-wired
+twin, packaged-gate tests, and this entry all gate the SAME corpus.
+
+Oracle (one WITH list): day-0 exact dedup; the text stage as EXACT
+cross-day AND within-batch 3-shingle Jaccard (the gate's Broder
+estimate agrees with exact Jaccard on this fixture because its
+near-threshold text pairs are EXACT re-crawls — identical text,
+identical xxhash signature components, estimate ≡ 1.0 — while every
+non-identical pair's similarity mass sits far below the 0.8 threshold
+on both metrics; signatures are seeded/deterministic so the agreement
+is frozen per SF, verified at sf0.001/0.01/0.1 and pinned in
+tests/test_streaming_multimodal.py via the batch_reduce ≡ stream
+equality over the same fixture — the ``dedup_minhash_lsh`` argument);
+the vector stage with the deterministic coarse quantizer pinned as
+DOUBLE[] literals — stable argmin/argsort cell replay, strict-fold
+exact cosine, the within-batch source replayed with the
+``vector_gate_batch`` smaller-id-assigned-cell rule.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.queries import _t, query
+from cdc_data_lake_pyspark_spark.queries_phase13 import (
+    _MM_N_CLUSTERS,
+    _MM_N_PROBE,
+    _MM_TEXT_THRESHOLD,
+    _MM_VEC_THRESHOLD,
+    _mm_items,
+)
+
+
+def _multimodal_gate_oracle() -> str:
+    """Replay the chained reduction: exact-Jaccard text stage (cross +
+    within-batch), then quantizer-pinned vector stage (cross + within-
+    batch) over the text survivors."""
+    import duckdb
+    import numpy as np
+
+    from cdc_data_lake_pyspark_spark.operators.similarity import fit_kmeans
+    from cdc_data_lake_pyspark_spark.queries_phase2 import (
+        _double_array_sql,
+        _oracle_sf_dir,
+    )
+    from cdc_data_lake_pyspark_spark.queries_phase11 import (
+        _DAY0_SQL,
+        _SRC_SQL,
+    )
+
+    sf_dir = _oracle_sf_dir()
+    pdf = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id % 7 < 4 ORDER BY vec_id LIMIT 200000"
+    ).df()
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    centers = fit_kmeans(X, _MM_N_CLUSTERS, seed=42)
+    cent_values = ",\n    ".join(
+        f"({i}, {_double_array_sql(c)})" for i, c in enumerate(centers)
+    )
+    shingles = (
+        "list_distinct(list_transform("
+        "generate_series(1, greatest(len(string_split(lower(text),"
+        "' ')) - 2, 0)), "
+        "i -> array_to_string(string_split(lower(text),' ')[i:i+2],"
+        " ' ')))"
+    )
+    cos = (
+        "list_dot_product(eb.v, ei.v)"
+        " / (sqrt(list_dot_product(eb.v, eb.v))"
+        " * sqrt(list_dot_product(ei.v, ei.v)))"
+    )
+    return f"""
+    WITH crawls AS (
+      SELECT c.doc_id, c.day, s.text
+      FROM (SELECT d.doc_id, {_DAY0_SQL} AS day, {_SRC_SQL} AS src
+            FROM documents d
+            JOIN embeddings em ON em.vec_id = d.doc_id) c
+      JOIN documents s ON s.doc_id = c.src
+      WHERE s.text IS NOT NULL
+    ), keep0 AS (
+      SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+      FROM crawls WHERE day = 0 GROUP BY md5(lower(trim(text)))
+    ), sh1 AS (
+      SELECT doc_id, unnest(sh) AS s, len(sh) AS n
+      FROM (SELECT doc_id, {shingles} AS sh FROM crawls WHERE day = 1)
+    ), sh0 AS (
+      SELECT doc_id, unnest(sh) AS s, len(sh) AS n
+      FROM (SELECT c.doc_id, {shingles} AS sh
+            FROM crawls c JOIN keep0 k ON k.doc_id = c.doc_id)
+    ), text_dropped AS (
+      -- cross-index: any day-0 keeper within threshold drops the batch doc
+      SELECT DISTINCT batch_id AS doc_id FROM (
+        SELECT b.doc_id AS batch_id,
+               count(*) AS common,
+               any_value(b.n) AS nb, any_value(i.n) AS ni
+        FROM sh1 b JOIN sh0 i ON b.s = i.s
+        GROUP BY b.doc_id, i.doc_id)
+      WHERE CAST(common AS DOUBLE) / CAST(nb + ni - common AS DOUBLE)
+            >= {_MM_TEXT_THRESHOLD}
+      UNION
+      -- within-batch: a smaller-id batch sibling drops the later doc
+      SELECT DISTINCT batch_id AS doc_id FROM (
+        SELECT b.doc_id AS batch_id,
+               count(*) AS common,
+               any_value(b.n) AS nb, any_value(a.n) AS na
+        FROM sh1 b JOIN sh1 a ON b.s = a.s AND a.doc_id < b.doc_id
+        GROUP BY b.doc_id, a.doc_id)
+      WHERE CAST(common AS DOUBLE) / CAST(nb + na - common AS DOUBLE)
+            >= {_MM_TEXT_THRESHOLD}
+    ), surv AS (
+      SELECT doc_id FROM crawls
+      WHERE day = 1
+        AND doc_id NOT IN (SELECT doc_id FROM text_dropped)
+    ), e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), cent(i, c) AS (
+      VALUES {cent_values}
+    ), vd AS (
+      SELECT e.vec_id, cent.i,
+             list_dot_product(e.v, e.v) - 2 * list_dot_product(e.v, cent.c)
+               + list_dot_product(cent.c, cent.c) AS d
+      FROM e CROSS JOIN cent
+    ), cells AS (
+      SELECT vec_id, i AS cell FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, i ASC) AS rn
+        FROM vd WHERE vec_id IN (SELECT doc_id FROM keep0)
+      ) WHERE rn = 1
+    ), bcells AS (
+      SELECT vec_id, i AS cell FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, i ASC) AS rn
+        FROM vd WHERE vec_id IN (SELECT doc_id FROM surv)
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS batch_id, i AS cell FROM (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, i ASC) AS rn
+        FROM vd WHERE vec_id IN (SELECT doc_id FROM surv)
+      ) WHERE rn <= {_MM_N_PROBE}
+    ), vec_dropped AS (
+      SELECT DISTINCT p.batch_id AS doc_id
+      FROM probes p JOIN cells cl ON cl.cell = p.cell
+      JOIN e eb ON eb.vec_id = p.batch_id
+      JOIN e ei ON ei.vec_id = cl.vec_id
+      WHERE {cos} >= {_MM_VEC_THRESHOLD}
+      UNION
+      SELECT DISTINCT p.batch_id AS doc_id
+      FROM probes p JOIN bcells bc
+        ON bc.cell = p.cell AND bc.vec_id < p.batch_id
+      JOIN e eb ON eb.vec_id = p.batch_id
+      JOIN e ei ON ei.vec_id = bc.vec_id
+      WHERE {cos} >= {_MM_VEC_THRESHOLD}
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id FROM surv
+    WHERE doc_id NOT IN (SELECT doc_id FROM vec_dropped)
+    """
+
+
+@query("multimodal_gate_batch", oracle=_multimodal_gate_oracle)
+def multimodal_gate_batch(spark, sf_dir):
+    """The chained multimodal gate's single-batch reduction
+    (``streaming/multimodal_gate.py::StreamingMultimodalGate
+    .batch_reduce``): day-0 keeper stores bootstrapped by the batch
+    lifecycle APIs (the capstone's day 0 — ``save_minhash_index`` +
+    ``save_ivf_corpus_index``, quantizer fit once on the bootstrap
+    split), then day 1 arrives as ONE multimodal micro-batch ``(doc_id,
+    text, embedding)`` and survives iff no earlier-seen text
+    near-duplicate (day-0 keeper or smaller-id batch sibling, Broder ≥
+    threshold) and, among text survivors, no earlier-seen vector in a
+    probed IVF cell at/above threshold cosine.
+
+    Plan shape at 100 TB: the text probe shingles the BATCH only and
+    joins the stored banded buckets; the vector probe encodes the
+    SURVIVORS only and partition-prunes the encoded store to its probed
+    cells; nothing rescans day-0 text or vectors — the gate shape the
+    MULTIMODAL_SOAK measured flat at the 100× axis, reduced over one
+    batch."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        exact_dedup,
+        minhash_index,
+        save_minhash_index,
+    )
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        fit_ivf_pq,
+        save_ivf_corpus_index,
+    )
+    from cdc_data_lake_pyspark_spark.streaming.multimodal_gate import (
+        StreamingMultimodalGate,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    items = _mm_items(docs, emb)
+    d0 = items.filter(F.col("day") == 0)
+    d1 = items.filter(F.col("day") == 1)
+    work = tempfile.mkdtemp(prefix="mm_gate_")
+    text_dir, vec_dir = f"{work}/text", f"{work}/vec"
+    try:
+        keep0 = exact_dedup(d0).select(F.col("keeper_id").alias("doc_id"))
+        keepers0 = d0.join(keep0, "doc_id", "left_semi").localCheckpoint()
+        save_minhash_index(minhash_index(keepers0), text_dir)
+        prefit = fit_ivf_pq(
+            emb.filter(F.col("vec_id") % 7 < 4),
+            n_clusters=_MM_N_CLUSTERS,
+            m_sub=8,
+            k=16,
+            seed=42,
+        )
+        save_ivf_corpus_index(
+            keepers0.select(F.col("doc_id").alias("vec_id")).join(
+                emb, "vec_id"
+            ),
+            prefit,
+            vec_dir,
+        )
+        gate = StreamingMultimodalGate(
+            text_dir,
+            vec_dir,
+            text_threshold=_MM_TEXT_THRESHOLD,
+            vec_threshold=_MM_VEC_THRESHOLD,
+            n_probe=_MM_N_PROBE,
+        )
+        batch = d1.join(emb, d1["doc_id"] == emb["vec_id"]).select(
+            "doc_id", "text", "embedding"
+        )
+        # the reduction reads both stores lazily — materialize before
+        # the work dir is deleted (the registry owns its temp artifacts)
+        out = gate.batch_reduce(batch, *gate.indices(spark)).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

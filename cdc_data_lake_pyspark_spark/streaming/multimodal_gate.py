@@ -1,0 +1,233 @@
+"""Chained MULTIMODAL streaming gate: the first-class composition of
+the text near-dup gate and the vector dedup gate (VERDICT r14 missing
+#3) — one ``foreachBatch`` target that text-gates every micro-batch of
+crawled documents against the persisted MinHash index, then
+vector-gates the TEXT SURVIVORS' embeddings against the persisted
+encoded-corpus IVF store, appending each stage's keepers to its own
+store.  This packages the chain ``tests/test_phase13.py`` wired by
+hand (tg.process_batch → kept_docs().filter(batch_id) →
+vg.process_batch) so the discipline below is enforced by an API, not
+by every call site.
+
+Semantics: a document survives iff (a) no document seen strictly
+earlier — ``(batch, id)`` order — is a text near-duplicate
+(Broder-estimated Jaccard ≥ ``text_threshold``), AND (b) among text
+survivors, no earlier-seen vector in a probed IVF cell sits at/above
+``vec_threshold`` exact cosine.  Each stage is the component gate's own
+seen-not-kept reduction, so the chain inherits both gates' slicing
+invariance (pinned for the chain as a unit in
+``tests/test_streaming_multimodal.py``); a null-text document drops at
+the text stage by that gate's contract and never reaches the vector
+stage.
+
+Exactly-once across TWO stores — the cross-store crash seam (the one
+discipline the hand-wired chain left untested): the two stores commit
+INDEPENDENTLY, text first.  ``process_batch`` runs the text gate to
+completion (its manifest row is its own last write) before the vector
+gate starts, so under a crash anywhere the stores are at one of three
+states, every one of which converges on checkpoint replay (foreachBatch
+re-delivers the batch under the SAME batch_id):
+
+1. text store mid-batch (no text manifest): the vector gate never ran
+   for this batch; the text gate's replay-leak exclusion reproduces its
+   verdicts, then the chain proceeds normally.
+2. text store committed, vector store mid-batch or untouched — the
+   seam: the text gate replays as a manifest-guarded NO-OP, the
+   survivor set is RECOMPUTED deterministically from the text gate's
+   persisted kept store (``kept_docs``'s distinct folds any duplicate
+   kept rows), and the vector gate's own replay-leak exclusion
+   reproduces its verdicts over exactly that set.
+3. both committed: both manifests hit; the whole batch is a no-op.
+
+Convergence of both stores to the single-run state across seam (2) is
+pinned in ``tests/test_streaming_multimodal.py``.
+
+Scale: the sum of the component gates' shapes — per batch, one
+signature aggregate over batch text + one banded-bucket join against
+the stored buckets (pruned to the batch's bucket prefixes when
+``bucket_partitions`` > 0), then one encode pass over the survivors'
+vectors + a probed-cell PARTITION-pruned scan of the encoded store
+(~``n_probe``/nlist of it); both appends touch only the day's keepers,
+so both artifacts track UNIQUE content, not crawl volume.  The batch
+-side twin measured flat at the 100× axis is
+``prepare_multimodal_incremental`` / ``daily_refresh_loop``
+(MULTIMODAL_SOAK.json); this gate is the deployment shape those
+measurement harnesses name.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cdc_data_lake_pyspark_spark.streaming.neardup import (
+    StreamingNearDupGate,
+)
+from cdc_data_lake_pyspark_spark.streaming.vector_gate import (
+    ENCODED_SCHEMA,
+    StreamingVectorDedupGate,
+)
+
+
+class StreamingMultimodalGate:
+    """``foreachBatch`` target chaining the two persisted-index gates:
+    text near-dup first, vector dedup on the text survivors.
+
+    ``text_dir`` / ``vec_dir`` are the component stores — the text side
+    may be fresh or seeded by ``save_minhash_index`` (day-0 bootstrap);
+    the vector side must already hold a ``save_ivf_pq_prefit`` /
+    ``save_ivf_corpus_index`` artifact (the quantizer is the vector
+    gate's fixed model).  The batch frame carries ``id_col`` +
+    ``text_col`` + ``vec_col`` together — the multimodal crawl row."""
+
+    def __init__(
+        self,
+        text_dir: str,
+        vec_dir: str,
+        text_threshold: float = 0.8,
+        vec_threshold: float = 0.9,
+        n_probe: int = 4,
+        shortlist: Optional[int] = None,
+        num_hashes: int = 64,
+        k: int = 3,
+        bands: int = 16,
+        rows_per_band: int = 4,
+        bucket_partitions: int = 0,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        vec_col: str = "embedding",
+    ) -> None:
+        self.id_col = id_col
+        self.text_col = text_col
+        self.vec_col = vec_col
+        self.text_gate = StreamingNearDupGate(
+            text_dir,
+            threshold=text_threshold,
+            num_hashes=num_hashes,
+            k=k,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            id_col=id_col,
+            text_col=text_col,
+            bucket_partitions=bucket_partitions,
+        )
+        self.vector_gate = StreamingVectorDedupGate(
+            vec_dir,
+            threshold=vec_threshold,
+            n_probe=n_probe,
+            shortlist=shortlist,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    # -- state readers ----------------------------------------------------
+    def kept_docs(self, spark: SparkSession) -> DataFrame:
+        """Final gate output so far: ``(doc_id, batch_id)`` of every
+        document that survived BOTH stages when it arrived — the vector
+        gate's kept store (its input is already text-gated), under the
+        component gates' crash-fold distinct."""
+        return self.vector_gate.kept_vectors(spark).select(
+            F.col("vec_id").alias("doc_id"), "batch_id"
+        )
+
+    def text_kept_docs(self, spark: SparkSession) -> DataFrame:
+        """Stage-1 output: documents that survived the TEXT gate
+        (whether or not the vector stage later dropped them)."""
+        return self.text_gate.kept_docs(spark)
+
+    # -- maintenance --------------------------------------------------------
+    def compact(self, spark: SparkSession, target_files: int = 4) -> None:
+        """Compact both component stores offline (between batches) —
+        verdict-preserving by each gate's own fold arguments."""
+        self.text_gate.compact(spark, target_files)
+        self.vector_gate.compact(spark, target_files)
+
+    # -- the pure reduction -------------------------------------------------
+    def indices(
+        self, spark: SparkSession, exclude_batch_id: Optional[int] = None
+    ):
+        """Both stores' current probe-side state ``(text_index,
+        encoded_frame)`` with each gate's replay-leak exclusion applied
+        (null-safe: seeded rows with no writer batch_id stay
+        candidates) — the argument pair :meth:`batch_reduce` takes."""
+        text_index = self.text_gate.index(
+            spark, exclude_batch_id=exclude_batch_id
+        )
+        encoded = self.vector_gate._read(spark, "encoded", ENCODED_SCHEMA)
+        if exclude_batch_id is not None:
+            encoded = encoded.filter(
+                ~F.col("batch_id").eqNullSafe(
+                    F.lit(int(exclude_batch_id)).cast("long")
+                )
+            )
+        return text_index, encoded.drop("batch_id")
+
+    def batch_reduce(
+        self, batch_df: DataFrame, text_index, encoded_index: DataFrame
+    ) -> DataFrame:
+        """The chain's pure single-batch reduction against GIVEN stage
+        states: text-gate the batch, vector-gate the survivors; returns
+        the finally-novel ``(doc_id)`` rows.  No state I/O — the
+        batch-vs-stream agreement and the oracled registry entry
+        (``multimodal_gate_batch``) both run exactly this function."""
+        novel_text, _ = self.text_gate.batch_reduce(
+            batch_df.select(self.id_col, self.text_col), text_index
+        )
+        survivors = batch_df.join(
+            novel_text,
+            batch_df[self.id_col].cast("long") == novel_text["doc_id"],
+            "left_semi",
+        )
+        novel_vec, _ = self.vector_gate.batch_reduce(
+            survivors.select(self.id_col, self.vec_col), encoded_index
+        )
+        return novel_vec.select(F.col("vec_id").alias("doc_id"))
+
+    # -- the foreachBatch target -------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int = -1) -> None:
+        """Text stage to completion (its own manifest last), then the
+        vector stage over the survivors RE-READ from the text gate's
+        kept store — not from an in-memory handoff — so a replay that
+        finds the text stage already manifested recomputes the same
+        survivor set the dead attempt handed on (the cross-store seam;
+        module docstring, state 2)."""
+        spark = batch_df.sparkSession
+        self.text_gate.process_batch(
+            batch_df.select(self.id_col, self.text_col), batch_id
+        )
+        survivors = self.text_gate.kept_docs(spark).filter(
+            F.col("batch_id") == int(batch_id)
+        )
+        self.vector_gate.process_batch(
+            batch_df.join(
+                survivors,
+                batch_df[self.id_col].cast("long") == survivors["doc_id"],
+                "left_semi",
+            ).select(self.id_col, self.vec_col),
+            batch_id,
+        )
+
+
+def start_multimodal_stream(
+    source: DataFrame,
+    gate: StreamingMultimodalGate,
+    checkpoint_location: str,
+    trigger_seconds: Optional[int] = None,
+    query_name: str = "multimodal_gate",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start the micro-batch stream feeding the chained gate."""
+    writer = (
+        source.writeStream.outputMode("append")
+        .queryName(query_name)
+        .foreachBatch(gate.process_batch)
+        .option("checkpointLocation", checkpoint_location)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

@@ -70,6 +70,22 @@ def test_write_partitioned_roundtrip_content(spark, tmp_path):
     )
 
 
+def _reset_managed_table(spark, table: str) -> None:
+    """Make a managed-table name safely creatable: DROP IF EXISTS only
+    removes a table the metastore KNOWS about — a killed earlier run
+    can leave an orphan ``spark-warehouse/<table>`` directory with no
+    metastore entry, and the next CREATE then dies with
+    LOCATION_ALREADY_EXISTS, wedging every later suite run (VERDICT r14
+    what's-wrong #1, observed live).  Pre-clean the location too."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:") :]
+    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+
+
 def test_bucketed_join_is_exchange_free(spark, tmp_path):
     """write_bucketed: two tables bucketed by the same key into the same
     bucket count must JOIN WITHOUT any Exchange (the shuffle was paid at
@@ -84,6 +100,8 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     dims = spark.createDataFrame(
         [(i, f"name{i}") for i in range(40)], "k long, name string"
     )
+    _reset_managed_table(spark, "bkt_facts")
+    _reset_managed_table(spark, "bkt_dims")
     write_bucketed(facts, "bkt_facts", "k", n_buckets=8)
     write_bucketed(dims, "bkt_dims", "k", n_buckets=8)
     try:
@@ -121,6 +139,35 @@ def test_bucketed_join_is_exchange_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_facts")
         spark.sql("DROP TABLE IF EXISTS bkt_dims")
+
+
+def test_bucketed_write_survives_orphan_warehouse_dir(spark):
+    """Regression (VERDICT r14 what's-wrong #1): plant an orphan
+    warehouse directory — data on disk, NO metastore entry, exactly
+    what a killed run leaves — and the pre-clean helper must make the
+    table creatable again."""
+    import os
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:") :]
+    orphan = f"{warehouse}/bkt_orphan_regression"
+    os.makedirs(orphan, exist_ok=True)
+    with open(f"{orphan}/stale-file", "w") as fh:
+        fh.write("left by a killed run")
+    from cdc_data_lake_pyspark_spark.operators.layout import write_bucketed
+
+    try:
+        _reset_managed_table(spark, "bkt_orphan_regression")
+        write_bucketed(
+            spark.createDataFrame([(1, 2)], "k long, v long"),
+            "bkt_orphan_regression",
+            "k",
+            n_buckets=2,
+        )
+        assert spark.table("bkt_orphan_regression").count() == 1
+    finally:
+        _reset_managed_table(spark, "bkt_orphan_regression")
 
 
 # ------------------------------------------------------------- compaction

@@ -4,14 +4,16 @@ rotation policy holds (queries.py `_DEMOTED` rationale): new/changed
 operators sit inside the window, and previously demoted entries rotate
 back in so the driver re-verifies them round over round.
 
-Round-14 window: the NEW prepare_multimodal_incremental (both
-persisted index families probed and appended in one two-day
-composition) is in-window per the new-ops rule, taking the slot of
-dedup_incremental_minhash (demoted with rationale: the capstone drives
-the same persisted-index probe lifecycle, and
-prepare_web_corpus_incremental keeps it inside the web composite;
-driver-green r10-r13).  The r12/r13 window rationale history lives in
-git; demotion rationales in queries._DEMOTED."""
+Round-15 window: the NEW multimodal_gate_batch (the chained text→
+vector gate's batch reduction) is in-window per the new-ops rule,
+taking the slot of vector_gate_batch (demoted with rationale: the
+chained entry runs the identical vector-gate reduction as its second
+stage; driver-green r13, r14); kmv_join_estimate and
+frequent_part_pairs rotate back IN (their staging checkpoints flipped
+lazy→eager this round — changed ops sit in-window), displacing
+daily_revenue_ma7 and shipping_priority (rotate-backs since r12,
+driver-green r12-r14; family rationales in queries._DEMOTED).  The
+earlier window rationale history lives in git."""
 
 from cdc_data_lake_pyspark_spark import queries as q
 
@@ -45,11 +47,13 @@ REQUIRED_VISIBLE = [
     # in-window per policy
     "dedup_embedding_incremental",
     "dedup_embedding_incremental_store",
-    # NEW r13: the streaming vector gate's batch reduction under the
-    # value gate (the novelty_gate_batch discipline; slot from
-    # daily_gapfill_locf, whose family siblings daily_revenue_ma7 +
-    # event_transition_matrix stay in-window)
-    "vector_gate_batch",
+    # (vector_gate_batch demoted mid-r15 for the NEW
+    # multimodal_gate_batch slot — the chained entry runs the identical
+    # vector-gate batch reduction as its second stage)
+    # NEW r15: the chained multimodal gate's batch reduction (text
+    # near-dup stage + vector stage over the text survivors, cross +
+    # within-batch pair sources at both stages)
+    "multimodal_gate_batch",
     # dedup exact-verify family (plain + prefix both in-window for r9 —
     # both rewritten this round and they share the IDENTICAL oracle)
     "dedup_jaccard_prefix",
@@ -132,26 +136,23 @@ REQUIRED_VISIBLE = [
     # persisted index families (MinHash text + encoded-corpus IVF)
     # probed and appended in one composition
     "prepare_multimodal_incremental",
-    # r12 rotate-backs (tail-oracled every round since r6/r7)
+    # r12 rotate-back (tail-oracled every round since r6/r7;
+    # daily_revenue_ma7 + shipping_priority demoted r15 after three
+    # driver-green in-window rounds)
     "lm_cross_entropy",
-    "daily_revenue_ma7",
-    "shipping_priority",
+    # r15 rotate-backs: staging checkpoints flipped lazy→eager
+    "kmv_join_estimate",
+    "frequent_part_pairs",
 ]
 
 # Operators added or materially changed this round: the rotation policy
 # requires them INSIDE the gated window (ADVICE r4).
 CHANGED_THIS_ROUND = [
-    # NEW r14: the combined multimodal capstone
-    "prepare_multimodal_incremental",
-    # r14-changed machinery: append_to_minhash_index write order
-    # (signatures first) + the live-gate-store compaction guard run
-    # inside these entries' lifecycles
-    "prepare_web_corpus_incremental",
-    # r14-changed: _score_probed_cells output typing + the vector
-    # gate's consolidation onto the shared encode/probe kernels
-    "dedup_embedding_incremental",
-    "dedup_embedding_incremental_store",
-    "vector_gate_batch",
+    # NEW r15: the chained multimodal gate's batch reduction
+    "multimodal_gate_batch",
+    # r15-changed: staging checkpoints flipped lazy→eager (ADVICE r14)
+    "kmv_join_estimate",
+    "frequent_part_pairs",
 ]
 
 

@@ -1,0 +1,275 @@
+"""The packaged chained multimodal gate
+(streaming/multimodal_gate.py::StreamingMultimodalGate — VERDICT r14
+missing #3): the text→vector chain as ONE API, with the one seam the
+hand-wired chain (tests/test_phase13.py) left untested pinned here —
+a crash BETWEEN the text gate's commit and the vector gate's commit of
+the same batch must converge on checkpoint replay: both stores equal
+to the single-run state.  Plus the chain-as-a-unit slicing invariance,
+manifest-guarded replay idempotence, and verdict-stable compaction."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cdc_data_lake_pyspark_spark.queries_phase13 import (
+    _MM_N_CLUSTERS,
+    _MM_N_PROBE,
+    _MM_TEXT_THRESHOLD,
+    _MM_VEC_THRESHOLD,
+    _mm_items,
+)
+from cdc_data_lake_pyspark_spark.streaming.multimodal_gate import (
+    StreamingMultimodalGate,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+needs_data = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata absent"
+)
+
+
+@pytest.fixture(scope="module")
+def seeded(spark, tmp_path_factory):
+    """Day-0 stores seeded once by the batch bootstrap APIs (the
+    capstone's day 0), plus the day-1 multimodal batch frame
+    ``(doc_id, text, embedding)`` — the exact fixture the oracled
+    entry and the hand-wired twin run."""
+    from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+        exact_dedup,
+        minhash_index,
+        save_minhash_index,
+    )
+    from cdc_data_lake_pyspark_spark.operators.similarity import (
+        fit_ivf_pq,
+        save_ivf_corpus_index,
+    )
+
+    if not os.path.isdir(SF_DIR):
+        pytest.skip("driver testdata absent")
+    root = tmp_path_factory.mktemp("mm_gate_seed")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    items = _mm_items(docs, emb)
+    d0 = items.filter(F.col("day") == 0)
+    keep0 = exact_dedup(d0).select(F.col("keeper_id").alias("doc_id"))
+    keepers0 = d0.join(keep0, "doc_id", "left_semi").localCheckpoint()
+    text_seed, vec_seed = str(root / "text0"), str(root / "vec0")
+    save_minhash_index(minhash_index(keepers0), text_seed)
+    prefit = fit_ivf_pq(
+        emb.filter(F.col("vec_id") % 7 < 4),
+        n_clusters=_MM_N_CLUSTERS,
+        m_sub=8,
+        k=16,
+        seed=42,
+    )
+    save_ivf_corpus_index(
+        keepers0.select(F.col("doc_id").alias("vec_id")).join(emb, "vec_id"),
+        prefit,
+        vec_seed,
+    )
+    d1 = (
+        items.filter(F.col("day") == 1)
+        .join(emb, items["doc_id"] == emb["vec_id"])
+        .select("doc_id", "text", "embedding")
+        .localCheckpoint()
+    )
+    return text_seed, vec_seed, d1, emb
+
+
+def _gate(run_dir: str, text_seed: str, vec_seed: str):
+    tdir, vdir = f"{run_dir}/text", f"{run_dir}/vec"
+    shutil.copytree(text_seed, tdir)
+    shutil.copytree(vec_seed, vdir)
+    return StreamingMultimodalGate(
+        tdir,
+        vdir,
+        text_threshold=_MM_TEXT_THRESHOLD,
+        vec_threshold=_MM_VEC_THRESHOLD,
+        n_probe=_MM_N_PROBE,
+    )
+
+
+def _state(spark, gate) -> tuple:
+    """Everything verdict-relevant in BOTH stores, duplicate-folded the
+    way every reader folds: final kept, text kept, the text index's
+    signature/bucket content, the vector store's encoded content."""
+    kept = sorted(
+        (r.doc_id, r.batch_id)
+        for r in gate.kept_docs(spark).collect()
+    )
+    tkept = sorted(
+        (r.doc_id, r.batch_id)
+        for r in gate.text_kept_docs(spark).collect()
+    )
+    idx = gate.text_gate.index(spark)
+    sigs = sorted(
+        (r.doc_id, tuple(r.sig))
+        for r in idx.signatures.distinct().collect()
+    )
+    buckets = sorted(
+        (r.doc_id, r.band, r.bucket)
+        for r in idx.buckets.distinct().collect()
+    )
+    _, encoded = gate.indices(spark)
+    enc = sorted(
+        (r.vec_id, r.cell, tuple(r.codes))
+        for r in encoded.distinct().collect()
+    )
+    return kept, tkept, sigs, buckets, enc
+
+
+@needs_data
+def test_chained_slicing_invariance_matches_batch_reduce(
+    spark, seeded, tmp_path
+):
+    """One batch vs three id-ordered micro-batches through the PACKAGED
+    gate both equal the gate's own pure batch reduction — the phase-13
+    hand-wired twin's contract, now on the API that enforces it."""
+    text_seed, vec_seed, d1, _emb = seeded
+    ref = _gate(str(tmp_path / "ref"), text_seed, vec_seed)
+    want = {
+        r.doc_id
+        for r in ref.batch_reduce(d1, *ref.indices(spark)).collect()
+    }
+
+    one = _gate(str(tmp_path / "one"), text_seed, vec_seed)
+    one.process_batch(d1, batch_id=1)
+    got_one = {r.doc_id for r in one.kept_docs(spark).collect()}
+
+    many = _gate(str(tmp_path / "many"), text_seed, vec_seed)
+    sliced = d1.withColumn(
+        "_slice", F.ntile(3).over(Window.orderBy("doc_id"))
+    ).localCheckpoint()
+    for s in range(1, 4):
+        many.process_batch(
+            sliced.filter(F.col("_slice") == s).drop("_slice"), batch_id=s
+        )
+    got_many = {r.doc_id for r in many.kept_docs(spark).collect()}
+
+    assert got_one == want
+    assert got_many == want
+    # non-vacuous: the chain really gated on both families
+    n_d1 = d1.count()
+    n_text = one.text_kept_docs(spark).count()
+    assert 0 < n_text < n_d1
+    assert want and len(want) < n_text
+
+
+@needs_data
+def test_cross_store_crash_seam_converges(spark, seeded, tmp_path):
+    """THE seam (VERDICT r14): batch 2 crashes BETWEEN the text gate's
+    commit and the vector gate's commit.  Two windows — vector store
+    untouched, and the harsher vector-store-partial (kept + encoded
+    appended, manifest missing).  Replaying the CHAIN must converge
+    both stores to the clean two-batch run's state."""
+    text_seed, vec_seed, d1, _emb = seeded
+    sliced = d1.withColumn(
+        "_slice", F.ntile(2).over(Window.orderBy("doc_id"))
+    ).localCheckpoint()
+    b1 = sliced.filter(F.col("_slice") == 1).drop("_slice")
+    b2 = sliced.filter(F.col("_slice") == 2).drop("_slice")
+
+    ref = _gate(str(tmp_path / "ref"), text_seed, vec_seed)
+    ref.process_batch(b1, batch_id=1)
+    ref.process_batch(b2, batch_id=2)
+    want = _state(spark, ref)
+
+    # window A: text store committed for batch 2, vector store untouched
+    a = _gate(str(tmp_path / "a"), text_seed, vec_seed)
+    a.process_batch(b1, batch_id=1)
+    a.text_gate.process_batch(b2.select("doc_id", "text"), batch_id=2)
+    # the dead attempt never reached the vector gate; replay the chain
+    a.process_batch(b2, batch_id=2)
+    assert _state(spark, a) == want
+
+    # window B: text committed AND the vector gate's kept + encoded
+    # appends landed, but its manifest row did not (the
+    # test_streaming_vector crash window, reached through the chain)
+    b = _gate(str(tmp_path / "b"), text_seed, vec_seed)
+    b.process_batch(b1, batch_id=1)
+    b.text_gate.process_batch(b2.select("doc_id", "text"), batch_id=2)
+    surv = b.text_gate.kept_docs(spark).filter(F.col("batch_id") == 2)
+    vbatch = b2.join(
+        surv, b2["doc_id"].cast("long") == surv["doc_id"], "left_semi"
+    ).select("doc_id", "embedding")
+    _, encoded = b.indices(spark)
+    novel, benc = b.vector_gate.batch_reduce(vbatch, encoded)
+    benc = benc.localCheckpoint()
+    novel.localCheckpoint().withColumn(
+        "batch_id", F.lit(2).cast("long")
+    ).write.mode("append").parquet(f"{b.vector_gate.index_dir}/kept")
+    benc.withColumn("batch_id", F.lit(2).cast("long")).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(f"{b.vector_gate.index_dir}/encoded")
+    # checkpoint replay re-delivers batch 2 through the chain
+    b.process_batch(b2, batch_id=2)
+    assert _state(spark, b) == want
+
+
+@needs_data
+def test_chained_replay_is_noop(spark, seeded, tmp_path):
+    """A fully-committed batch replays as a no-op in BOTH stores (both
+    manifests hit) — byte-level: no store grows."""
+    text_seed, vec_seed, d1, _emb = seeded
+    gate = _gate(str(tmp_path / "g"), text_seed, vec_seed)
+    gate.process_batch(d1, batch_id=7)
+    before = _state(spark, gate)
+    counts = {
+        d: spark.read.parquet(d).count()
+        for d in (
+            f"{gate.text_gate.index_dir}/signatures",
+            f"{gate.text_gate.index_dir}/kept",
+            f"{gate.vector_gate.index_dir}/encoded",
+            f"{gate.vector_gate.index_dir}/kept",
+        )
+    }
+    gate.process_batch(d1, batch_id=7)
+    assert _state(spark, gate) == before
+    for d, n in counts.items():
+        assert spark.read.parquet(d).count() == n, d
+
+
+@needs_data
+def test_chained_compaction_preserves_verdicts(spark, seeded, tmp_path):
+    """compact() delegates to both component stores; verdict-relevant
+    state is identical and a later batch's verdicts are unchanged."""
+    text_seed, vec_seed, d1, _emb = seeded
+    sliced = d1.withColumn(
+        "_slice", F.ntile(2).over(Window.orderBy("doc_id"))
+    ).localCheckpoint()
+    b1 = sliced.filter(F.col("_slice") == 1).drop("_slice")
+    b2 = sliced.filter(F.col("_slice") == 2).drop("_slice")
+
+    plain = _gate(str(tmp_path / "plain"), text_seed, vec_seed)
+    plain.process_batch(b1, batch_id=1)
+    plain.process_batch(b2, batch_id=2)
+
+    compacted = _gate(str(tmp_path / "compacted"), text_seed, vec_seed)
+    compacted.process_batch(b1, batch_id=1)
+    compacted.compact(spark, target_files=2)
+    compacted.process_batch(b2, batch_id=2)
+    compacted.compact(spark, target_files=2)
+
+    assert _state(spark, plain) == _state(spark, compacted)
+    # compaction actually bounded the file sets
+    enc_dir = f"{compacted.vector_gate.index_dir}/encoded"
+    for cell_dir in os.listdir(enc_dir):
+        if cell_dir.startswith("cell="):
+            n = len(
+                [
+                    f
+                    for f in os.listdir(f"{enc_dir}/{cell_dir}")
+                    if f.endswith(".parquet")
+                ]
+            )
+            assert n <= 2, (cell_dir, n)
