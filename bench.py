@@ -262,45 +262,11 @@ def flush_partial(state: dict) -> None:
     os.replace(tmp, LOCAL_RESULTS)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    tee_stderr(STDERR_CAPTURE)
-    spark = build_session(app_name="cdc-engine-bench")
-    # WARN (not ERROR): the whole point of the KNOWN_BENIGN_WARNINGS scan
-    # is to surface unexpected WARN lines — at ERROR level the scan would
-    # be vacuous.  Log noise goes to stderr; the parseable summary line is
-    # the only stdout the harness emits.
-    spark.sparkContext.setLogLevel("WARN")
-
-    registry = q.queries()
-    names = [n for n in HEADLINE if n in registry]
-    names += [n for n in registry if n not in names]
-
-    # Envelope fixtures materialize ONCE, untimed (spread across all cores
-    # first — the pipeline would repartition a thin batch anyway)
-    par = spark.sparkContext.defaultParallelism
-    prepared_env = {}
-    for name, (prep, _) in q.BENCH_PREPARED.items():
-        if name in registry:
-            try:
-                prepared_env[name] = (
-                    prep(spark, sf_dir).repartition(par).localCheckpoint()
-                )
-            except Exception:
-                pass  # the query falls back to its cold path
-
-    # Warm-up at sf0.001 (untimed): JIT/codegen compilation and Python
-    # worker spin-up are one-time session costs, not per-query cost — the
-    # timings below measure steady-state execution.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for name in names:
-            try:
-                materialize(registry[name](spark, warm_dir))
-            except Exception:
-                pass
-
+def run_sweep(spark, registry, names, prepared_env, sf_dir, sf) -> dict:
+    """One full timed sweep (3 passes + sentinel draws + derived
+    metrics), streamed to ``BENCH_local.json`` as it goes.  Returns the
+    state dict, including its own ``contention_flagged`` verdict — the
+    caller decides whether a flagged sweep may become the artifact."""
     # each attempt gets ONE retry on failure so a transient executor
     # fault never zeroes out the whole sweep.  Pass budget (VERDICT r9
     # #4): the 10-query CORE gets THREE timed passes — SCALE.md §6
@@ -395,13 +361,9 @@ def main() -> None:
     contention_flagged = any(
         s > SENTINEL_FLAG_RATIO * sentinel_base for s in sentinel
     )
-    unknown_warn_count, unknown_warn_lines = scan_warnings(STDERR_CAPTURE)
     state["sentinel_sec"] = sentinel
     state["sentinel_base_sec"] = sentinel_base
     state["contention_flagged"] = contention_flagged
-    state["unknown_warn_count"] = unknown_warn_count
-    state["unknown_warn_lines"] = unknown_warn_lines
-    state["done"] = True
     state["total"] = total
     state["flagship_events"] = flagship_events
     state["flagship_events_per_sec"] = flagship_eps
@@ -443,38 +405,121 @@ def main() -> None:
     state["core_complete_passes"] = len(complete)
     state["core_query_medians"] = core_medians
     flush_partial(state)
+    return state
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    tee_stderr(STDERR_CAPTURE)
+    spark = build_session(app_name="cdc-engine-bench")
+    # WARN (not ERROR): the whole point of the KNOWN_BENIGN_WARNINGS scan
+    # is to surface unexpected WARN lines — at ERROR level the scan would
+    # be vacuous.  Log noise goes to stderr; the parseable summary line is
+    # the only stdout the harness emits.
+    spark.sparkContext.setLogLevel("WARN")
+
+    registry = q.queries()
+    names = [n for n in HEADLINE if n in registry]
+    names += [n for n in registry if n not in names]
+
+    # Envelope fixtures materialize ONCE, untimed (spread across all cores
+    # first — the pipeline would repartition a thin batch anyway)
+    par = spark.sparkContext.defaultParallelism
+    prepared_env = {}
+    for name, (prep, _) in q.BENCH_PREPARED.items():
+        if name in registry:
+            try:
+                prepared_env[name] = (
+                    prep(spark, sf_dir).repartition(par).localCheckpoint()
+                )
+            except Exception:
+                pass  # the query falls back to its cold path
+
+    # Warm-up at sf0.001 (untimed): JIT/codegen compilation and Python
+    # worker spin-up are one-time session costs, not per-query cost — the
+    # timings below measure steady-state execution.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in names:
+            try:
+                materialize(registry[name](spark, warm_dir))
+            except Exception:
+                pass
+
+    state = run_sweep(spark, registry, names, prepared_env, sf_dir, sf)
+    # VERDICT r14 #2: a contention-flagged sweep must not silently
+    # become the round artifact — its samples are, by the sentinel's own
+    # contract, not comparable round-over-round.  Retry the ENTIRE sweep
+    # once (fresh sentinel baseline); if the retry is flagged too, ship
+    # it flagged — the artifact still self-identifies — with the first
+    # attempt's headline numbers preserved for the reader.
+    first_attempt = None
+    if state["contention_flagged"]:
+        print(
+            "bench: contention sentinel flagged "
+            f"(max {max(state['sentinel_sec']):.3f}s vs base "
+            f"{state['sentinel_base_sec']:.3f}s); re-running the full "
+            "sweep once",
+            file=sys.stderr,
+            flush=True,
+        )
+        first_attempt = {
+            "contention_flagged": True,
+            "sentinel_base_sec": state["sentinel_base_sec"],
+            "sentinel_max_sec": max(state["sentinel_sec"]),
+            "core_headline_median_sec": state["core_headline_median_sec"],
+            "core_headline_sec": state["core_headline_sec"],
+            "total": state["total"],
+        }
+        state = run_sweep(spark, registry, names, prepared_env, sf_dir, sf)
+        state["contention_first_attempt"] = first_attempt
+        flush_partial(state)
+
+    unknown_warn_count, unknown_warn_lines = scan_warnings(STDERR_CAPTURE)
+    state["unknown_warn_count"] = unknown_warn_count
+    state["unknown_warn_lines"] = unknown_warn_lines
+    state["done"] = True
+    flush_partial(state)
+
+    timings = state["queries"]
+    errors = state["errors"]
     summary = {
         # FIRST fields by contract: the 10-query core, as the MEDIAN of
         # three per-pass sums (VERDICT r9 #4 — robust to the measured
         # 26 % single-draw noise band; tools/bench_compare.py diffs it)
         # plus the legacy sum-of-per-query-mins core_headline_sec kept
         # for the r4-r9 trend line.
-        "core_headline_median_sec": core_median,
-        "core_headline_min_sec": core_min,
-        "core_headline_sec": core,
+        "core_headline_median_sec": state["core_headline_median_sec"],
+        "core_headline_min_sec": state["core_headline_min_sec"],
+        "core_headline_sec": state["core_headline_sec"],
         "metric": "headline query wall time (sum)",
-        "value": total,
+        "value": state["total"],
         "unit": "sec",
-        # compact: headline timings only; full 64-query map in BENCH_local.json
+        # compact: headline timings only; full per-query map in BENCH_local.json
         "queries": {n: timings[n] for n in HEADLINE if n in timings},
         "sf": sf,
         "n_queries": len(timings),
         "n_failed": len(errors),
         "failed": sorted(errors),
-        "flagship_events": flagship_events,
-        "flagship_events_per_sec": flagship_eps,
-        "dataprep_docs": dataprep_docs,
-        "dataprep_docs_per_sec": dataprep_dps,
+        "flagship_events": state["flagship_events"],
+        "flagship_events_per_sec": state["flagship_events_per_sec"],
+        "dataprep_docs": state["dataprep_docs"],
+        "dataprep_docs_per_sec": state["dataprep_docs_per_sec"],
         # WARN lines matching no KNOWN_BENIGN_WARNINGS key (offending
         # lines in BENCH_local.json -> unknown_warn_lines)
         "unknown_warn_count": unknown_warn_count,
         # contention sentinel (VERDICT r13 #3): True when any interval
         # draw of the fixed trivial query exceeded 2x this run's own
         # baseline — per-query samples then are not comparable
-        # round-over-round without re-measuring on an idle machine
-        "contention_flagged": contention_flagged,
-        "sentinel_base_sec": sentinel_base,
-        "sentinel_max_sec": max(sentinel),
+        # round-over-round without re-measuring on an idle machine.
+        # Since r15 (VERDICT r14 #2) a flagged first sweep triggers ONE
+        # automatic full re-run; `contention_retried` + the preserved
+        # first-attempt numbers make a retried artifact self-describing.
+        "contention_flagged": state["contention_flagged"],
+        "contention_retried": first_attempt is not None,
+        "sentinel_base_sec": state["sentinel_base_sec"],
+        "sentinel_max_sec": max(state["sentinel_sec"]),
         "full_results": "BENCH_local.json",
     }
     sys.stdout.flush()

@@ -1293,14 +1293,26 @@ def save_minhash_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
-def load_minhash_index(spark: SparkSession, path: str) -> MinHashIndex:
+def load_minhash_index(
+    spark: SparkSession, path: str, exclude_writer: Optional[int] = None
+) -> MinHashIndex:
     """Reload a persisted :func:`save_minhash_index` artifact, validating
     the schema contract before any query plans against it (a drifted
     artifact fails HERE, at load, with a readable message — not deep in
     an executor as a binding error or a silently-empty join).  A
     half-finished :func:`compact_minhash_index` swap (old store parked,
     store missing) is repaired before reading, so a crash mid-compaction
-    never strands the artifact unreadable."""
+    never strands the artifact unreadable.
+
+    ``exclude_writer`` (VERDICT r14 #5) filters out rows APPENDED under
+    that writer id (``append_to_minhash_index(..., writer_id=...)``) —
+    the day-granularity replay-leak exclusion: a daily job re-running
+    day k after a crash that landed day k's append must not probe
+    against the dead attempt's own leaked signatures (they would drop
+    every day-k keeper as an estimate-1.0 self-duplicate).  Null-SAFE:
+    untagged rows (the bootstrap save, untagged appends) are history
+    and stay candidates — the streaming gates' batch-scoped discipline
+    at day granularity."""
     for sub in ("signatures", "buckets", "params"):
         _recover_halfswap(f"{path}/{sub}")
     params_rows = spark.read.parquet(f"{path}/params").collect()
@@ -1341,6 +1353,12 @@ def load_minhash_index(spark: SparkSession, path: str) -> MinHashIndex:
         if got != want:
             raise ValueError(
                 f"minhash index {what} schema drifted: {got} != {want}"
+            )
+        if exclude_writer is not None and "batch_id" in frame.columns:
+            frame = frame.filter(
+                ~F.col("batch_id").eqNullSafe(
+                    F.lit(int(exclude_writer)).cast("long")
+                )
             )
         checked.append(frame.drop("batch_id"))
     sigs, buckets = checked
@@ -1590,6 +1608,7 @@ def append_to_minhash_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     keepers_only: bool = True,
+    writer_id: Optional[int] = None,
 ) -> None:
     """Index UPDATE — the first-class daily append a persisted
     :func:`save_minhash_index` artifact needs (VERDICT r12 #1: the raw
@@ -1621,7 +1640,17 @@ def append_to_minhash_index(
     pipeline probes first (:func:`minhash_probe` drops near-dups of
     indexed content) and appends only the survivors' keepers, so no
     already-indexed content can reach the append (the
-    ``daily_refresh_loop`` / capstone order of operations)."""
+    ``daily_refresh_loop`` / capstone order of operations).
+
+    ``writer_id`` (VERDICT r14 #5) tags every appended row with a
+    writer ``batch_id`` — the streaming gates' replay-leak exclusion
+    key at day granularity, so a crash-rerun of the same day can
+    exclude the dead attempt's rows via
+    ``load_minhash_index(..., exclude_writer=day)``.  A store carrying
+    non-null writer ids is thereafter the writer's to compact (the
+    batch :func:`compact_minhash_index` refuses it — its fixed schema
+    would erase the exclusion key; use a batch_id-preserving
+    :func:`_swap_compact_store`, as ``daily_refresh_loop`` does)."""
     spark = docs.sparkSession
     index = load_minhash_index(spark, index_dir)
     new = docs.select(
@@ -1636,6 +1665,10 @@ def append_to_minhash_index(
     sigs = _stage(
         minhash_signatures(new, num_hashes=index.num_hashes, k=index.k)
     )
+    if writer_id is not None:
+        sigs = sigs.withColumn(
+            "batch_id", F.lit(int(writer_id)).cast("long")
+        )
     # signatures are written FIRST (VERDICT r13 #2): a signature without
     # bucket rows is inert — it can never become a candidate, so a crash
     # between the two appends leaves a store whose probes are identical
@@ -1645,7 +1678,13 @@ def append_to_minhash_index(
     # probes in the crash window MISSED near-dups of the half-appended
     # docs (pinned in tests/test_index_persistence.py).
     sigs.write.mode("append").parquet(f"{index_dir}/signatures")
-    banded = _banded(sigs, index.bands, index.rows_per_band)
+    banded = _banded(
+        sigs.drop("batch_id"), index.bands, index.rows_per_band
+    )
+    if writer_id is not None:
+        banded = banded.withColumn(
+            "batch_id", F.lit(int(writer_id)).cast("long")
+        )
     if index.bucket_partitions > 0:
         banded.withColumn(
             "_pfx",

@@ -1464,7 +1464,7 @@ def save_ivf_corpus_index(
     save_ivf_pq_prefit(corpus.sparkSession, prefit, path)
 
 
-def load_ivf_corpus_index(spark, path: str):
+def load_ivf_corpus_index(spark, path: str, exclude_writer=None):
     """Reload the encoded-corpus artifact: ``(prefit, encoded_frame)``
     with the schema contract validated at load (the
     :func:`load_minhash_index` discipline) and a half-finished
@@ -1474,7 +1474,13 @@ def load_ivf_corpus_index(spark, path: str):
     tolerate and DROP it — an explicit ``mergeSchema`` read, because
     plain schema inference samples one file and would make the
     column's presence (and thus validation) nondeterministic on a
-    mixed seeded+streamed store."""
+    mixed seeded+streamed store.
+
+    ``exclude_writer`` (VERDICT r14 #5): drop rows APPENDED under that
+    writer id (``append_to_ivf_corpus_index(..., writer_id=...)``) —
+    the day-granularity replay-leak exclusion, null-safe so untagged
+    bootstrap/append rows stay probe-visible (the
+    ``load_minhash_index`` twin)."""
     from cdc_data_lake_pyspark_spark.operators.dedup_text import (
         _recover_halfswap,
     )
@@ -1490,6 +1496,12 @@ def load_ivf_corpus_index(spark, path: str):
         raise ValueError(
             "ivf corpus index schema drifted: batch_id is not bigint"
         )
+    if exclude_writer is not None and "batch_id" in encoded.columns:
+        encoded = encoded.filter(
+            ~F.col("batch_id").eqNullSafe(
+                F.lit(int(exclude_writer)).cast("long")
+            )
+        )
     encoded = encoded.drop("batch_id")
     if got != _CORPUS_INDEX_SCHEMA:
         raise ValueError(
@@ -1504,6 +1516,7 @@ def append_to_ivf_corpus_index(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    writer_id=None,
 ) -> None:
     """Daily index UPDATE for the vector artifact — the
     :func:`append_to_minhash_index` counterpart: encode the new vectors
@@ -1511,12 +1524,23 @@ def append_to_ivf_corpus_index(
     stay mutually consistent forever — a re-fit would silently shear
     the cell layout) and append them into the cell partitions.  Only
     the new vectors are touched; the store is never read or
-    rewritten."""
+    rewritten.
+
+    ``writer_id`` (VERDICT r14 #5) tags the appended rows with a writer
+    ``batch_id`` — the day-granularity replay-leak exclusion key (see
+    ``append_to_minhash_index``); a tagged store must thereafter be
+    compacted with a batch_id-preserving rewrite, never the batch
+    :func:`compact_ivf_corpus_index` (which refuses it)."""
     spark = vectors.sparkSession
     prefit, _ = load_ivf_corpus_index(spark, path)  # validates layout
-    _ivf_encode_frame(vectors, prefit, id_col, vec_col).write.mode(
-        "append"
-    ).partitionBy("cell").parquet(f"{path}/encoded")
+    enc = _ivf_encode_frame(vectors, prefit, id_col, vec_col)
+    if writer_id is not None:
+        enc = enc.withColumn(
+            "batch_id", F.lit(int(writer_id)).cast("long")
+        )
+    enc.write.mode("append").partitionBy("cell").parquet(
+        f"{path}/encoded"
+    )
 
 
 def compact_ivf_corpus_index(
@@ -1557,6 +1581,7 @@ def probe_ivf_corpus_index(
     shortlist: Optional[int] = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_writer=None,
 ) -> DataFrame:
     """Daily probe against the PERSISTED encoded corpus: load the
     prefit (driver-resident KBs), collect the batch's probed-cell set
@@ -1567,8 +1592,12 @@ def probe_ivf_corpus_index(
     side; the filter reaching the scan is pinned in tests/test_pq.py).
     Scoring semantics are EXACTLY :func:`ivf_dedup_batch`'s — same
     probe assignment, same strict-fold cosine, same optional ADC
-    shortlist — so the same DuckDB oracle replays both paths."""
-    prefit, encoded = load_ivf_corpus_index(spark, path)
+    shortlist — so the same DuckDB oracle replays both paths.
+    ``exclude_writer`` passes through to :func:`load_ivf_corpus_index`
+    (the day-granularity replay-leak exclusion)."""
+    prefit, encoded = load_ivf_corpus_index(
+        spark, path, exclude_writer=exclude_writer
+    )
     probing = _ivf_probe_frame(
         batch, prefit, n_probe, id_col, vec_col
     ).localCheckpoint(eager=True)

@@ -579,7 +579,9 @@ def _soak_day_crawls(base, k: int):
     )
 
 
-def refold_host_stats(spark, hosts_dir: str, target_files: int = 1) -> None:
+def refold_host_stats(
+    spark, hosts_dir: str, target_files: int = 1, day_tagged: bool = False
+) -> None:
     """Sum-REFOLD compaction for the cumulative host-reputation store
     (VERDICT r13 #4): the daily loop appends one per-host sufficient-
     statistics row-set per day, so the store's file count grows
@@ -591,11 +593,32 @@ def refold_host_stats(spark, hosts_dir: str, target_files: int = 1) -> None:
     of the downstream aggregate: the gate always reads the store
     through ``groupBy(_host).agg(sum, sum)``, and summing a pre-summed
     snapshot is the same fold (verdict identity pinned in
-    tests/test_phase11.py)."""
+    tests/test_phase11.py).
+
+    ``day_tagged`` (the ``exactly_once`` loop's variant, VERDICT r14
+    #5): rows carry a writer ``_day`` column; the fold distinct-folds
+    first (a crash-rerun's re-append is a byte-identical ``(_host, _n,
+    _u, _day)`` row set and must count ONCE, while two legitimate days
+    with identical stats keep distinct ``_day`` values and both count)
+    and emits the snapshot under ``_day`` NULL — which every later
+    day's null-safe own-day exclusion keeps, exactly like an untagged
+    bootstrap row."""
     from cdc_data_lake_pyspark_spark.operators.dedup_text import (
         _swap_compact_store,
     )
 
+    if day_tagged:
+        _swap_compact_store(
+            spark,
+            hosts_dir,
+            "_host STRING, _n BIGINT, _u BIGINT, _day INT",
+            target_files,
+            fold=lambda df: df.distinct()
+            .groupBy("_host")
+            .agg(F.sum("_n").alias("_n"), F.sum("_u").alias("_u"))
+            .withColumn("_day", F.lit(None).cast("int")),
+        )
+        return
     _swap_compact_store(
         spark,
         hosts_dir,
@@ -616,6 +639,8 @@ def daily_refresh_loop(
     embeddings=None,
     vec_threshold: float = 0.35,
     vec_n_probe: int = 4,
+    exactly_once: bool = True,
+    _crash_after_appends_on_day: int | None = None,
 ):
     """Run the corpus-refresh pipeline as an N-DAY LOOP over persisted
     artifacts — the soak the 2-day oracled capstones
@@ -668,17 +693,32 @@ def daily_refresh_loop(
     work types present every day; per-day non-degeneracy is asserted by
     the soak tool, the r12 lesson).
 
-    RESTART CONTRACT (ADVICE r13): this loop is the soak/measurement
-    harness, and it assumes restart-from-scratch — it has no per-day
-    manifest, so re-running day k after a crash that landed day k's
-    ``append_to_minhash_index`` would probe against the day's own
-    just-appended keeper signatures and drop them all as estimate-1.0
-    self-duplicates.  The day-granularity exactly-once discipline
-    (manifest written last + batch-scoped leak exclusion) is the
-    STREAMING gates' job — ``StreamingNearDupGate`` /
-    ``StreamingVectorDedupGate`` are the deployment shape for a
-    pipeline that must survive mid-day crashes; this loop measures the
-    daily marginal cost curve over a clean run."""
+    RESTART CONTRACT (``exactly_once=True``, VERDICT r14 #5 — the
+    streaming gates' discipline at day granularity): a SEVENTH
+    persisted artifact, the per-day manifest (``days/``, one row per
+    completed day, written LAST), plus a persisted ``keepers/`` store,
+    make re-invoking the loop over an existing ``work_dir`` converge:
+
+    * a MANIFESTED day is skipped outright (its keepers are read back
+      from the store);
+    * an UNMANIFESTED day whose appends partially landed (the crash
+      window this loop previously could not survive) re-runs with the
+      dead attempt's rows EXCLUDED — every append is tagged with its
+      writer day (``writer_id=k`` on both index appends, a ``_day``
+      column on the host-stats and seen-URL rows), and the day's reads
+      filter out their own day's tags null-safely, so the re-run
+      reproduces the clean verdicts; its re-appends are byte-identical
+      and fold downstream (distinct for keepers/digests/index rows,
+      the ``_day``-scoped distinct for the host sufficient statistics);
+    * compaction runs only AFTER the day's manifest row, uses
+      batch_id/_day-PRESERVING rewrites (the batch compactors refuse
+      tagged stores by design), and is crash-recoverable by the swap.
+
+    Crash-rerun convergence to the clean-run keepers is pinned in
+    tests/test_daily_manifest.py.  With ``exactly_once=False`` the
+    legacy restart-from-scratch measurement shape is preserved
+    (untagged appends, no manifest reads/writes) for soak
+    comparability with the r13/r14 artifacts."""
     import time as _time
 
     from cdc_data_lake_pyspark_spark.functions.html import main_text_sql
@@ -738,8 +778,32 @@ def daily_refresh_loop(
     )
     url_expr = _V3_URL_SQL.replace("doc_id", "_url_id")
     host_expr = _V3_HOST_SQL.replace("doc_id", "_url_id")
+    days_dir, keepers_dir = f"{work_dir}/days", f"{work_dir}/keepers"
+    manifested: set = set()
+    if exactly_once:
+        import os as _os
+
+        from cdc_data_lake_pyspark_spark.operators.dedup_text import (
+            _recover_halfswap,
+        )
+
+        _recover_halfswap(days_dir)
+        if _os.path.isdir(days_dir):
+            # bounded collect: one int per completed day
+            manifested = {
+                r[0]
+                for r in spark.read.schema("_day INT")
+                .parquet(days_dir)
+                .collect()
+            }
     outs = []
     for k in range(n_days):
+        if k in manifested:
+            # completed by a previous invocation — every artifact
+            # already reflects this day; keepers come from the store
+            if day_metrics is not None:
+                day_metrics.append({"day": k, "skipped": True})
+            continue
         t0 = _time.time()
         m: dict = {"day": k}
         crawls = _stage(_soak_day_crawls(base, k))
@@ -763,11 +827,31 @@ def daily_refresh_loop(
             F.count(F.lit(1)).alias("_n"),
             F.countDistinct("_c").alias("_u"),
         )
+        if exactly_once:
+            # the writer-day tag: the exactly-once key for this store —
+            # a crash-rerun of day k excludes _day = k (its own dead
+            # attempt's leak), and the _day-scoped distinct below folds
+            # any double-appended day's byte-identical row set while two
+            # LEGITIMATE days with identical stats still both count
+            day_stats = day_stats.withColumn(
+                "_day", F.lit(k).cast("int")
+            )
         if k == 0:
             # bootstrap: day 0 gates under its own crawl's stats
             day_stats.write.mode("overwrite").parquet(hosts_dir)
+        hosts_hist = spark.read.parquet(hosts_dir)
+        if exactly_once:
+            if "_day" not in hosts_hist.columns:
+                hosts_hist = hosts_hist.withColumn(
+                    "_day", F.lit(None).cast("int")
+                )
+            if k > 0:
+                hosts_hist = hosts_hist.filter(
+                    ~F.col("_day").eqNullSafe(F.lit(k))
+                )
+            hosts_hist = hosts_hist.distinct()
         good = (
-            spark.read.parquet(hosts_dir)
+            hosts_hist
             .groupBy("_host")
             .agg(F.sum("_n").alias("_n"), F.sum("_u").alias("_u"))
             .filter(
@@ -797,7 +881,17 @@ def daily_refresh_loop(
             )
 
             _recover_halfswap(seen_dir)
-            seen = spark.read.schema("_cd string").parquet(seen_dir)
+            if exactly_once:
+                # exclude the day's own leaked digests (a dead attempt's
+                # append would otherwise anti-join away the entire day)
+                seen = (
+                    spark.read.schema("_cd STRING, _day INT")
+                    .parquet(seen_dir)
+                    .filter(~F.col("_day").eqNullSafe(F.lit(k)))
+                    .select("_cd")
+                )
+            else:
+                seen = spark.read.schema("_cd string").parquet(seen_dir)
             frontier = (
                 gated_hosts.withColumn("_cd", F.md5("_c"))
                 .join(seen, "_cd", "left_anti")
@@ -839,7 +933,11 @@ def daily_refresh_loop(
             # the stored buckets, Broder estimate from stored signatures —
             # the corpus text is never re-read (re-crawls here are exact
             # copies, estimate = 1.0)
-            index = load_minhash_index(spark, index_dir)
+            index = load_minhash_index(
+                spark,
+                index_dir,
+                exclude_writer=k if exactly_once else None,
+            )
             nd_pairs = minhash_probe(
                 gated.select("doc_id", F.col("main_text").alias("text")),
                 index,
@@ -869,6 +967,7 @@ def daily_refresh_loop(
                     _vec_batch(nd, crawls),
                     threshold=vec_threshold,
                     n_probe=vec_n_probe,
+                    exclude_writer=k if exactly_once else None,
                 )
                 nd2 = _stage(
                     nd.join(
@@ -905,13 +1004,14 @@ def daily_refresh_loop(
             )
         )
         keepers = clean.join(keep.select("doc_id"), "doc_id", "left_semi")
+        digests = canon.select(F.md5("_c").alias("_cd")).distinct()
+        if exactly_once:
+            digests = digests.withColumn("_day", F.lit(k).cast("int"))
         if k == 0:
             save_minhash_index(
                 minhash_index(keepers, text_col="main_text"), index_dir
             )
-            canon.select(F.md5("_c").alias("_cd")).distinct().write.mode(
-                "overwrite"
-            ).parquet(seen_dir)
+            digests.write.mode("overwrite").parquet(seen_dir)
             if embeddings is not None:
                 # the FIFTH artifact: encoded-corpus IVF store of the
                 # day-0 keepers' embeddings; quantizer fit once on the
@@ -928,32 +1028,91 @@ def daily_refresh_loop(
             append_to_minhash_index(
                 index_dir,
                 keepers.select("doc_id", F.col("main_text").alias("text")),
+                writer_id=k if exactly_once else None,
             )
-            canon.select(F.md5("_c").alias("_cd")).distinct().write.mode(
-                "append"
-            ).parquet(seen_dir)
+            digests.write.mode("append").parquet(seen_dir)
             if embeddings is not None:
                 append_to_ivf_corpus_index(
-                    vec_dir, _vec_batch(keepers, crawls)
+                    vec_dir,
+                    _vec_batch(keepers, crawls),
+                    writer_id=k if exactly_once else None,
                 )
+        if exactly_once:
+            # the day's keepers persist too (the loop's OUTPUT must be
+            # reconstructable on resume), then the manifest row LAST —
+            # the crash window between any append above and this line
+            # re-runs the day with its own tags excluded; re-appended
+            # rows are byte-identical and fold downstream
+            keep.select(
+                F.lit(k).cast("int").alias("day"),
+                "doc_id",
+                "fingerprint",
+                "n_urls",
+            ).write.mode("append").parquet(keepers_dir)
+            if _crash_after_appends_on_day == k:
+                raise RuntimeError(
+                    f"injected crash: day {k} appends landed, manifest "
+                    "not written (tests/test_daily_manifest.py)"
+                )
+            spark.createDataFrame([(k,)], "_day INT").coalesce(
+                1
+            ).write.mode("append").parquet(days_dir)
         if compact_every and k > 0 and k % compact_every == 0:
-            compact_minhash_index(spark, index_dir)
-            # the seen-URL digest store accumulates one file set per
-            # day too; digests are idempotent (seen twice = seen), so
-            # the distinct-folding swap rewrite is verdict-preserving.
             from cdc_data_lake_pyspark_spark.operators.dedup_text import (
                 _swap_compact_store,
             )
 
-            _swap_compact_store(spark, seen_dir, "_cd STRING", 4)
+            if exactly_once:
+                # tag-PRESERVING compaction (the batch compactors refuse
+                # writer-tagged stores by design — their fixed schemas
+                # would erase the exclusion key): distinct-fold each
+                # store WITH its batch_id/_day column.  Safe here
+                # because compaction runs only after this day's manifest
+                # row — the swap itself is crash-recoverable, and a
+                # crash between manifest and compaction just skips the
+                # maintenance until the next compaction day.
+                _swap_compact_store(
+                    spark,
+                    f"{index_dir}/signatures",
+                    "doc_id BIGINT, sig ARRAY<BIGINT>, batch_id BIGINT",
+                    4,
+                )
+                _swap_compact_store(
+                    spark,
+                    f"{index_dir}/buckets",
+                    "doc_id BIGINT, band INT, bucket BIGINT, "
+                    "batch_id BIGINT",
+                    4,
+                )
+                _swap_compact_store(
+                    spark, seen_dir, "_cd STRING, _day INT", 4
+                )
+                if embeddings is not None:
+                    _swap_compact_store(
+                        spark,
+                        f"{vec_dir}/encoded",
+                        "vec_id BIGINT, embedding ARRAY<DOUBLE>, "
+                        "codes ARRAY<INT>, cell INT, batch_id BIGINT",
+                        4,
+                        "cell",
+                    )
+            else:
+                compact_minhash_index(spark, index_dir)
+                # the seen-URL digest store accumulates one file set per
+                # day too; digests are idempotent (seen twice = seen), so
+                # the distinct-folding swap rewrite is verdict-preserving.
+                _swap_compact_store(spark, seen_dir, "_cd STRING", 4)
+                if embeddings is not None:
+                    compact_ivf_corpus_index(spark, vec_dir)
             # the host-stats store is NOT distinct-compactable (two
             # days with identical (host, n, u) rows must both count) —
             # its maintenance is the sum-REFOLD: days 0..k become one
             # snapshot row per host, read-equivalent under the gate's
-            # cumulative aggregate (VERDICT r13 #4)
-            refold_host_stats(spark, hosts_dir)
-            if embeddings is not None:
-                compact_ivf_corpus_index(spark, vec_dir)
+            # cumulative aggregate (VERDICT r13 #4; the day-tagged
+            # variant distinct-folds leaked duplicates first and emits
+            # the snapshot under _day NULL, which every later
+            # exclusion keeps)
+            refold_host_stats(spark, hosts_dir, day_tagged=exactly_once)
         if day_metrics is not None:
             m["kept_rows"] = keep.count()
             m["wall_sec"] = round(_time.time() - t0, 2)
@@ -982,9 +1141,22 @@ def daily_refresh_loop(
                 "n_urls",
             )
         )
-    result = outs[0]
-    for o in outs[1:]:
-        result = result.unionByName(o)
+    if exactly_once:
+        # the persisted keepers store is the authoritative output: it
+        # covers days skipped as already-manifested, and its distinct
+        # folds a crash-rerun's byte-identical re-append
+        result = (
+            spark.read.schema(
+                "day INT, doc_id BIGINT, fingerprint STRING, "
+                "n_urls BIGINT"
+            )
+            .parquet(keepers_dir)
+            .distinct()
+        )
+    else:
+        result = outs[0]
+        for o in outs[1:]:
+            result = result.unionByName(o)
     if cleanup_work_dir:
         # an auto-created work dir is the loop's to clean up (the
         # ADVICE r12 discipline the 2-day entry follows): materialize

@@ -157,3 +157,22 @@ def test_web_corpus_incremental_output_is_fully_staged(
         assert heavy not in plan, f"{heavy} re-executes per action"
     phys = _plan(df)
     assert "Scan ExistingRDD" in phys and "Exchange" not in phys
+
+
+def test_multimodal_incremental_output_is_fully_staged(
+    spark, sf_dir, registry
+):
+    """VERDICT r14 what's-wrong #3: prepare_multimodal_incremental has
+    the same all-zero PLANS.md row as the web incremental (fully staged
+    union — every heavy stage, both probe families, both appends run
+    once in the body; the returned frame re-executes only staged
+    leaves) but that discipline had no drift pin.  Same contract as
+    test_web_corpus_incremental_output_is_fully_staged."""
+    df = registry["prepare_multimodal_incremental"](spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = [l for l in plan.splitlines() if l.strip()]
+    assert 1 <= sum("LogicalRDD" in l for l in lines) <= 2, plan
+    for heavy in ("Join", "Aggregate", "Generate"):
+        assert heavy not in plan, f"{heavy} re-executes per action"
+    phys = _plan(df)
+    assert "Scan ExistingRDD" in phys and "Exchange" not in phys
