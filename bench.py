@@ -236,6 +236,22 @@ def sentinel_sample(spark=None) -> float:
     return round(time.time() - t0, 4)
 
 
+def sentinel_draw() -> float:
+    """One recorded sentinel DRAW = the MIN of three consecutive
+    probes.  Measured (r15): the single probe taken immediately after
+    a Spark attempt reads 1.6-1.8 s against a 0.15 s quiescent floor
+    and decays to the floor by the SECOND probe — the bench's own
+    just-finished job leaves a one-probe allocation/page-reclaim
+    transient (np.arange faulting 240 MB against memory the JVM just
+    churned), not sustained load.  A single-probe draw therefore
+    flagged every sf0.1 run on an IDLE machine (r14's artifact, and
+    r15's first two attempts, all with max 3-6 s).  Min-of-three reads
+    through the transient while a genuinely oversubscribed box — the
+    condition the flag exists to report — inflates all three probes
+    and still trips the 2x ratio."""
+    return min(sentinel_sample() for _ in range(3))
+
+
 def run_query(spark, name, sf_dir, prepared_env):
     """Build the query's DataFrame; CDC queries reuse the pre-materialized
     envelope batch so the timed region measures the ENGINE (parse → route
@@ -289,7 +305,7 @@ def run_sweep(spark, registry, names, prepared_env, sf_dir, sf) -> dict:
     # real contention still reads 4-5x while jitter reads < 2x.
     import statistics as _stats
 
-    sentinel = [sentinel_sample(spark) for _ in range(3)]
+    sentinel = [sentinel_draw() for _ in range(3)]
     sentinel_base = _stats.median(sentinel)
     attempts_since_sentinel = 0
     state = {"sf": sf, "queries": timings, "errors": errors, "done": False}
@@ -302,7 +318,7 @@ def run_sweep(spark, registry, names, prepared_env, sf_dir, sf) -> dict:
                 continue
             attempts_since_sentinel += 1
             if attempts_since_sentinel >= SENTINEL_EVERY:
-                sentinel.append(sentinel_sample(spark))
+                sentinel.append(sentinel_draw())
                 attempts_since_sentinel = 0
             elapsed, err = timed_attempt(spark, name, sf_dir, prepared_env)
             if elapsed is None:
@@ -357,7 +373,7 @@ def run_sweep(spark, registry, names, prepared_env, sf_dir, sf) -> dict:
         if dataprep_docs and timings.get("prepare_training_corpus")
         else None
     )
-    sentinel.append(sentinel_sample(spark))  # closing draw
+    sentinel.append(sentinel_draw())  # closing draw
     contention_flagged = any(
         s > SENTINEL_FLAG_RATIO * sentinel_base for s in sentinel
     )
