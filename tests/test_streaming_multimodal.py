@@ -273,3 +273,47 @@ def test_chained_compaction_preserves_verdicts(spark, seeded, tmp_path):
                 ]
             )
             assert n <= 2, (cell_dir, n)
+
+
+@needs_data
+def test_multimodal_writestream_e2e_and_restart(spark, seeded, tmp_path):
+    """The packaged gate behind a REAL Structured Streaming query
+    (readStream JSON → start_multimodal_stream, availableNow): sliced
+    arrival equals the pure batch reduction, and a checkpoint restart
+    with no new data changes neither store — the gates' own e2e shape,
+    applied to the chain."""
+    from cdc_data_lake_pyspark_spark.streaming.multimodal_gate import (
+        start_multimodal_stream,
+    )
+
+    text_seed, vec_seed, d1, _emb = seeded
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    gate = _gate(str(tmp_path / "run"), text_seed, vec_seed)
+
+    ref = _gate(str(tmp_path / "ref"), text_seed, vec_seed)
+    want = {
+        r.doc_id
+        for r in ref.batch_reduce(d1, *ref.indices(spark)).collect()
+    }
+
+    def _drain():
+        stream = spark.readStream.schema(
+            "doc_id long, text string, embedding array<double>"
+        ).json(src)
+        q = start_multimodal_stream(stream, gate, ckpt, available_now=True)
+        q.awaitTermination(600)
+
+    sliced = d1.withColumn(
+        "_slice", F.ntile(2).over(Window.orderBy("doc_id"))
+    ).localCheckpoint()
+    for s in range(1, 3):
+        sliced.filter(F.col("_slice") == s).drop("_slice").coalesce(
+            1
+        ).write.mode("append").json(src)
+        _drain()
+    got = {r.doc_id for r in gate.kept_docs(spark).collect()}
+    assert got == want
+    before = _state(spark, gate)
+    _drain()  # restart, no new data: both stores unchanged
+    assert _state(spark, gate) == before
