@@ -65,6 +65,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from cdc_data_lake_pyspark_spark.streaming.neardup import (
     StreamingNearDupGate,
+    _require_integral_id,
 )
 from cdc_data_lake_pyspark_spark.streaming.vector_gate import (
     ENCODED_SCHEMA,
@@ -81,7 +82,12 @@ class StreamingMultimodalGate:
     the vector side must already hold a ``save_ivf_pq_prefit`` /
     ``save_ivf_corpus_index`` artifact (the quantizer is the vector
     gate's fixed model).  The batch frame carries ``id_col`` +
-    ``text_col`` + ``vec_col`` together — the multimodal crawl row."""
+    ``text_col`` + ``vec_col`` together — the multimodal crawl row.
+    ``id_col`` must be an INTEGRAL column (byte/short/int/long): both
+    persisted stores key their verdicts on BIGINT ids, and every entry
+    point refuses a non-integral id loudly (ADVICE r15 — a string id
+    would cast to NULL in the store joins and silently drop every
+    row)."""
 
     def __init__(
         self,
@@ -173,6 +179,9 @@ class StreamingMultimodalGate:
         the finally-novel ``(doc_id)`` rows.  No state I/O — the
         batch-vs-stream agreement and the oracled registry entry
         (``multimodal_gate_batch``) both run exactly this function."""
+        _require_integral_id(
+            batch_df, self.id_col, "StreamingMultimodalGate.batch_reduce"
+        )
         novel_text, _ = self.text_gate.batch_reduce(
             batch_df.select(self.id_col, self.text_col), text_index
         )
@@ -194,6 +203,9 @@ class StreamingMultimodalGate:
         finds the text stage already manifested recomputes the same
         survivor set the dead attempt handed on (the cross-store seam;
         module docstring, state 2)."""
+        _require_integral_id(
+            batch_df, self.id_col, "StreamingMultimodalGate.process_batch"
+        )
         spark = batch_df.sparkSession
         self.text_gate.process_batch(
             batch_df.select(self.id_col, self.text_col), batch_id

@@ -99,6 +99,39 @@ KEPT_SCHEMA = T.StructType(
     ]
 )
 
+#: id types the persisted stores accept — everything that widens to the
+#: stores' BIGINT key without loss
+_INTEGRAL_ID_TYPES = (
+    T.ByteType,
+    T.ShortType,
+    T.IntegerType,
+    T.LongType,
+)
+
+
+def _require_integral_id(df: DataFrame, id_col: str, ctx: str) -> None:
+    """Refuse a non-integral id column LOUDLY (ADVICE r15): every
+    persisted gate store keys its verdicts on BIGINT ids, and the
+    gates' store joins ``cast(id_col as long)`` — a string id would
+    cast to NULL, match nothing, and silently drop every row instead
+    of erroring.  Checked at every ``process_batch`` / ``batch_reduce``
+    entry; schema-only, no job is launched."""
+    try:
+        dt = df.schema[id_col].dataType
+    except KeyError:
+        raise TypeError(
+            f"{ctx}: id column {id_col!r} is absent from the batch "
+            f"frame (columns: {df.columns})"
+        ) from None
+    if not isinstance(dt, _INTEGRAL_ID_TYPES):
+        raise TypeError(
+            f"{ctx}: id column {id_col!r} must be an integral type "
+            f"(byte/short/int/long), got {dt.simpleString()} — the "
+            "persisted stores key verdicts on BIGINT ids, so a "
+            "non-integral id would cast to NULL in the store joins "
+            "and silently drop every row"
+        )
+
 #: processed-batch manifest — the O(1)-per-batch replay guard
 MANIFEST_SCHEMA = T.StructType(
     [T.StructField("batch_id", T.LongType(), True)]
@@ -368,6 +401,9 @@ class StreamingNearDupGate:
         with the ``smaller id = earlier`` convention; the signature
         frame rides along so the caller's appends never recompute
         shingling."""
+        _require_integral_id(
+            batch_df, self.id_col, "StreamingNearDupGate.batch_reduce"
+        )
         batch = batch_df.select(
             F.col(self.id_col).cast("long").alias("doc_id"),
             F.col(self.text_col).alias("text"),
@@ -402,6 +438,9 @@ class StreamingNearDupGate:
 
     # -- the foreachBatch target -------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int = -1) -> None:
+        _require_integral_id(
+            batch_df, self.id_col, "StreamingNearDupGate.process_batch"
+        )
         spark = batch_df.sparkSession
         # replay guard: a processed-batch MANIFEST, not an id-level
         # anti-join against the full signature store (VERDICT r11 #2 —

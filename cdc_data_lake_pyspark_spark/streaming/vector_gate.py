@@ -63,6 +63,9 @@ from cdc_data_lake_pyspark_spark.operators.similarity import (
     _score_probed_cells,
     load_ivf_pq_prefit,
 )
+from cdc_data_lake_pyspark_spark.streaming.neardup import (
+    _require_integral_id,
+)
 
 #: encoded rows carry the writing batch_id (the replay-leak exclusion
 #: key); a store seeded from save_ivf_corpus_index reads it as NULL
@@ -190,6 +193,9 @@ class StreamingVectorDedupGate:
         returns ``(novel, batch_encoded)``.  Cross-index pairs and
         within-batch pairs (``smaller id = earlier``) both run the
         shared :func:`_score_probed_cells` scorer."""
+        _require_integral_id(
+            batch_df, self.id_col, "StreamingVectorDedupGate.batch_reduce"
+        )
         spark = batch_df.sparkSession
         prefit = self.prefit(spark)
         benc = self._encode(batch_df, prefit).localCheckpoint(eager=True)
@@ -224,6 +230,9 @@ class StreamingVectorDedupGate:
 
     # -- the foreachBatch target -------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int = -1) -> None:
+        _require_integral_id(
+            batch_df, self.id_col, "StreamingVectorDedupGate.process_batch"
+        )
         spark = batch_df.sparkSession
         done = self._read(spark, "batches", MANIFEST_SCHEMA)
         if not done.filter(F.col("batch_id") == batch_id).isEmpty():

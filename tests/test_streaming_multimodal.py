@@ -128,6 +128,46 @@ def _state(spark, gate) -> tuple:
     return kept, tkept, sigs, buckets, enc
 
 
+def test_non_integral_id_is_refused_loudly(spark, tmp_path):
+    """ADVICE r15: the gates' store joins ``cast(id as long)``, so a
+    string doc_id would cast to NULL and silently drop every row —
+    every entry point of all three gates must refuse it with a clear
+    TypeError instead, BEFORE touching any store (the gates here have
+    no seeded artifacts at all)."""
+    from cdc_data_lake_pyspark_spark.streaming.neardup import (
+        StreamingNearDupGate,
+    )
+    from cdc_data_lake_pyspark_spark.streaming.vector_gate import (
+        StreamingVectorDedupGate,
+    )
+
+    bad = spark.createDataFrame(
+        [("a", "some text", [0.1, 0.2])],
+        "doc_id string, text string, embedding array<double>",
+    )
+    mm = StreamingMultimodalGate(
+        str(tmp_path / "t"), str(tmp_path / "v")
+    )
+    tg = StreamingNearDupGate(str(tmp_path / "t2"))
+    vg = StreamingVectorDedupGate(str(tmp_path / "v2"), id_col="doc_id")
+    for entry in (
+        lambda: mm.process_batch(bad, 1),
+        lambda: mm.batch_reduce(bad, None, None),
+        lambda: tg.process_batch(bad.select("doc_id", "text"), 1),
+        lambda: tg.batch_reduce(bad.select("doc_id", "text"), None),
+        lambda: vg.process_batch(bad.select("doc_id", "embedding"), 1),
+        lambda: vg.batch_reduce(bad.select("doc_id", "embedding"), None),
+    ):
+        with pytest.raises(TypeError, match="integral"):
+            entry()
+    # a missing id column is refused with its own clear message
+    with pytest.raises(TypeError, match="absent"):
+        mm.process_batch(bad.select("text", "embedding"), 1)
+    # nothing above may have created store state
+    assert not os.path.exists(str(tmp_path / "t"))
+    assert not os.path.exists(str(tmp_path / "v2"))
+
+
 @needs_data
 def test_chained_slicing_invariance_matches_batch_reduce(
     spark, seeded, tmp_path
