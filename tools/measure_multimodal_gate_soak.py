@@ -92,29 +92,17 @@ def main() -> None:
     )
     a_pool = pool.filter(F.col("idx") < n_a).localCheckpoint()
 
-    from cdc_data_lake_pyspark_spark.operators.similarity import (
-        fit_ivf_pq,
-        save_ivf_pq_prefit,
-    )
-
     work = tempfile.mkdtemp(prefix="mm_gate_soak_")
     text_dir, vec_dir = f"{work}/text", f"{work}/vec"
-    # the vector gate needs its quantizer up front (its fixed model);
-    # the text store starts empty — batch 0 seeds both through the
-    # gate's own appends
-    save_ivf_pq_prefit(
-        spark,
-        fit_ivf_pq(
-            pool.select(F.col("idx").alias("vec_id"), "embedding"),
-            n_clusters=16,
-            m_sub=8,
-            k=16,
-            seed=42,
-        ),
-        vec_dir,
-    )
     gate = StreamingMultimodalGate(
         text_dir, vec_dir, text_threshold=0.8, vec_threshold=0.9, n_probe=4
+    )
+    # empty-store bootstrap (docs=None): only the quantizer prefit is
+    # written — the vector gate needs its fixed model up front, while
+    # batch 0 seeds both data stores through the gate's own appends
+    gate.bootstrap(
+        fit_vectors=pool.select(F.col("idx").alias("vec_id"), "embedding"),
+        n_clusters=16,
     )
 
     def batch_frame(b: int):
