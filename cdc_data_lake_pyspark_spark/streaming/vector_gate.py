@@ -114,6 +114,13 @@ class StreamingVectorDedupGate:
         self.id_col = id_col
         self.vec_col = vec_col
         self._prefit = None
+        #: test-only fault-injection point (always None in production):
+        #: called with the batch_id after the kept/encoded appends have
+        #: LANDED but before the manifest row is written — raising here
+        #: reproduces, inside the real streaming runtime, the harsher
+        #: crash window the replay-convergence tests pin
+        #: (tests/test_streaming_multimodal.py, VERDICT r15 #1)
+        self._fault_before_manifest = None
 
     def prefit(self, spark: SparkSession) -> tuple:
         """The artifact's own quantizer, loaded once per gate instance
@@ -261,6 +268,8 @@ class StreamingVectorDedupGate:
         ).write.mode("append").partitionBy("cell").parquet(
             f"{self.index_dir}/encoded"
         )
+        if self._fault_before_manifest is not None:
+            self._fault_before_manifest(batch_id)
         spark.createDataFrame(
             [(int(batch_id),)], MANIFEST_SCHEMA
         ).coalesce(1).write.mode("append").parquet(
