@@ -700,7 +700,11 @@ def daily_refresh_loop(
     make re-invoking the loop over an existing ``work_dir`` converge:
 
     * a MANIFESTED day is skipped outright (its keepers are read back
-      from the store);
+      from the store) — guarded by an INPUT FINGERPRINT (ADVICE r15):
+      every manifest row records an order-independent digest + row
+      count of the input frame, and a re-invocation whose input
+      doesn't match raises instead of silently returning stale
+      keepers;
     * an UNMANIFESTED day whose appends partially landed (the crash
       window this loop previously could not survive) re-runs with the
       dead attempt's rows EXCLUDED — every append is tagged with its
@@ -780,6 +784,7 @@ def daily_refresh_loop(
     host_expr = _V3_HOST_SQL.replace("doc_id", "_url_id")
     days_dir, keepers_dir = f"{work_dir}/days", f"{work_dir}/keepers"
     manifested: set = set()
+    input_fp: tuple = (None, None)
     if exactly_once:
         import os as _os
 
@@ -787,15 +792,45 @@ def daily_refresh_loop(
             _recover_halfswap,
         )
 
+        # input fingerprint (ADVICE r15): an order-independent content
+        # digest + row count of the input frame, recorded with every
+        # day's manifest row.  Without it, re-invoking over an existing
+        # work_dir with a DIFFERENT input silently skips manifested
+        # days and returns stale keepers; with it, the mismatch raises.
+        # bit_xor folds per-row xxhash64 digests commutatively, so the
+        # digest is partitioning- and order-insensitive — one aggregate
+        # over the staged base frame per invocation.
+        fp_row = base.agg(
+            F.expr("bit_xor(xxhash64(doc_id, text))").alias("_fp"),
+            F.count(F.lit(1)).alias("_rows"),
+        ).collect()[0]
+        input_fp = (fp_row["_fp"], fp_row["_rows"])
         _recover_halfswap(days_dir)
         if _os.path.isdir(days_dir):
-            # bounded collect: one int per completed day
-            manifested = {
-                r[0]
-                for r in spark.read.schema("_day INT")
+            # bounded collect: one row per completed day.  Pre-r16
+            # manifests carry only _day; their _fp/_rows read as NULL
+            # and are exempt from the fingerprint check.
+            rows = (
+                spark.read.schema("_day INT, _fp BIGINT, _rows BIGINT")
                 .parquet(days_dir)
                 .collect()
+            )
+            manifested = {r["_day"] for r in rows}
+            stale = {
+                (r["_fp"], r["_rows"])
+                for r in rows
+                if r["_rows"] is not None
+                and (r["_fp"], r["_rows"]) != input_fp
             }
+            if stale:
+                raise ValueError(
+                    f"daily_refresh_loop: work_dir {work_dir!r} holds "
+                    f"day manifests written from a DIFFERENT input "
+                    f"frame (stored fingerprint(s) {sorted(stale)} != "
+                    f"current {input_fp}); skipping those days would "
+                    "return stale keepers.  Use a fresh work_dir for a "
+                    "new input, or re-invoke with the original frame."
+                )
     outs = []
     for k in range(n_days):
         if k in manifested:
@@ -1054,9 +1089,10 @@ def daily_refresh_loop(
                     f"injected crash: day {k} appends landed, manifest "
                     "not written (tests/test_daily_manifest.py)"
                 )
-            spark.createDataFrame([(k,)], "_day INT").coalesce(
-                1
-            ).write.mode("append").parquet(days_dir)
+            spark.createDataFrame(
+                [(k, input_fp[0], input_fp[1])],
+                "_day INT, _fp BIGINT, _rows BIGINT",
+            ).coalesce(1).write.mode("append").parquet(days_dir)
         if compact_every and k > 0 and k % compact_every == 0:
             from cdc_data_lake_pyspark_spark.operators.dedup_text import (
                 _swap_compact_store,

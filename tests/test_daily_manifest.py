@@ -136,6 +136,27 @@ def test_manifested_run_is_idempotent_and_skips(spark, tmp_path):
     ]
 
 
+@needs_data
+def test_manifested_work_dir_refuses_different_input(spark, tmp_path):
+    """ADVICE r15: skipping a manifested day is only sound if the
+    input frame is the one that wrote the manifest — every manifest
+    row carries an input fingerprint, and a re-invocation over the
+    same work_dir with a DIFFERENT input must raise, not silently
+    return day-0 keepers computed from data the caller no longer has."""
+    docs, _ = _tables(spark)
+    wdir = str(tmp_path / "w")
+    daily_refresh_loop(docs, n_days=2, work_dir=wdir).count()
+    with pytest.raises(ValueError, match="DIFFERENT input"):
+        daily_refresh_loop(
+            docs.filter(F.col("doc_id") % 3 != 0),
+            n_days=2,
+            work_dir=wdir,
+        )
+    # the original input still re-invokes cleanly (fingerprint matches)
+    again = daily_refresh_loop(docs, n_days=2, work_dir=wdir)
+    assert again.count() > 0
+
+
 def test_refold_host_stats_day_tagged_folds_leaks_not_days(
     spark, tmp_path
 ):

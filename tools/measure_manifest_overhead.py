@@ -84,7 +84,12 @@ def main() -> None:
         runs[label].append(
             {
                 "total_wall_sec": round(time.time() - t0, 2),
-                "day_walls": [m.get("wall_sec") for m in metrics],
+                # a day skipped as already-manifested (reused work_dir)
+                # has no wall_sec — exclude it rather than average None
+                # (ADVICE r15)
+                "day_walls": [
+                    m["wall_sec"] for m in metrics if "wall_sec" in m
+                ],
                 "kept": sorted(kept),
             }
         )
