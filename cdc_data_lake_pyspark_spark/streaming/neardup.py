@@ -35,11 +35,13 @@ process_batch.
 
 Scale: per batch, signature construction touches BATCH text only (one
 map-side-combined aggregate); candidate discovery is one (band, bucket)
-hash join against the stored bucket table — bucket sizes track
-duplicate density, never corpus size — plus the batch's own bucket
+hash join against the stored bucket table plus the batch's own bucket
 self-join for within-batch pairs; the estimate join moves two
 ``num_hashes``-long arrays per candidate.  The index grows by parquet
-APPENDS (~0.6 KB/doc at the defaults); no text is ever stored.  At
+APPENDS of one row per UNIQUE signature (~0.6 KB at the defaults — an
+exact-signature re-crawl appends nothing, r16; see process_batch), so
+both index datasets and the per-batch candidate count track unique
+content, not crawl volume; no text is ever stored.  At
 100 TB, construct the gate with ``bucket_partitions = P`` so the bucket
 store is hive-partitioned by ``pmod(bucket, P)`` and each batch's
 candidate join PRUNES to its own prefixes (the save_minhash_index
@@ -151,9 +153,11 @@ class StreamingNearDupGate:
     batch signatures (one aggregate over batch text) → cross-index
     candidates (excluding index rows leaked by a dead replay of THIS
     batch_id) + within-batch candidates (``a.id < b.id``) → Broder
-    estimate ≥ ``threshold`` drops the later document → append ALL
-    batch signatures/buckets to the index and the survivors to the
-    kept set → append the manifest row."""
+    estimate ≥ ``threshold`` drops the later document → append the
+    batch's FRESH signatures/buckets (one representative per unique
+    signature not already indexed — exact-signature re-crawls add
+    nothing, r16) and the survivors to the kept set → append the
+    manifest row."""
 
     def __init__(
         self,
@@ -401,6 +405,18 @@ class StreamingNearDupGate:
         with the ``smaller id = earlier`` convention; the signature
         frame rides along so the caller's appends never recompute
         shingling."""
+        novel, bsigs, _ = self._reduce(batch_df, index)
+        return novel, bsigs
+
+    def _reduce(
+        self, batch_df: DataFrame, index: MinHashIndex
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """:meth:`batch_reduce` plus the per-doc VERDICT frame
+        ``(batch_id, jaccard)`` — each dropped doc with its maximum
+        estimate over all convicting pairs, eagerly staged so the two
+        consumers (the novel anti-join here, the exact-duplicate
+        append filter in :meth:`process_batch`) share one candidate
+        join instead of recomputing it."""
         _require_integral_id(
             batch_df, self.id_col, "StreamingNearDupGate.batch_reduce"
         )
@@ -428,13 +444,18 @@ class StreamingNearDupGate:
             self.threshold,
             self.num_hashes,
         )
-        dropped = (
-            cross.select(F.col("batch_id").alias("doc_id"))
-            .unionByName(inner.select(F.col("batch_id").alias("doc_id")))
-            .distinct()
+        verdicts = (
+            cross.unionByName(inner)
+            .groupBy("batch_id")
+            .agg(F.max("jaccard").alias("jaccard"))
+            .localCheckpoint(eager=True)
         )
-        novel = bsigs.select("doc_id").join(dropped, "doc_id", "left_anti")
-        return novel, bsigs
+        novel = bsigs.select("doc_id").join(
+            verdicts.select(F.col("batch_id").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        return novel, bsigs, verdicts
 
     # -- the foreachBatch target -------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int = -1) -> None:
@@ -477,13 +498,45 @@ class StreamingNearDupGate:
         # so the re-run reproduces the original verdicts.  In normal
         # operation the filter matches nothing.
         index = self.index(spark, exclude_batch_id=batch_id)
-        novel, bsigs = self.batch_reduce(batch_df, index)
+        novel, bsigs, verdicts = self._reduce(batch_df, index)
         # eager-stage the batch artifacts so the three appends share one
         # signature computation (multi-consumer staging)
         bsigs = bsigs.localCheckpoint()
         if bsigs.isEmpty():
             return
         novel = novel.localCheckpoint()
+        # EXACT-SIGNATURE dedup of the index append (r16): a document
+        # whose minhash signature is byte-identical to an
+        # already-visible one adds ZERO discriminative power —
+        # identical signature means identical bucket membership and an
+        # identical Broder estimate against every future probe, so the
+        # first copy already produces every verdict the duplicate
+        # would.  Without this, a recrawl-heavy stream grows the
+        # bucket store linearly with CRAWL VOLUME and each batch's
+        # candidate-pair count grows with the accumulated copies of
+        # its recrawled content — the 24-batch chained-gate soak
+        # measured per-batch wall DOUBLING (18 s → 34 s) from exactly
+        # this.  With it, both index datasets track UNIQUE signatures
+        # (≈ unique content) and the candidate join stays flat.
+        # Seen-not-kept is preserved where it matters: a DROPPED
+        # document with a DISTINCT signature (a true near-dup, not an
+        # exact re-crawl) is still appended, so chains (a ~ b ~ c,
+        # a ≁ c) still convict c through b.  Exact twins are read off
+        # the candidate pairs already computed (a full-agreement
+        # estimate, jaccard == 1.0, occurs iff the signatures are
+        # identical — identical sigs share every band bucket, so the
+        # twin is always a candidate): zero extra store scans.  The
+        # within-batch pair direction keeps the earliest sibling as
+        # the representative; a replay excludes its own leaked rows
+        # from candidacy, recomputes the same append set, and its
+        # re-appended rows fold downstream like every duplicate row.
+        append_sigs = bsigs.join(
+            verdicts.filter(F.col("jaccard") >= 1.0).select(
+                F.col("batch_id").alias("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        ).localCheckpoint()
         # The manifest row is written LAST: a batch that dies
         # mid-sequence is absent from batches/, so the replay re-runs it
         # in full.  The dead attempt's partial appends are harmless by
@@ -501,9 +554,9 @@ class StreamingNearDupGate:
         novel.withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         ).write.mode("append").parquet(f"{self.index_dir}/kept")
-        bban_out = _banded(bsigs, self.bands, self.rows_per_band).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        )
+        bban_out = _banded(
+            append_sigs, self.bands, self.rows_per_band
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
         if self.bucket_partitions > 0:
             bban_out.withColumn(
                 "_pfx",
@@ -517,7 +570,7 @@ class StreamingNearDupGate:
             bban_out.write.mode("append").parquet(
                 f"{self.index_dir}/buckets"
             )
-        bsigs.withColumn(
+        append_sigs.withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         ).write.mode("append").parquet(f"{self.index_dir}/signatures")
         spark.createDataFrame(

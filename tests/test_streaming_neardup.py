@@ -493,3 +493,47 @@ def test_batch_loader_reads_gate_maintained_store(spark, tmp_path):
     hit_idx = {r.index_id for r in hits}
     assert any(i < 150 for i in hit_idx)  # seeded era
     assert any(150 <= i < 300 for i in hit_idx)  # streamed era
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_exact_signature_recrawls_append_nothing(spark, tmp_path):
+    """r16: the index appends one representative per UNIQUE signature —
+    an exact-signature re-crawl adds nothing to either index dataset
+    (the 24-batch chained soak measured per-batch wall doubling from
+    exactly these appends), while verdicts are unchanged: dropped
+    near-dups with DISTINCT signatures are still indexed, so chains
+    still convict, and a later re-crawl of dropped-near-dup content is
+    still gated."""
+    docs = _corpus(spark)
+    gate = StreamingNearDupGate(str(tmp_path / "i"), threshold=THRESHOLD)
+    gate.process_batch(docs, batch_id=0)
+    idx = gate.index(spark)
+    # the planted exact re-crawls (ids 600_000+) appended nothing;
+    # their originals represent their signature
+    assert idx.signatures.filter(F.col("doc_id") >= 600_000).count() == 0
+    # dropped NEAR-dups (distinct signatures, ids 500_000+) are still
+    # indexed — seen-not-kept where it matters
+    assert idx.signatures.filter(F.col("doc_id") >= 500_000).count() > 0
+    sig_n = idx.signatures.count()
+    bucket_n = idx.buckets.count()
+    kept = {r.doc_id for r in gate.kept_docs(spark).collect()}
+
+    # a pure exact-re-crawl batch: every verdict is a drop, and the
+    # index does not grow by a single row
+    recrawl = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    gate.process_batch(recrawl, batch_id=1)
+    idx2 = gate.index(spark)
+    assert idx2.signatures.count() == sig_n
+    assert idx2.buckets.count() == bucket_n
+    assert {r.doc_id for r in gate.kept_docs(spark).collect()} == kept
+
+    # a re-crawl of a DROPPED near-dup's exact text is still convicted
+    # (through the near-dup's own indexed signature)
+    again = docs.filter(F.col("doc_id") == 500_010).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    assert again.count() == 1
+    gate.process_batch(again, batch_id=2)
+    assert {r.doc_id for r in gate.kept_docs(spark).collect()} == kept
