@@ -148,11 +148,13 @@ REQUIRED_VISIBLE = [
 # Operators added or materially changed this round: the rotation policy
 # requires them INSIDE the gated window (ADVICE r4).
 CHANGED_THIS_ROUND = [
-    # NEW r15: the chained multimodal gate's batch reduction
+    # r16-changed: day-0 bootstrap migrated to
+    # StreamingMultimodalGate.bootstrap (VERDICT r15 #2), and the
+    # entry gained a BENCH_PREPARED split (#3); the chained text stage
+    # also runs under the unique-signature append dedup
     "multimodal_gate_batch",
-    # r15-changed: staging checkpoints flipped lazy→eager (ADVICE r14)
-    "kmv_join_estimate",
-    "frequent_part_pairs",
+    # r16-changed: same bootstrap migration inside the capstone
+    "prepare_multimodal_incremental",
 ]
 
 
