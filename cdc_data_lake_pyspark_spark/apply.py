@@ -331,8 +331,10 @@ class MemoryTableSink(TableSink):
     def create_if_not_exists(self, cfg, schema):
         key = (cfg.db, cfg.table)
         if key not in self.tables:
+            from cdc_data_lake_pyspark_spark.localrel import empty_frame
+
             spark = SparkSession.getActiveSession()
-            self.tables[key] = spark.createDataFrame([], schema)
+            self.tables[key] = empty_frame(spark, schema)
 
     def append(self, cfg, df):
         def _do():
@@ -520,8 +522,10 @@ class ParquetTableSink(TableSink):
     def create_if_not_exists(self, cfg, schema):
         path = self._path(cfg.db, cfg.table)
         if not os.path.isdir(path):
+            from cdc_data_lake_pyspark_spark.localrel import empty_frame
+
             spark = SparkSession.getActiveSession()
-            spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+            empty_frame(spark, schema).write.mode("overwrite").parquet(path)
 
     def append(self, cfg, df):
         def _do():

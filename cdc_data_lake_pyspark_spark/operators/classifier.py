@@ -275,8 +275,10 @@ def save_model(model: DataFrame, path: str) -> None:
     n_buckets = model.filter(F.col("bucket") >= 0).count()
     model.coalesce(1).write.mode("overwrite").parquet(f"{path}/weights")
     spark = model.sparkSession
-    spark.createDataFrame(
-        [(int(n_buckets),)], "n_buckets INT"
+    from cdc_data_lake_pyspark_spark.localrel import tiny_frame
+
+    tiny_frame(
+        spark, [(int(n_buckets),)], "n_buckets INT"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/params")
 
 

@@ -1278,7 +1278,10 @@ def save_minhash_index(
     else:
         index.buckets.write.mode("overwrite").parquet(f"{path}/buckets")
     spark = index.signatures.sparkSession
-    spark.createDataFrame(
+    from cdc_data_lake_pyspark_spark.localrel import tiny_frame
+
+    tiny_frame(
+        spark,
         [
             (
                 index.num_hashes,

@@ -293,8 +293,10 @@ def classifier_eval(spark, sf_dir):
     ).join(labels, "doc_id").select(
         F.lit("lr").alias("model"), "label", "score_micro"
     )
-    grid = spark.createDataFrame(
-        [(t,) for t in _EVAL_THRESHOLDS], "threshold_micro long"
+    from cdc_data_lake_pyspark_spark.localrel import tiny_frame
+
+    grid = tiny_frame(
+        spark, [(t,) for t in _EVAL_THRESHOLDS], "threshold_micro long"
     )
     keep = F.col("score_micro") >= F.col("threshold_micro")
     pos = F.col("label") == 1

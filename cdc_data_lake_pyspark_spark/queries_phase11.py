@@ -1089,7 +1089,10 @@ def daily_refresh_loop(
                     f"injected crash: day {k} appends landed, manifest "
                     "not written (tests/test_daily_manifest.py)"
                 )
-            spark.createDataFrame(
+            from cdc_data_lake_pyspark_spark.localrel import tiny_frame
+
+            tiny_frame(
+                spark,
                 [(k, input_fp[0], input_fp[1])],
                 "_day INT, _fp BIGINT, _rows BIGINT",
             ).coalesce(1).write.mode("append").parquet(days_dir)

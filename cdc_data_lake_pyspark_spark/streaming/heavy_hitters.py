@@ -97,7 +97,9 @@ class StreamingHeavyHitters:
     def _read(self, spark, path, schema) -> DataFrame:
         if os.path.isdir(path):
             return spark.read.schema(schema).parquet(path)
-        return spark.createDataFrame([], schema)
+        from cdc_data_lake_pyspark_spark.localrel import empty_frame
+
+        return empty_frame(spark, schema)
 
     def cells(self, spark: SparkSession) -> DataFrame:
         """Merged CMS grid: element-wise sum over every appended batch
@@ -197,8 +199,10 @@ class StreamingHeavyHitters:
         )
         newly_hot.write.mode("append").parquet(self.hot_dir)
 
-        spark.createDataFrame(
-            [(int(batch_id),)], ledger_schema
+        from cdc_data_lake_pyspark_spark.localrel import tiny_frame
+
+        tiny_frame(
+            spark, [(int(batch_id),)], ledger_schema
         ).write.mode("append").parquet(self.ledger_dir)
 
 

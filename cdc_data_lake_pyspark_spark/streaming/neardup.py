@@ -198,7 +198,9 @@ class StreamingNearDupGate:
         d = f"{self.index_dir}/{sub}"
         _recover_halfswap(d)
         if not os.path.isdir(d):
-            return spark.createDataFrame([], schema)
+            from cdc_data_lake_pyspark_spark.localrel import empty_frame
+
+            return empty_frame(spark, schema)
         return spark.read.schema(schema).parquet(d)
 
     def _params(self) -> tuple:
@@ -277,8 +279,10 @@ class StreamingNearDupGate:
         d = f"{self.index_dir}/params"
         new = f"{d}__new"
         shutil.rmtree(new, ignore_errors=True)
-        spark.createDataFrame(
-            [self._params()], PARAMS_SCHEMA
+        from cdc_data_lake_pyspark_spark.localrel import tiny_frame
+
+        tiny_frame(
+            spark, [self._params()], PARAMS_SCHEMA
         ).coalesce(1).write.mode("overwrite").parquet(new)
         os.rename(new, d)
 
@@ -573,8 +577,10 @@ class StreamingNearDupGate:
         append_sigs.withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         ).write.mode("append").parquet(f"{self.index_dir}/signatures")
-        spark.createDataFrame(
-            [(int(batch_id),)], MANIFEST_SCHEMA
+        from cdc_data_lake_pyspark_spark.localrel import tiny_frame
+
+        tiny_frame(
+            spark, [(int(batch_id),)], MANIFEST_SCHEMA
         ).coalesce(1).write.mode("append").parquet(
             f"{self.index_dir}/batches"
         )

@@ -97,7 +97,9 @@ class StreamingNoveltyGate:
         try:
             return spark.read.schema(INDEX_SCHEMA).parquet(self.index_dir)
         except Exception:
-            return spark.createDataFrame([], INDEX_SCHEMA)
+            from cdc_data_lake_pyspark_spark.localrel import empty_frame
+
+            return empty_frame(spark, INDEX_SCHEMA)
 
     def novel_docs(self, spark: SparkSession) -> DataFrame:
         """Gate output so far: one row per novel fingerprint with the
@@ -113,7 +115,9 @@ class StreamingNoveltyGate:
                 .distinct()
             )
         except Exception:
-            return spark.createDataFrame([], BLOOM_SCHEMA)
+            from cdc_data_lake_pyspark_spark.localrel import empty_frame
+
+            return empty_frame(spark, BLOOM_SCHEMA)
 
     def batch_reduce(self, batch_df: DataFrame, index: DataFrame) -> DataFrame:
         """The gate's pure single-batch reduction: fingerprint →

@@ -113,9 +113,11 @@ class StreamingQualityGate:
             # are pure functions of (row, model, batch_id)
             return spark.read.parquet(f"{self.out_dir}/{sub}").distinct()
         except Exception:
-            return spark.createDataFrame(
-                [], f"{self.id_col} long, {self.text_col} string, "
-                    "score_micro long, _batch_id long"
+            from cdc_data_lake_pyspark_spark.localrel import empty_frame
+
+            return empty_frame(
+                spark, f"{self.id_col} long, {self.text_col} string, "
+                       "score_micro long, _batch_id long"
             )
 
     def kept_docs(self, spark: SparkSession) -> DataFrame:

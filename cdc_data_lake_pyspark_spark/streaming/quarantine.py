@@ -75,6 +75,6 @@ def read_quarantine(spark, quarantine_dir: str) -> DataFrame:
     try:
         return spark.read.parquet(quarantine_dir)
     except Exception:
-        return spark.createDataFrame(
-            [], "_violations string, _batch_id long"
-        )
+        from cdc_data_lake_pyspark_spark.localrel import empty_frame
+
+        return empty_frame(spark, "_violations string, _batch_id long")

@@ -99,7 +99,9 @@ class StreamingSemanticGate:
         try:
             return spark.read.schema(INDEX_SCHEMA).parquet(self.index_dir)
         except Exception:
-            return spark.createDataFrame([], INDEX_SCHEMA)
+            from cdc_data_lake_pyspark_spark.localrel import empty_frame
+
+            return empty_frame(spark, INDEX_SCHEMA)
 
     def novel_ids(self, spark: SparkSession) -> DataFrame:
         """Gate output so far: the ingested (kept) vector ids."""
@@ -151,18 +153,41 @@ class StreamingSemanticGate:
         dropped = pairs.select(F.col("b_id").alias(self.id_col)).distinct()
         survivors = batch.join(dropped, self.id_col, "left_anti")
 
-        # 2) probe the index on (table, bucket), exact-rescore candidates
-        sig = self._with_buckets(survivors, "_sid", "_sv")
-        idx = index.select(
-            "tbl",
-            "bkt",
-            F.col("vec_id").alias("_iid"),
-            F.col("v").alias("_iv"),
+        # 2) probe the index on (table, bucket), exact-rescore candidates.
+        # IDS FIRST (r16, guide §2.3 "shuffle keys, not payloads"): the
+        # bucket join and the candidate-pair dedup move 16-byte id pairs;
+        # both sides' vectors re-attach per DISTINCT candidate afterwards
+        # (broadcast under AQE at batch scale, id-keyed hash joins at
+        # 100 TB).  The previous shape carried BOTH dim-length double
+        # arrays through the join AND the dropDuplicates exchange —
+        # measured 36.9 MB shuffled with 16 s of GC across tasks for a
+        # ~1k-row batch at sf0.1, vs ~1 MB after this change; the
+        # candidate set, scores, and verdicts are byte-identical.
+        sig_ids = self._with_buckets(survivors, "_sid", "_sv").select(
+            "_sid", "tbl", "bkt"
+        )
+        cand_ids = (
+            sig_ids.join(
+                index.select("tbl", "bkt", F.col("vec_id").alias("_iid")),
+                ["tbl", "bkt"],
+            )
+            .select("_sid", "_iid")
+            .dropDuplicates(["_sid", "_iid"])
+        )
+        bvec = survivors.select(
+            F.col(self.id_col).alias("_sid"),
+            F.col(self.vec_col).cast("array<double>").alias("_sv"),
+        )
+        # one row per indexed vector: every vector's signature explode
+        # carries its table-0 row (construction invariant of
+        # _with_buckets, which posexplodes tables 0..n_tables-1)
+        ivec = index.filter(F.col("tbl") == 0).select(
+            F.col("vec_id").alias("_iid"), F.col("v").alias("_iv")
         )
         _cosine = cosine_pandas_udf()
         matched = (
-            sig.join(idx, ["tbl", "bkt"])
-            .dropDuplicates(["_sid", "_iid"])
+            cand_ids.join(bvec, "_sid")
+            .join(ivec, "_iid")
             .select("_sid", _cosine(F.col("_sv"), F.col("_iv")).alias("_s"))
             .filter(F.col("_s") >= self.threshold)
             .select(F.col("_sid").alias(self.id_col))

@@ -140,7 +140,9 @@ class StreamingVectorDedupGate:
         d = f"{self.index_dir}/{sub}"
         _recover_halfswap(d)
         if not os.path.isdir(d):
-            return spark.createDataFrame([], schema)
+            from cdc_data_lake_pyspark_spark.localrel import empty_frame
+
+            return empty_frame(spark, schema)
         return spark.read.schema(schema).parquet(d)
 
     def kept_vectors(self, spark: SparkSession) -> DataFrame:
@@ -270,8 +272,10 @@ class StreamingVectorDedupGate:
         )
         if self._fault_before_manifest is not None:
             self._fault_before_manifest(batch_id)
-        spark.createDataFrame(
-            [(int(batch_id),)], MANIFEST_SCHEMA
+        from cdc_data_lake_pyspark_spark.localrel import tiny_frame
+
+        tiny_frame(
+            spark, [(int(batch_id),)], MANIFEST_SCHEMA
         ).coalesce(1).write.mode("append").parquet(
             f"{self.index_dir}/batches"
         )

@@ -32,10 +32,17 @@ def parse_event_log(log_dir: str) -> dict:
     """Aggregate stage metrics from every event-log file in ``log_dir``."""
     stages: dict = {}
     jobs: dict = {}
-    for fn in os.listdir(log_dir):
-        path = os.path.join(log_dir, fn)
-        if not os.path.isfile(path):
-            continue
+    paths = []
+    for root, _dirs, files in os.walk(log_dir):
+        for fn in files:
+            if fn.startswith("events_") or fn.startswith("eventLog"):
+                paths.append(os.path.join(root, fn))
+        for fn in files:  # single-file (v1) logs: local-<appid>[.zstd]
+            if fn.startswith("local-"):
+                paths.append(os.path.join(root, fn))
+    for path in paths:
+        if path.endswith(".zstd"):
+            continue  # no zstd reader in the sandbox; run uncompressed
         with open(path) as f:
             for line in f:
                 try:
@@ -48,12 +55,12 @@ def parse_event_log(log_dir: str) -> dict:
                     sid = (si["Stage ID"], si["Stage Attempt ID"])
                     sub = si.get("Submission Time")
                     comp = si.get("Completion Time")
-                    stages[sid] = {
-                        "name": si.get("Stage Name", "")[:80],
-                        "tasks": si.get("Number of Tasks"),
-                        "wall_ms": (comp - sub) if sub and comp else None,
-                        "details": "",
-                    }
+                    entry = stages.setdefault(sid, {})
+                    entry.update(
+                        name=si.get("Stage Name", "")[:80],
+                        tasks=si.get("Number of Tasks"),
+                        wall_ms=(comp - sub) if sub and comp else None,
+                    )
                 elif kind == "SparkListenerTaskEnd":
                     sid = (ev["Stage ID"], ev["Stage Attempt ID"])
                     m = ev.get("Task Metrics") or {}
@@ -146,6 +153,10 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file:{log_root}",
+            # plain JSON, single file: the sandbox has no zstd python
+            # module to read the default rolling .zstd segments
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("WARN")
