@@ -457,12 +457,13 @@ def _prepare_web_corpus_incremental(docs, work_dir=None, timings=None):
     # the raw parquet appends that would corrupt a partitioned store;
     # day-2 visibility pinned in tests/test_phase11.py)
     keepers1 = clean1.join(keep1.select("doc_id"), "doc_id", "left_semi")
-    append_to_minhash_index(
-        index_dir,
-        keepers1.select("doc_id", F.col("main_text").alias("text")),
-    )
-    if timings is not None:
-        timings["day1_done"] = _time.time()
+
+    def _append_day1():
+        append_to_minhash_index(
+            index_dir,
+            keepers1.select("doc_id", F.col("main_text").alias("text")),
+        )
+
     out = keep0.select(
         F.lit(0).cast("int").alias("day"), "doc_id", "fingerprint", "n_urls"
     ).unionByName(
@@ -478,11 +479,24 @@ def _prepare_web_corpus_incremental(docs, work_dir=None, timings=None):
         # bench/oracle runs were orphaning one mkdtemp per invocation):
         # eagerly materialize the result — it transitively reads the
         # persisted model/index parquet — then delete the work dir before
-        # handing the frame out
+        # handing the frame out.  The day-1 index append and the result
+        # materialization are independent (the output unions the staged
+        # keeper frames; the append only updates the store) — overlap
+        # them (r16, guide §2.6); both are joined before the rmtree.
         import shutil
 
-        out = out.localCheckpoint()
+        from cdc_data_lake_pyspark_spark.concurrency import overlap_jobs
+
+        _, out = overlap_jobs(
+            spark, [_append_day1, lambda: out.localCheckpoint()]
+        )
         shutil.rmtree(work_dir, ignore_errors=True)
+    else:
+        # measurement tools and tests own the work dir and time the
+        # append inside their day-1 phase — keep it serial there
+        _append_day1()
+        if timings is not None:
+            timings["day1_done"] = _time.time()
     return out
 
 

@@ -346,12 +346,25 @@ def _prepare_multimodal_incremental(
         stage_counts["vec_drops"] = surv.count() - nd1.count()
         stage_counts["day1_keepers"] = keep1.count()
     # index UPDATE on BOTH families: tomorrow's probes must see today's
-    # accepted content (day-2 visibility pinned in tests/test_phase13.py)
-    keepers1 = nd1.join(keep1.select("doc_id"), "doc_id", "left_semi")
-    append_to_minhash_index(index_dir, keepers1.select("doc_id", "text"))
-    append_to_ivf_corpus_index(
-        vec_dir,
-        keepers1.select(F.col("doc_id").alias("vec_id")).join(emb, "vec_id"),
+    # accepted content (day-2 visibility pinned in tests/test_phase13.py).
+    # The two appends target independent stores and share only the
+    # staged keepers — overlap them (r16, guide §2.6)
+    keepers1 = _stage(nd1.join(keep1.select("doc_id"), "doc_id", "left_semi"))
+    from cdc_data_lake_pyspark_spark.concurrency import overlap_jobs
+
+    overlap_jobs(
+        spark,
+        [
+            lambda: append_to_minhash_index(
+                index_dir, keepers1.select("doc_id", "text")
+            ),
+            lambda: append_to_ivf_corpus_index(
+                vec_dir,
+                keepers1.select(F.col("doc_id").alias("vec_id")).join(
+                    emb, "vec_id"
+                ),
+            ),
+        ],
     )
     out = keep0.select(
         F.lit(0).cast("int").alias("day"), "doc_id", "fingerprint", "n_copies"

@@ -220,35 +220,49 @@ class StreamingMultimodalGate:
         keepers0 = _stage(
             docs.join(keep0.select(self.id_col), self.id_col, "left_semi")
         )
-        save_minhash_index(
-            minhash_index(
-                keepers0.select(self.id_col, self.text_col),
-                num_hashes=tg.num_hashes,
-                k=tg.k,
-                bands=tg.bands,
-                rows_per_band=tg.rows_per_band,
-                id_col=self.id_col,
-                text_col=self.text_col,
-            ),
-            tg.index_dir,
-            bucket_partitions=tg.bucket_partitions,
-        )
         keeper_vecs = keepers0.select(
             F.col(self.id_col).alias("vec_id")
         ).join(embeddings, "vec_id")
-        prefit = fit_ivf_pq(
-            keeper_vecs if fit_vectors is None else fit_vectors,
-            n_clusters=n_clusters,
-            m_sub=m_sub,
-            k=pq_k,
-            seed=seed,
-            vec_col=self.vector_gate.vec_col,
-        )
-        save_ivf_corpus_index(
-            keeper_vecs,
-            prefit,
-            self.vector_gate.index_dir,
-            vec_col=self.vector_gate.vec_col,
+
+        # the two store builds are independent given the staged keepers
+        # (text side: signatures → banded index; vector side: quantizer
+        # fit → encoded store) — overlap them from driver threads (r16,
+        # guide §2.6) so the bootstrap pays max(chains), not their sum
+        def _build_text_store():
+            save_minhash_index(
+                minhash_index(
+                    keepers0.select(self.id_col, self.text_col),
+                    num_hashes=tg.num_hashes,
+                    k=tg.k,
+                    bands=tg.bands,
+                    rows_per_band=tg.rows_per_band,
+                    id_col=self.id_col,
+                    text_col=self.text_col,
+                ),
+                tg.index_dir,
+                bucket_partitions=tg.bucket_partitions,
+            )
+
+        def _build_vector_store():
+            prefit = fit_ivf_pq(
+                keeper_vecs if fit_vectors is None else fit_vectors,
+                n_clusters=n_clusters,
+                m_sub=m_sub,
+                k=pq_k,
+                seed=seed,
+                vec_col=self.vector_gate.vec_col,
+            )
+            save_ivf_corpus_index(
+                keeper_vecs,
+                prefit,
+                self.vector_gate.index_dir,
+                vec_col=self.vector_gate.vec_col,
+            )
+
+        from cdc_data_lake_pyspark_spark.concurrency import overlap_jobs
+
+        overlap_jobs(
+            docs.sparkSession, [_build_text_store, _build_vector_store]
         )
         return keep0
 
