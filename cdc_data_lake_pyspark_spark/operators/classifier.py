@@ -409,41 +409,51 @@ def lr_train(
     n = labeled.count()
     if n == 0:
         raise ValueError("lr_train needs a non-empty labeled set")
-    spine = spark.range(n_buckets).select(
+    # fold the bias into the weight state as the BIAS_BUCKET row, with an
+    # implicit bucket = -1 presence row per labeled doc (r16): every doc's
+    # _dot then already includes the bias, the bias gradient falls out of
+    # the same bucket-keyed sum (sum of every doc's _err == the old
+    # dedicated aggregate), and each step pays ONE margins chain + ONE
+    # 65-row checkpoint instead of two of each.  The integer arithmetic is
+    # unchanged term for term, so the fitted model is bit-identical (the
+    # DuckDB training replay in tests/test_classifier.py pins it).
+    xs_b = xs.unionByName(
+        labeled.select(
+            "_d", "_y", F.lit(BIAS_BUCKET).cast("int").alias("bucket")
+        )
+    )
+    spine = spark.range(-1, n_buckets).select(
         F.col("id").cast("int").alias("bucket")
     )
-    weights = spine.select(
+    state = spine.select(
         "bucket", F.lit(0).cast("long").alias("w_micro")
     )
-    bias = F.lit(0).cast("long")
-    bias_frame = spark.range(1).select(bias.alias("_bias"))
     for _ in range(steps):
         margins = (
-            xs.join(F.broadcast(weights), "bucket")
+            xs_b.join(F.broadcast(state), "bucket")
             .groupBy("_d", "_y")
             .agg(F.sum(F.col("w_micro")).alias("_dot"))
-            .crossJoin(F.broadcast(bias_frame))
             .select(
                 "_d",
                 "_y",
                 (
                     F.col("_y") * LOG_MICRO
-                    - _hard_sigmoid_micro(F.col("_bias") + F.col("_dot"))
+                    - _hard_sigmoid_micro(F.col("_dot"))
                 ).alias("_err"),
             )
         )
         # docs with NO presence rows cannot exist (split('',' ') yields
         # one empty token), so margins covers every labeled doc
         grads = (
-            xs.join(margins.select("_d", "_err"), "_d")
+            xs_b.join(margins.select("_d", "_err"), "_d")
             .groupBy("bucket")
             .agg(F.sum(F.col("_err")).alias("_g"))
         )
         delta = F.floor(
             F.col("_g").cast("double") / F.lit(float(n * 4))
         ).cast("long")
-        weights = (
-            weights.join(grads, "bucket", "left")
+        state = (
+            state.join(grads, "bucket", "left")
             .select(
                 "bucket",
                 (
@@ -453,25 +463,7 @@ def lr_train(
             )
             .localCheckpoint(eager=True)  # consumed by next step + output
         )
-        bias_frame = (
-            margins.agg(F.sum("_err").alias("_gb"))
-            .crossJoin(F.broadcast(bias_frame))
-            .select(
-                (
-                    F.col("_bias")
-                    + F.floor(
-                        F.col("_gb").cast("double") / F.lit(float(n * 4))
-                    ).cast("long")
-                ).alias("_bias")
-            )
-            .localCheckpoint(eager=True)
-        )
-    return weights.unionByName(
-        bias_frame.select(
-            F.lit(BIAS_BUCKET).cast("int").alias("bucket"),
-            F.col("_bias").alias("w_micro"),
-        )
-    )
+    return state
 
 
 # ---------------------------------------------------------------------------
