@@ -86,6 +86,21 @@ EXPENSIVE_TRACKED = [
     # split so the timed body is the gate's reduction + store probes,
     # not the day-0 bootstrap (what's-wrong #2)
     "multimodal_gate_batch",
+    # r16 optimization round: the remaining expensive tail entries whose
+    # SINGLE pass-0 draws were measured contention-noised 4-40x on the
+    # r16 sandbox (dedup_embedding_cosine drew 62.3 s in one bench run
+    # vs 1.4 s quiet; similarity_ann_lsh 32.1 s; dedup_simhash 19.0 s vs
+    # 3.0 s quiet) — those draws dominated `value`'s noise.  min-of-two
+    # + median machinery makes their round-over-round deltas (and the
+    # total) interpretable; see OPTIMIZATION_r16.md "Bench methodology".
+    "dedup_embedding_cosine",
+    "similarity_ann_lsh",
+    "dedup_embedding_cosine_lsh",
+    "dedup_simhash_pairs",
+    "similarity_topk_bruteforce",
+    "dedup_simhash",
+    "dedup_semantic_clusters",
+    "semantic_gate_batch",
 ]
 
 #: queries that get the THIRD timed pass and per-query medians for

@@ -241,7 +241,12 @@ def bfs_distances(
             .select("node", F.lit(hop).cast("int").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        settled = settled.unionAll(fresh).localCheckpoint(eager=True)
+        # settled stays a LAZY union of the per-hop checkpoints (r16):
+        # every term is already materialized, so consumers just read the
+        # accumulated blocks — re-checkpointing the union each hop paid
+        # one extra O(settled)-sized job per hop for a plan that is only
+        # max_hops unions deep anyway
+        settled = settled.unionAll(fresh)
         frontier = fresh
     return settled
 

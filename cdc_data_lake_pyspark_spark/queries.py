@@ -585,6 +585,17 @@ def top_customers_per_segment(spark, sf_dir):
 # sibling covering its operator family; the policy is documented in
 # COVERAGE.md (§ gate window).
 _DEMOTED: tuple[str, ...] = (
+    # --- rotated OUT in r16 (optimization round): semantic_gate_batch
+    # --- rotates back IN — its batch_reduce was restructured this
+    # --- round (ids-first index probe) and changed ops sit in-window
+    # --- per policy.  kmv_join_estimate frees the slot: it rotated IN
+    # --- for r15 precisely to re-verify its lazy→eager staging change,
+    # --- the driver verified it green (CORRECTNESS_r15 50/50), r16
+    # --- changed nothing in it, and its sketch family stays covered
+    # --- (prepare_training_corpus_v2's approx-sketch gate in-window;
+    # --- KMV/CMS bounds pinned in tests/test_sketch.py; the entry
+    # --- stays tail-verified via tools/check_oracles.py).
+    "kmv_join_estimate",
     # --- rotated OUT in r15: the NEW multimodal_gate_batch takes a
     # --- window slot per policy, and kmv_join_estimate +
     # --- frequent_part_pairs rotate back IN for driver re-verification
@@ -642,12 +653,9 @@ _DEMOTED: tuple[str, ...] = (
     # keyed ordered-sequence family: rotated in for r11 re-verification
     # and driver-green r11; event_transition_matrix stays in-window on
     # the same per-key ordered aggregation shape
-    "semantic_gate_batch",
-    # streaming-gate batch-reduction family: the learned quality gates
-    # (quality_classifier_gate + v4 + the incremental capstone) now
-    # drive broadcast-model batch reduction in-window, and the
-    # semantic/novelty gates stay soak-tested in pytest; driver-green
-    # r10, r11
+    # (semantic_gate_batch rotated back IN r16: its batch_reduce index
+    # probe was restructured ids-first this round — changed ops sit
+    # in-window per policy)
     "label_encode_docs",
     # one-aggregate feature-encoding family: the in-window classifier
     # entries drive the same portable-hash bucket cells

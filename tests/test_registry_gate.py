@@ -140,21 +140,33 @@ REQUIRED_VISIBLE = [
     # daily_revenue_ma7 + shipping_priority demoted r15 after three
     # driver-green in-window rounds)
     "lm_cross_entropy",
-    # r15 rotate-backs: staging checkpoints flipped lazy→eager
-    "kmv_join_estimate",
+    # r15 rotate-back: staging checkpoint flipped lazy→eager
+    # (kmv_join_estimate demoted again r16 after its driver-green r15
+    # re-verification — slot freed for the r16-changed
+    # semantic_gate_batch)
     "frequent_part_pairs",
+    # r16 rotate-back: batch_reduce index probe restructured ids-first
+    # (optimization round — changed ops sit in-window)
+    "semantic_gate_batch",
 ]
 
 # Operators added or materially changed this round: the rotation policy
 # requires them INSIDE the gated window (ADVICE r4).
 CHANGED_THIS_ROUND = [
-    # r16-changed: day-0 bootstrap migrated to
-    # StreamingMultimodalGate.bootstrap (VERDICT r15 #2), and the
-    # entry gained a BENCH_PREPARED split (#3); the chained text stage
-    # also runs under the unique-signature append dedup
+    # r16 build-phase changes: day-0 bootstrap migrated to
+    # StreamingMultimodalGate.bootstrap (VERDICT r15 #2) + the
+    # BENCH_PREPARED split (#3); r16 optimization: bootstrap store
+    # builds overlapped, appends overlapped
     "multimodal_gate_batch",
-    # r16-changed: same bootstrap migration inside the capstone
     "prepare_multimodal_incremental",
+    # r16 optimization changes (OPTIMIZATION_r16.md):
+    "semantic_gate_batch",       # ids-first index probe
+    "lr_classifier_weights",     # bias folded into the LR weight state
+    "lr_classifier_gate",
+    "classifier_eval",           # lr_train + LocalRelation grid
+    "bfs_part_distances",        # settled set now a lazy union
+    "prepare_web_corpus_incremental",  # overlapped append/materialize
+    "cdc_orders_apply",          # sink CREATE frames via localrel
 ]
 
 
