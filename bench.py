@@ -125,6 +125,66 @@ MEDIAN_TRACKED = (
 SENTINEL_EVERY = 15
 SENTINEL_FLAG_RATIO = 2.0
 
+#: multi-core steal sentinel (VERDICT r16 #3, ADDITIVE — the single-core
+#: sentinel above keeps its exact semantics for trend continuity).  The
+#: r16 sandbox exhibited a noise mode the single-core flag provably
+#: misses: a noisy neighbor stealing CORES (32 concurrent CPU-bound
+#: probes finishing in ~1.5-1.8x the serial wall) while a single probe
+#: stays within 1.4x of base.  This sentinel measures exactly that:
+#: one interpreter-bound subprocess per machine core, launched
+#: concurrently; the recorded draw is median(concurrent walls) /
+#: quiescent single-probe wall.  ~1 on an idle box (each probe gets a
+#: core); inflates toward (probes / free cores) under steal.
+STEAL_PROBES = min(os.cpu_count() or 1, 32)
+STEAL_FLAG_RATIO = 1.5
+
+#: The probe is a pure-Python integer loop: interpreter-bound, one core,
+#: negligible memory traffic — unlike the numpy sentinel it cannot be
+#: confused by memory-bandwidth contention between OUR OWN concurrent
+#: copies, so idle-machine draws sit near 1.0 even at 32 probes.  Timed
+#: inside the child so subprocess startup skew never enters the wall.
+_STEAL_PROBE_CODE = (
+    "import time\n"
+    "t0 = time.time()\n"
+    "s = 0\n"
+    "for i in range(6_000_000):\n"
+    "    s += i\n"
+    "print(time.time() - t0)\n"
+)
+
+
+def _steal_walls(n: int) -> list[float]:
+    import subprocess
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _STEAL_PROBE_CODE],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+        )
+        for _ in range(n)
+    ]
+    return [float(p.communicate()[0]) for p in procs]
+
+
+def steal_base() -> float:
+    """Quiescent single-probe wall: min of two serial runs (the probe is
+    interpreter-bound, so an uncontended core reproduces it within a few
+    percent; min reads through a transiently busy draw)."""
+    return round(min(_steal_walls(1)[0] for _ in range(2)), 4)
+
+
+def steal_draw(base: float) -> float:
+    """One steal-ratio draw: STEAL_PROBES concurrent copies of the probe
+    (one subprocess per core).  Median-over-probes so one slow fork never
+    defines the draw; a genuinely stolen box inflates the median."""
+    if base <= 0:
+        return 0.0
+    walls = _steal_walls(STEAL_PROBES)
+    import statistics as _stats
+
+    return round(_stats.median(walls) / base, 3)
+
 LOCAL_RESULTS = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
 )
@@ -329,6 +389,11 @@ def run_sweep(spark, registry, names, prepared_env, sf_dir, sf) -> dict:
 
     sentinel = [sentinel_draw() for _ in range(3)]
     sentinel_base = _stats.median(sentinel)
+    # additive steal series (VERDICT r16 #3): base + one draw up front,
+    # one per sentinel interval, one closing — same cadence as the
+    # single-core sentinel, recorded alongside it, flag independent
+    st_base = steal_base()
+    steal_series = [steal_draw(st_base)]
     attempts_since_sentinel = 0
     state = {"sf": sf, "queries": timings, "errors": errors, "done": False}
     for pass_no in range(3):
@@ -341,6 +406,7 @@ def run_sweep(spark, registry, names, prepared_env, sf_dir, sf) -> dict:
             attempts_since_sentinel += 1
             if attempts_since_sentinel >= SENTINEL_EVERY:
                 sentinel.append(sentinel_draw())
+                steal_series.append(steal_draw(st_base))
                 attempts_since_sentinel = 0
             elapsed, err = timed_attempt(spark, name, sf_dir, prepared_env)
             if elapsed is None:
@@ -396,12 +462,24 @@ def run_sweep(spark, registry, names, prepared_env, sf_dir, sf) -> dict:
         else None
     )
     sentinel.append(sentinel_draw())  # closing draw
+    steal_series.append(steal_draw(st_base))
     contention_flagged = any(
         s > SENTINEL_FLAG_RATIO * sentinel_base for s in sentinel
     )
     state["sentinel_sec"] = sentinel
     state["sentinel_base_sec"] = sentinel_base
     state["contention_flagged"] = contention_flagged
+    # additive steal verdict: does NOT gate the retry (the single-core
+    # flag keeps that role for trend continuity) — it makes a
+    # multi-core-stolen sweep SELF-IDENTIFY so a reader knows the
+    # samples are not comparable even when contention_flagged is false
+    state["steal_base_sec"] = st_base
+    state["steal_probes"] = STEAL_PROBES
+    state["steal_ratio_series"] = steal_series
+    state["steal_ratio_max"] = max(steal_series) if steal_series else None
+    state["steal_flagged"] = any(
+        r > STEAL_FLAG_RATIO for r in steal_series
+    )
     state["total"] = total
     state["flagship_events"] = flagship_events
     state["flagship_events_per_sec"] = flagship_eps
@@ -510,6 +588,7 @@ def main() -> None:
             "contention_flagged": True,
             "sentinel_base_sec": state["sentinel_base_sec"],
             "sentinel_max_sec": max(state["sentinel_sec"]),
+            "steal_ratio_max": state.get("steal_ratio_max"),
             "core_headline_median_sec": state["core_headline_median_sec"],
             "core_headline_sec": state["core_headline_sec"],
             "total": state["total"],
@@ -562,6 +641,11 @@ def main() -> None:
         "contention_retried": first_attempt is not None,
         "sentinel_base_sec": state["sentinel_base_sec"],
         "sentinel_max_sec": max(state["sentinel_sec"]),
+        # multi-core steal sentinel (VERDICT r16 #3, additive): the
+        # single-core flag misses core-steal noise; this series catches
+        # it (full series in BENCH_local.json -> steal_ratio_series)
+        "steal_ratio_max": state.get("steal_ratio_max"),
+        "steal_flagged": state.get("steal_flagged"),
         "full_results": "BENCH_local.json",
     }
     sys.stdout.flush()

@@ -477,20 +477,26 @@ def _prepare_web_corpus_incremental(docs, work_dir=None, timings=None):
     if cleanup_work_dir:
         # the registry entry owns its temp artifacts (ADVICE r12: repeated
         # bench/oracle runs were orphaning one mkdtemp per invocation):
-        # eagerly materialize the result — it transitively reads the
-        # persisted model/index parquet — then delete the work dir before
-        # handing the frame out.  The day-1 index append and the result
-        # materialization are independent (the output unions the staged
-        # keeper frames; the append only updates the store) — overlap
-        # them (r16, guide §2.6); both are joined before the rmtree.
+        # eagerly materialize the result, then delete the work dir before
+        # handing the frame out.  `out` unions the eagerly _stage()d
+        # keep0/keep1 — it reads ONLY checkpoint blocks, not the persisted
+        # model/index parquet, which is exactly why (a) overlapping it
+        # with the day-1 index append is race-free (the append writes
+        # index_dir; out never touches it) and (b) the localCheckpoint
+        # outlives the rmtree.  Overlap the two independent chains
+        # (r16, guide §2.6); both are joined before the rmtree, and the
+        # rmtree rides in a finally so a failed thunk cannot leak the
+        # work dir (VERDICT r16 #8).
         import shutil
 
         from cdc_data_lake_pyspark_spark.concurrency import overlap_jobs
 
-        _, out = overlap_jobs(
-            spark, [_append_day1, lambda: out.localCheckpoint()]
-        )
-        shutil.rmtree(work_dir, ignore_errors=True)
+        try:
+            _, out = overlap_jobs(
+                spark, [_append_day1, lambda: out.localCheckpoint()]
+            )
+        finally:
+            shutil.rmtree(work_dir, ignore_errors=True)
     else:
         # measurement tools and tests own the work dir and time the
         # append inside their day-1 phase — keep it serial there

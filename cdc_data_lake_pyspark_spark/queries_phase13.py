@@ -352,36 +352,46 @@ def _prepare_multimodal_incremental(
     keepers1 = _stage(nd1.join(keep1.select("doc_id"), "doc_id", "left_semi"))
     from cdc_data_lake_pyspark_spark.concurrency import overlap_jobs
 
-    overlap_jobs(
-        spark,
-        [
-            lambda: append_to_minhash_index(
-                index_dir, keepers1.select("doc_id", "text")
-            ),
-            lambda: append_to_ivf_corpus_index(
-                vec_dir,
-                keepers1.select(F.col("doc_id").alias("vec_id")).join(
-                    emb, "vec_id"
+    try:
+        overlap_jobs(
+            spark,
+            [
+                lambda: append_to_minhash_index(
+                    index_dir, keepers1.select("doc_id", "text")
                 ),
-            ),
-        ],
-    )
-    out = keep0.select(
-        F.lit(0).cast("int").alias("day"), "doc_id", "fingerprint", "n_copies"
-    ).unionByName(
-        keep1.select(
-            F.lit(1).cast("int").alias("day"),
+                lambda: append_to_ivf_corpus_index(
+                    vec_dir,
+                    keepers1.select(F.col("doc_id").alias("vec_id")).join(
+                        emb, "vec_id"
+                    ),
+                ),
+            ],
+        )
+        out = keep0.select(
+            F.lit(0).cast("int").alias("day"),
             "doc_id",
             "fingerprint",
             "n_copies",
+        ).unionByName(
+            keep1.select(
+                F.lit(1).cast("int").alias("day"),
+                "doc_id",
+                "fingerprint",
+                "n_copies",
+            )
         )
-    )
-    if cleanup_work_dir:
-        # the registry entry owns its temp artifacts (ADVICE r12):
-        # materialize the result — it transitively reads both persisted
-        # stores — then delete the work dir before handing the frame out
-        import shutil
+        if cleanup_work_dir:
+            # the registry entry owns its temp artifacts (ADVICE r12):
+            # materialize the result — it transitively reads both
+            # persisted stores — before the work dir goes away
+            out = out.localCheckpoint()
+    finally:
+        if cleanup_work_dir:
+            # the finally guarantees a failed append/materialization
+            # cannot leak the temp dir (VERDICT r16 #8); on success this
+            # runs after the checkpoint, so `out` has already left the
+            # store behind
+            import shutil
 
-        out = out.localCheckpoint()
-        shutil.rmtree(work_dir, ignore_errors=True)
+            shutil.rmtree(work_dir, ignore_errors=True)
     return out

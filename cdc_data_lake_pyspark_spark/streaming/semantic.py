@@ -180,7 +180,12 @@ class StreamingSemanticGate:
         )
         # one row per indexed vector: every vector's signature explode
         # carries its table-0 row (construction invariant of
-        # _with_buckets, which posexplodes tables 0..n_tables-1)
+        # _with_buckets, which posexplodes tables 0..n_tables-1).
+        # Index rows with a NULL vec_id (INDEX_SCHEMA permits them for
+        # parquet-compat) are intentionally unmatched by the inner joins
+        # below — the gate's id validation rejects non-integral ids at
+        # ingest, so such rows cannot exist in a gate-written store
+        # (ADVICE r16).
         ivec = index.filter(F.col("tbl") == 0).select(
             F.col("vec_id").alias("_iid"), F.col("v").alias("_iv")
         )

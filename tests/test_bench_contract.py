@@ -123,6 +123,38 @@ def test_sentinel_contract():
     assert isinstance(d["contention_flagged"], bool)
 
 
+def test_steal_sentinel_contract():
+    """VERDICT r16 #3: the ADDITIVE multi-core steal sentinel — knobs
+    exist, the probe really measures concurrent walls, and an artifact
+    produced by the new harness carries the series WITHOUT touching the
+    single-core sentinel's fields (trend continuity)."""
+    import os
+
+    import pytest as _pytest
+
+    assert 1 <= bench.STEAL_PROBES <= 32
+    assert bench.STEAL_FLAG_RATIO > 1.0
+    # the probe subprocess prints a parseable wall
+    walls = bench._steal_walls(2)
+    assert len(walls) == 2 and all(w > 0 for w in walls)
+    # ratio arithmetic: draw/base, guarded against a zero base
+    assert bench.steal_draw(0.0) == 0.0
+    path = os.path.join(os.path.dirname(bench.__file__), "BENCH_local.json")
+    if not os.path.exists(path):
+        _pytest.skip("no local bench artifact yet")
+    d = json.load(open(path))
+    if "steal_ratio_series" not in d:
+        _pytest.skip("artifact predates the r17 steal-sentinel contract")
+    series = d["steal_ratio_series"]
+    assert series and all(r >= 0 for r in series)
+    assert d["steal_ratio_max"] == max(series)
+    assert d["steal_flagged"] == any(
+        r > bench.STEAL_FLAG_RATIO for r in series
+    )
+    # additive: the single-core sentinel's contract fields are untouched
+    assert "sentinel_sec" in d and "contention_flagged" in d
+
+
 def _fake_sweep_state(flagged: bool) -> dict:
     return {
         "sf": "0.1",
@@ -132,6 +164,11 @@ def _fake_sweep_state(flagged: bool) -> dict:
         "sentinel_sec": [0.1, 0.1, 0.1, 0.9 if flagged else 0.1],
         "sentinel_base_sec": 0.1,
         "contention_flagged": flagged,
+        "steal_base_sec": 0.3,
+        "steal_probes": 8,
+        "steal_ratio_series": [1.02, 1.05],
+        "steal_ratio_max": 1.05,
+        "steal_flagged": False,
         "total": 1.0,
         "flagship_events": 0,
         "flagship_events_per_sec": None,

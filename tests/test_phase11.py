@@ -208,3 +208,44 @@ def test_multimodal_refresh_loop_soak_invariants(spark, tmp_path):
         (r.day, r.fingerprint) for r in out
     }
     assert twin[-1]["vectors_files"] < metrics[-1]["vectors_files"]
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="driver testdata absent")
+def test_failed_day1_append_does_not_leak_work_dir(spark, monkeypatch, tmp_path):
+    """VERDICT r16 #8: on the registry path the work-dir rmtree rides in
+    a finally, so a failing overlapped thunk (here: the day-1 index
+    append) cannot leak the mkdtemp — and the failure leaves no partial
+    state a convergent re-run would trip over."""
+    import tempfile
+
+    import cdc_data_lake_pyspark_spark.operators.dedup_text as dt
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    made: list[str] = []
+    real_mkdtemp = tempfile.mkdtemp
+
+    def tracking_mkdtemp(*args, **kwargs):
+        d = real_mkdtemp(*args, **kwargs)
+        made.append(d)
+        return d
+
+    monkeypatch.setattr(tempfile, "mkdtemp", tracking_mkdtemp)
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("injected day-1 append failure")
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(dt, "append_to_minhash_index", boom)
+        with pytest.raises(RuntimeError, match="injected day-1 append"):
+            _prepare_web_corpus_incremental(docs)
+    assert made, "registry path must mkdtemp its own work dir"
+    assert not any(
+        os.path.isdir(d) for d in made
+    ), "failed overlap leaked a work dir"
+    # convergent re-run: same entry, unpatched, succeeds end-to-end and
+    # cleans up after itself again
+    out = _prepare_web_corpus_incremental(docs)
+    assert out.count() > 0
+    assert not any(os.path.isdir(d) for d in made)

@@ -141,6 +141,10 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-warm", action="store_true")
+    ap.add_argument("--passes", type=int, default=1,
+                    help="timed materializations per query; reports "
+                    "per-pass walls + min/median (noise-robust quiet-box "
+                    "numbers; the event-log profile aggregates all passes)")
     ap.add_argument("--explain", action="store_true",
                     help="also print explain('formatted')")
     args = ap.parse_args()
@@ -187,18 +191,31 @@ def main() -> None:
             except Exception as exc:
                 print(f"warmup({name}) failed: {exc!r}", file=sys.stderr)
 
+    import statistics
+
     for name in args.queries:
         # one event-log application per query would need one session per
-        # query; instead bracket by job-id watermark per query
+        # query; instead bracket by job description per query
         spark.sparkContext.setJobDescription(f"profile:{name}")
-        t0 = time.time()
-        if name in prepared_env:
-            df = q.BENCH_PREPARED[name][1](spark, prepared_env[name])
-        else:
-            df = registry[name](spark, args.sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        wall = time.time() - t0
-        print(f"\n##### {name}: wall {wall:.3f}s")
+        walls = []
+        df = None
+        for _ in range(max(args.passes, 1)):
+            t0 = time.time()
+            if name in prepared_env:
+                df = q.BENCH_PREPARED[name][1](spark, prepared_env[name])
+            else:
+                df = registry[name](spark, args.sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            walls.append(time.time() - t0)
+        summary = (
+            f"wall {walls[0]:.3f}s"
+            if len(walls) == 1
+            else (
+                f"walls {[round(w, 3) for w in walls]} "
+                f"min {min(walls):.3f}s median {statistics.median(walls):.3f}s"
+            )
+        )
+        print(f"\n##### {name}: {summary}")
         if args.explain:
             df.explain("formatted")
         spark.sparkContext.setJobDescription(None)
